@@ -1,0 +1,126 @@
+"""Golden-vector tests for fingerprint2011.
+
+Vectors come from two sources:
+* the reference's own pinned values
+  (`javatests/com/google/zetasketch/internal/hash/HashTest.java:30-57`);
+* `tools/fp2011_golden.tsv`, generated from public Guava 33.4.8
+  (`tools/GenHashGolden.java`) to cover all three length paths
+  (<=32, 33..64, >64) and the batch entry points.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from zetasketch_spark.hashing import (
+    fingerprint_bytes,
+    fingerprint_bytes_batch,
+    fingerprint_int_array,
+    fingerprint_long_array,
+    fingerprint_str_series,
+    hash_int,
+    hash_long,
+    hash_str,
+)
+
+GOLDEN_TSV = os.path.join(os.path.dirname(__file__), "..", "tools", "fp2011_golden.tsv")
+
+
+# --- reference HashTest.java pinned values ---------------------------------
+
+def test_of_bytes_reference_golden():
+    assert fingerprint_bytes(b"") == 0x23AD7C904AA665E3
+    assert fingerprint_bytes(bytes([0x66, 0x6F, 0x6F, 0x62, 0x61, 0x72])) == 0x36A1E57A138E4467
+
+
+def test_of_int_reference_golden():
+    assert hash_int(0) == 0x1F6E43FF4B5270EE
+    assert hash_int(42) == 0x5CBDED943BFFDDD3
+    assert hash_int(-15) == 0xFD5A96B7669422C1
+
+
+def test_of_long_reference_golden():
+    assert hash_long(0) == 0x853A22BD6E14A48F
+    assert hash_long(42) == 0x583B2B9DF8E0EB60
+    assert hash_long(-15) == 0x539414F287F11E37
+
+
+def test_of_string_reference_golden():
+    assert hash_str("") == 0x23AD7C904AA665E3
+    assert hash_str("foo") == 0xD0BCBFE261B36504
+    assert hash_str("Zürich") == 0x27EFC00F7D2CE548
+    # Unicode strings must not be normalized
+    assert hash_str("Zürich") == 0x7DFA3067E55C7E8A
+
+
+# --- extended Guava-generated corpus ----------------------------------------
+
+def _load_golden():
+    rows = []
+    with open(GOLDEN_TSV) as f:
+        for line in f:
+            kind, key, val = line.rstrip("\n").split("\t")
+            rows.append((kind, key, int(val)))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def golden():
+    return _load_golden()
+
+
+def _pattern(n: int) -> bytes:
+    return bytes((i * 131 + 7) & 0xFF for i in range(n))
+
+
+def test_bytes_all_length_paths(golden):
+    cases = [(int(k), v) for kind, k, v in golden if kind == "bytes"]
+    assert len(cases) > 30
+    bufs = [_pattern(n) for n, _ in cases]
+    flat = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    lengths = np.array([len(b) for b in bufs], dtype=np.int64)
+    offs = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+    got = fingerprint_bytes_batch(flat, offs, lengths)
+    want = np.array([v for _, v in cases], dtype=np.uint64)
+    mismatches = [(cases[i][0], int(got[i]), int(want[i])) for i in range(len(cases)) if got[i] != want[i]]
+    assert mismatches == []
+
+
+def test_long_batch(golden):
+    cases = [(int(k), v) for kind, k, v in golden if kind == "long"]
+    got = fingerprint_long_array(np.array([c[0] for c in cases], dtype=np.int64))
+    assert got.tolist() == [c[1] for c in cases]
+
+
+def test_int_batch(golden):
+    cases = [(int(k), v) for kind, k, v in golden if kind == "int"]
+    got = fingerprint_int_array(np.array([c[0] for c in cases], dtype=np.int32))
+    assert got.tolist() == [c[1] for c in cases]
+
+
+def test_str_series(golden):
+    cases = [(k, v) for kind, k, v in golden if kind == "str"]
+    got = fingerprint_str_series(pd.Series([c[0] for c in cases]))
+    assert got.tolist() == [c[1] for c in cases]
+
+
+def test_str_series_nulls():
+    got = fingerprint_str_series(pd.Series(["foo", None, ""]))
+    assert got[0] == 0xD0BCBFE261B36504
+    assert got[1] == 0
+    assert got[2] == 0x23AD7C904AA665E3
+
+
+def test_batch_matches_scalar_random_lengths():
+    rng = np.random.default_rng(42)
+    bufs = [bytes(rng.integers(0, 256, size=int(n), dtype=np.uint8)) for n in rng.integers(0, 300, size=64)]
+    flat = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    lengths = np.array([len(b) for b in bufs], dtype=np.int64)
+    offs = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+    got = fingerprint_bytes_batch(flat, offs, lengths)
+    for i, b in enumerate(bufs):
+        assert int(got[i]) == fingerprint_bytes(b)

@@ -1,0 +1,314 @@
+"""Vectorized fingerprint2011 — the 64-bit hash the reference pins for
+cross-language sketch compatibility.
+
+The reference (`java/com/google/zetasketch/internal/hash/Hash.java:32-50`)
+delegates to Guava's public ``Hashing.fingerprint2011()`` with the hash
+recipes specified in `proto/aggregator.proto:88-136`:
+
+* int32  -> fingerprint2011 of the 4 little-endian bytes
+* int64  -> fingerprint2011 of the 8 little-endian bytes
+* string -> fingerprint2011 of the UTF-8 bytes (NOT normalized)
+* bytes  -> fingerprint2011 of the raw bytes
+
+The algorithm below is re-implemented from the public, Apache-2.0-licensed
+Guava source (``com.google.common.hash.Fingerprint2011``) and validated
+against the golden vectors in
+`javatests/com/google/zetasketch/internal/hash/HashTest.java:30-57` plus an
+extended golden corpus generated from Guava itself
+(`tools/fp2011_golden.tsv`).
+
+Everything is numpy-vectorized: scalar helpers exist only for tests, the
+Spark hot path uses the ``fingerprint_*_array`` batch entry points
+(Arrow/pandas batches in, ``uint64`` hash arrays out — no per-row Python).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+U64 = np.uint64
+_MASK = 0xFFFFFFFFFFFFFFFF
+
+# Primes between 2^63 and 2^64 (public Fingerprint2011 constants).
+K0 = U64(0xA5B85C5E198ED849)
+K1 = U64(0x8D58AC26AFE12E47)
+K2 = U64(0xC47B6E9E3A970ED3)
+K3 = U64(0xC6A4A7935BD1E995)  # murmur-style multiplier
+_SEED = U64(K0 ^ K1 ^ K2)  # seed for the <=32-byte murmur path
+_SEED8 = U64((int(_SEED) ^ (8 * int(K3))) & _MASK)  # murmur h0 for len=8
+_SEED4 = U64((int(_SEED) ^ (4 * int(K3))) & _MASK)  # murmur h0 for len=4
+
+_SHIFT47 = U64(47)
+
+
+def _rotr(x: np.ndarray | np.uint64, r: int) -> np.ndarray | np.uint64:
+    r64 = U64(r)
+    return (x >> r64) | (x << U64(64 - r))
+
+
+def _shift_mix(x):
+    return x ^ (x >> _SHIFT47)
+
+
+def _hash128to64(high, low):
+    """Murmur-inspired 128->64 mix (public CityHash/Fingerprint2011 tail)."""
+    a = (low ^ high) * K3
+    a ^= a >> _SHIFT47
+    b = (high ^ a) * K3
+    b ^= b >> _SHIFT47
+    b = b * K3
+    return b
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width fast paths: int32 / int64 columns hash in closed form.
+# ---------------------------------------------------------------------------
+
+def fingerprint_long_array(values: np.ndarray) -> np.ndarray:
+    """fingerprint2011 of each int64 as its 8 little-endian bytes.
+
+    Fully closed-form: for len==8 the murmur loop runs exactly once and the
+    final mix uses u = the value itself, v = K0 (len < 9).
+    """
+    x = np.ascontiguousarray(values, dtype=np.int64).view(np.uint64)
+    h = _SEED8
+    data = _shift_mix(x * K3) * K3
+    h = (h ^ data) * K3
+    h = _shift_mix(h) * K3
+    h = _shift_mix(h)
+    # tail: result = hash128to64(result + v, u); v = K0, u = first-8-bytes = x
+    res = _hash128to64(h + K0, x)
+    bad = (res == U64(0)) | (res == U64(1))
+    if bad.any():
+        res = np.where(bad, res + U64(_MASK - 1), res)  # += ~1 (i.e. -2)
+    return res
+
+
+def fingerprint_int_array(values: np.ndarray) -> np.ndarray:
+    """fingerprint2011 of each int32 as its 4 little-endian bytes.
+
+    len==4: murmur remainder-only path; u = v = K0 in the final mix.
+    """
+    x = np.ascontiguousarray(values, dtype=np.int32).view(np.uint32).astype(np.uint64)
+    h = _SEED4
+    h = (h ^ x) * K3
+    h = _shift_mix(h) * K3
+    h = _shift_mix(h)
+    res = _hash128to64(h + K0, K0)
+    bad = (res == U64(0)) | (res == U64(1))
+    if bad.any():
+        res = np.where(bad, res + U64(_MASK - 1), res)
+    return res
+
+
+# ---------------------------------------------------------------------------
+# Variable-length path: batched bytes/strings.
+# The batch arrives as one flat uint8 buffer + per-row (offset, length),
+# exactly Arrow's string layout, so ``fingerprint_str_series`` is zero-copy
+# off a pandas/Arrow column.
+# ---------------------------------------------------------------------------
+
+def _load64_gather(buf: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    """Unaligned little-endian 64-bit loads at ``pos`` (vectorized gather)."""
+    b = buf[pos[:, None] + np.arange(8)].astype(np.uint64)
+    out = b[:, 0]
+    for k in range(1, 8):
+        out = out | (b[:, k] << U64(8 * k))
+    return out
+
+
+def _load64_safely(buf: np.ndarray, pos: np.ndarray, nbytes: np.ndarray) -> np.ndarray:
+    """LE load of ``nbytes[i]`` (< 8) bytes at pos[i], zero-padded high."""
+    out = np.zeros(len(pos), dtype=np.uint64)
+    for k in range(8):
+        m = nbytes > k
+        if not m.any():
+            break
+        vals = buf[pos[m] + k].astype(np.uint64) << U64(8 * k)
+        out[m] = out[m] | vals
+    return out
+
+
+def _murmur64_batch(buf, off, length):
+    """murmurHash64WithSeed for all rows with length <= 32 (vectorized)."""
+    aligned = length & ~np.int64(7)
+    rem = length & np.int64(7)
+    h = _SEED ^ (length.astype(np.uint64) * K3)
+    # at most 4 aligned words for len <= 32
+    for w in range(4):
+        m = aligned > 8 * w
+        if not m.any():
+            break
+        loaded = _load64_gather(buf, off[m] + 8 * w)
+        data = _shift_mix(loaded * K3) * K3
+        h[m] = (h[m] ^ data) * K3
+    m = rem != 0
+    if m.any():
+        data = _load64_safely(buf, off[m] + aligned[m], rem[m])
+        h[m] = (h[m] ^ data) * K3
+    h = _shift_mix(h) * K3
+    h = _shift_mix(h)
+    return h
+
+
+def _hash33to64_batch(buf, off, length):
+    """hashLength33To64 vectorized across rows (33 <= len <= 64)."""
+    ld = lambda p: _load64_gather(buf, p)  # noqa: E731
+    z = ld(off + 24)
+    a = ld(off) + (length.astype(np.uint64) + ld(off + length - 16)) * K0
+    b = _rotr(a + z, 52)
+    c = _rotr(a, 37)
+    a = a + ld(off + 8)
+    c = c + _rotr(a, 7)
+    a = a + ld(off + 16)
+    vf = a + z
+    vs = b + _rotr(a, 31) + c
+    a = ld(off + 16) + ld(off + length - 32)
+    z = ld(off + length - 8)
+    b = _rotr(a + z, 52)
+    c = _rotr(a, 37)
+    a = a + ld(off + length - 24)
+    c = c + _rotr(a, 7)
+    a = a + ld(off + length - 16)
+    wf = a + z
+    ws = b + _rotr(a, 31) + c
+    r = _shift_mix((vf + ws) * K2 + (wf + vs) * K0)
+    return _shift_mix(r * K0 + vs) * K2
+
+
+def _weak32_batch(buf, off, seed_a, seed_b):
+    p1 = _load64_gather(buf, off)
+    p2 = _load64_gather(buf, off + 8)
+    p3 = _load64_gather(buf, off + 16)
+    p4 = _load64_gather(buf, off + 24)
+    a = seed_a + p1
+    b = _rotr(seed_b + a + p4, 51)
+    c = a
+    a = a + p2
+    a = a + p3
+    b = b + _rotr(a, 23)
+    return a + p4, b + c
+
+
+def _full_fingerprint_batch(buf, off, length):
+    """fullFingerprint (> 64 bytes), vectorized with an active-row mask on
+    the 64-byte chunk loop (iterations = max chunks in the batch)."""
+    ln64 = length.astype(np.uint64)
+    x = _load64_gather(buf, off)
+    y = _load64_gather(buf, off + length - 16) ^ K1
+    z = _load64_gather(buf, off + length - 56) ^ K0
+    v0, v1 = _weak32_batch(buf, off + length - 64, ln64, y)
+    w0, w1 = _weak32_batch(buf, off + length - 32, ln64 * K1, np.full_like(ln64, K0))
+    z = z + _shift_mix(v1) * K1
+    x = _rotr(z + x, 39) * K1
+    y = _rotr(y, 33) * K1
+    rem = (length - 1) & ~np.int64(63)
+    pos = off.copy()
+    while True:
+        m = rem > 0
+        if not m.any():
+            break
+        pm = pos[m]
+        x_m = _rotr(x[m] + y[m] + v0[m] + _load64_gather(buf, pm + 16), 37) * K1
+        y_m = _rotr(y[m] + v1[m] + _load64_gather(buf, pm + 48), 42) * K1
+        x_m = x_m ^ w1[m]
+        y_m = y_m ^ v0[m]
+        z_m = _rotr(z[m] ^ w0[m], 33)
+        nv0, nv1 = _weak32_batch(buf, pm, v1[m] * K1, x_m + w0[m])
+        nw0, nw1 = _weak32_batch(buf, pm + 32, z_m + w1[m], y_m)
+        # swap(z, x)
+        x[m], z[m] = z_m, x_m
+        y[m] = y_m
+        v0[m], v1[m] = nv0, nv1
+        w0[m], w1[m] = nw0, nw1
+        pos[m] += 64
+        rem[m] -= 64
+    return _hash128to64(
+        _hash128to64(v0, w0) + _shift_mix(y) * K1 + z,
+        _hash128to64(v1, w1) + x,
+    )
+
+
+def fingerprint_bytes_batch(buf: np.ndarray, off: np.ndarray, length: np.ndarray) -> np.ndarray:
+    """fingerprint2011 of ``n`` byte strings packed in ``buf`` (uint8 flat
+    buffer) with per-row ``off``/``length`` int64 arrays. Returns uint64[n].
+    """
+    buf = np.asarray(buf, dtype=np.uint8)
+    off = np.asarray(off, dtype=np.int64)
+    length = np.asarray(length, dtype=np.int64)
+    n = len(off)
+    result = np.zeros(n, dtype=np.uint64)
+    # pad the buffer so unaligned 8-byte gathers at the tail never go OOB
+    buf = np.concatenate([buf, np.zeros(8, dtype=np.uint8)])
+
+    small = length <= 32
+    mid = (length > 32) & (length <= 64)
+    big = length > 64
+    if small.any():
+        result[small] = _murmur64_batch(buf, off[small], length[small])
+    if mid.any():
+        result[mid] = _hash33to64_batch(buf, off[mid], length[mid])
+    if big.any():
+        result[big] = _full_fingerprint_batch(buf, off[big], length[big])
+
+    u = np.full(n, K0, dtype=np.uint64)
+    v = np.full(n, K0, dtype=np.uint64)
+    m8 = length >= 8
+    if m8.any():
+        u[m8] = _load64_gather(buf, off[m8])
+    m9 = length >= 9
+    if m9.any():
+        v[m9] = _load64_gather(buf, off[m9] + length[m9] - 8)
+    result = _hash128to64(result + v, u)
+    bad = (result == U64(0)) | (result == U64(1))
+    if bad.any():
+        result = np.where(bad, result + U64(_MASK - 1), result)
+    return result
+
+
+def fingerprint_str_series(series) -> np.ndarray:
+    """Hash a pandas Series of str/bytes (UTF-8 for str). Nulls hash to 0
+    and must be filtered by the caller (the reference never adds nulls)."""
+    import pandas as pd
+
+    arr = series.to_numpy(dtype=object) if isinstance(series, pd.Series) else np.asarray(series, dtype=object)
+    n = len(arr)
+    lengths = np.zeros(n, dtype=np.int64)
+    chunks: list[bytes] = []
+    valid = np.ones(n, dtype=bool)
+    for i, s in enumerate(arr):
+        if s is None or (isinstance(s, float) and np.isnan(s)):
+            valid[i] = False
+            chunks.append(b"")
+            continue
+        b = s.encode("utf-8") if isinstance(s, str) else bytes(s)
+        lengths[i] = len(b)
+        chunks.append(b)
+    flat = np.frombuffer(b"".join(chunks), dtype=np.uint8)
+    off = np.zeros(n, dtype=np.int64)
+    np.cumsum(lengths[:-1], out=off[1:]) if n > 1 else None
+    out = fingerprint_bytes_batch(flat, off, lengths)
+    if not valid.all():
+        out[~valid] = 0
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Scalar conveniences (tests / golden vectors only — not the hot path).
+# ---------------------------------------------------------------------------
+
+def fingerprint_bytes(data: bytes) -> int:
+    buf = np.frombuffer(data, dtype=np.uint8)
+    return int(fingerprint_bytes_batch(buf, np.array([0]), np.array([len(data)]))[0])
+
+
+def hash_long(value: int) -> int:
+    return int(fingerprint_long_array(np.array([value], dtype=np.int64))[0])
+
+
+def hash_int(value: int) -> int:
+    return int(fingerprint_int_array(np.array([value], dtype=np.int32))[0])
+
+
+def hash_str(value: str) -> int:
+    return fingerprint_bytes(value.encode("utf-8"))
