@@ -1,0 +1,295 @@
+"""HLL++ core tests, mirroring the reference's test strategy (SURVEY.md §5).
+
+Golden expectations come from
+`javatests/com/google/zetasketch/HyperLogLogPlusPlusTest.java` (tiny-state
+serialization `:1249-1322`, small-stream estimates `:600-610`, merge matrix
+`:712-830`) and `HyperLogLogPlusPlusMergeTest.java:36-73` (merge == direct
+at the serialized-state level).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from zetasketch_spark.hll import (
+    HllSketch,
+    IncompatiblePrecisionError,
+    VALUE_TYPE_UINT32,
+    VALUE_TYPE_UINT64,
+    delta_varint_decode,
+    delta_varint_encode,
+)
+
+
+# --- golden tiny states ------------------------------------------------------
+
+def test_golden_normal_only_add42():
+    """`lowestPrecision_basicOps_normalOnly` (:1255-1295): p=4, noSparse,
+    add(42L) -> registers [0,0,0,0,0,1,0*10], estimate 1, exact proto bytes."""
+    sk = HllSketch(precision=4, no_sparse=True)
+    sk.add_longs([42])
+    assert sk.estimate() == 1
+    assert sk.registers.tolist() == [0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    expected = bytes(
+        [0x08, 0x70,  # type = HYPERLOGLOG_PLUS_UNIQUE (112)
+         0x10, 0x01,  # num_values = 1
+         0x18, 0x02,  # encoding_version = 2
+         0x20, 0x08,  # value_type = UINT64
+         0x82, 0x07, 0x14,  # hll ext, 20 bytes
+         0x18, 0x04,  # precision = 4
+         0x2A, 0x10] + [0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    )
+    assert sk.serialize() == expected
+    rt = HllSketch.deserialize(expected)
+    assert rt.p == 4 and rt.sp == 0 and rt.estimate() == 1 and rt.num_values == 1
+    assert rt.serialize() == expected
+
+
+def test_golden_sparse_add42():
+    """`lowestPrecision_basicOps_withSparse` (:1297-1322): p=4, sp=4,
+    add(42L) -> sparse_size=1, sparse_data=[0xC1, 0x0A], estimate 1."""
+    sk = HllSketch(precision=4, sparse_precision=4)
+    sk.add_longs([42])
+    assert sk.estimate() == 1
+    data = sk.serialize()
+    expected = bytes(
+        [0x08, 0x70,
+         0x10, 0x01,
+         0x18, 0x02,
+         0x20, 0x08,
+         0x82, 0x07, 0x0A,  # hll ext, 10 bytes
+         0x10, 0x01,  # sparse_size = 1
+         0x18, 0x04,  # precision = 4
+         0x20, 0x04,  # sparse_precision = 4
+         0x32, 0x02, 0xC1, 0x0A]  # sparse_data
+    )
+    assert data == expected
+    rt = HllSketch.deserialize(data)
+    assert rt.mode == "sparse" and rt.estimate() == 1
+    assert rt.serialize() == expected
+
+
+def test_golden_default_precisions_and_small_stream():
+    """`serializeToBytes` (:1109-1140): defaults p=15/sp=25; ints 1,2,3 ->
+    num_values=3, sparse_size=3. `add [1,2,3,2,3] -> estimate 3` (:600-610)."""
+    sk = HllSketch()
+    assert sk.p == 15 and sk.sp == 20  # defaults: p=15, sp=min(p+5, 25)
+    sk.add_ints([1, 2, 3, 2, 3])
+    assert sk.estimate() == 3
+    assert sk.num_values == 5
+    sk2 = HllSketch()
+    sk2.add_ints([1, 2, 3])
+    sk2.compact()
+    assert len(sk2.sparse_values) == 3
+    assert sk2.value_type == VALUE_TYPE_UINT32
+
+
+def test_empty_aggregator_serializes_empty_sparse_data():
+    """`serializeToProto_EmptyAggregatorSetsEmptySparseDataField` (:1211-1221):
+    sparse_data field present with size 0."""
+    sk = HllSketch(precision=13, sparse_precision=16,
+                   value_type=VALUE_TYPE_UINT64)
+    data = sk.serialize()
+    # inner message must end with tag 0x32 (sparse_data) and length 0
+    assert data[-2:] == bytes([0x32, 0x00])
+    rt = HllSketch.deserialize(data)
+    assert rt.mode == "sparse" and rt.estimate() == 0 and rt.num_values == 0
+
+
+# --- merge matrix (:712-830) -------------------------------------------------
+
+def _sparse(values, p=15, sp=20):
+    sk = HllSketch(precision=p, sparse_precision=sp)
+    sk.add_longs(values)
+    return sk
+
+
+def _normal(values, p=15):
+    sk = HllSketch(precision=p, no_sparse=True)
+    sk.add_longs(values)
+    return sk
+
+
+@pytest.mark.parametrize("make_a", [_sparse, _normal])
+@pytest.mark.parametrize("make_b", [_sparse, _normal])
+def test_merge_matrix(make_a, make_b):
+    a = make_a([1, 2, 3])
+    b = make_b([3, 4])
+    a.merge(b)
+    assert a.estimate() == 4
+    assert a.num_values == 5
+
+
+@pytest.mark.parametrize("pa,pb", [(15, 13), (13, 15)])
+def test_merge_cross_precision(pa, pb):
+    a = _normal([1, 2, 3], p=pa)
+    b = _normal([3, 4], p=pb)
+    a.merge(b)
+    assert a.p == 13  # min precision wins
+    assert a.estimate() == 4
+
+
+def test_merge_sparse_cross_precision_downgrades():
+    a = _sparse([1, 2, 3], p=15, sp=20)
+    b = _sparse([3, 4], p=13, sp=16)
+    a.merge(b)
+    assert (a.p, a.sp) == (13, 16)
+    assert a.estimate() == 4
+    # state must equal a direct build at the lower precision
+    direct = _sparse([1, 2, 3, 4], p=13, sp=16)
+    direct.num_values = 5
+    assert a.serialize() == direct.serialize()
+
+
+def test_merge_incompatible_precisions_raises():
+    a = _sparse([1], p=12, sp=17)
+    b = _sparse([2], p=13, sp=16)
+    with pytest.raises(IncompatiblePrecisionError):
+        a.merge(b)
+
+
+def test_merge_normal_into_sparse_disables_sparse():
+    """Merging a no-sparse sketch forces sp -> min(sp, 0) = 0
+    (`NormalRepresentation.java:196-198`)."""
+    a = _sparse([1, 2, 3])
+    b = _normal([3, 4])
+    a.merge(b)
+    assert a.mode == "normal" and a.sp == 0
+    assert a.estimate() == 4
+
+
+def test_type_incompatibility():
+    a = HllSketch()
+    a.add_longs([1])
+    b = HllSketch()
+    b.add_ints([1])
+    with pytest.raises(ValueError):
+        a.merge(b)
+    c = HllSketch()
+    with pytest.raises(ValueError):
+        c.add_longs([1]) or c.add_ints([2])
+
+
+# --- state-level merge associativity (MergeTest.java:36-73) ------------------
+
+def test_hundred_way_merge_equals_direct_state():
+    """100 sparse partials over random longs merged sequentially must equal,
+    byte-for-byte, one sketch that saw all values (p=13, sp=16)."""
+    rng = np.random.default_rng(123)
+    streams = [rng.integers(-2**63, 2**63, size=1 + int(rng.integers(2**12)), dtype=np.int64)
+               for _ in range(100)]
+    partials = []
+    for s in streams:
+        sk = HllSketch(precision=13, sparse_precision=16)
+        sk.add_longs(s)
+        assert sk.mode == "sparse" or len(s) > 1000  # small ones stay sparse
+        partials.append(sk)
+    merged = partials[0]
+    for sk in partials[1:]:
+        merged.merge(sk)
+    direct = HllSketch(precision=13, sparse_precision=16)
+    direct.add_longs(np.concatenate(streams))
+    assert direct.mode == "normal"  # enough values to upgrade
+    assert merged.serialize() == direct.serialize()
+    assert merged.estimate() == direct.estimate()
+
+
+def test_merge_order_invariance():
+    rng = np.random.default_rng(7)
+    streams = [rng.integers(0, 10**6, size=500, dtype=np.int64) for _ in range(8)]
+    def build(order):
+        sks = []
+        for i in order:
+            sk = HllSketch(precision=12, sparse_precision=17)
+            sk.add_longs(streams[i])
+            sks.append(sk)
+        acc = sks[0]
+        for sk in sks[1:]:
+            acc.merge(sk)
+        return acc.serialize()
+    assert build(range(8)) == build(reversed(range(8)))
+
+
+def test_batch_size_invariance():
+    """Post-compact state must not depend on Arrow batch boundaries."""
+    rng = np.random.default_rng(99)
+    values = rng.integers(0, 10**7, size=20000, dtype=np.int64)
+    states = []
+    for bs in (1, 64, 4096, 20000):
+        sk = HllSketch(precision=11, sparse_precision=15)
+        for i in range(0, len(values), bs):
+            sk.add_longs(values[i:i + bs])
+        states.append(sk.serialize())
+    assert states.count(states[0]) == len(states)
+
+
+def test_string_sketch_matches_long_semantics():
+    sk = HllSketch()
+    sk.add_strings(pd.Series(["a", "b", "c", "a"]))
+    assert sk.estimate() == 3
+    rt = HllSketch.deserialize(sk.serialize())
+    assert rt.estimate() == 3
+
+
+# --- sparse -> normal upgrade boundary (F5) ----------------------------------
+
+def test_upgrade_boundary():
+    """p=10, sp=15: upgrade must occur when encoded sparse bytes >= 768
+    (0.75 * 2^10), and the post-upgrade state must equal the direct normal
+    build over the same values."""
+    rng = np.random.default_rng(5)
+    values = rng.integers(0, 2**62, size=2000, dtype=np.int64)
+    sk = HllSketch(precision=10, sparse_precision=15)
+    upgraded_at = None
+    for i in range(0, 2000, 64):
+        sk.add_longs(values[i:i + 64])
+        sk.compact()
+        if sk.mode == "normal" and upgraded_at is None:
+            upgraded_at = i + 64
+    assert upgraded_at is not None, "sketch never upgraded to normal"
+    direct = HllSketch(precision=10, sparse_precision=15)
+    direct.add_longs(values)
+    assert direct.serialize() == sk.serialize()
+
+
+# --- error envelope (F4) ------------------------------------------------------
+
+@pytest.mark.parametrize("p", [10, 14, 15, 20])
+@pytest.mark.parametrize("n", [10, 1000, 100_000])
+def test_error_envelope(p, n):
+    """|est/n - 1| <= 3 * 1.04/sqrt(2^p) on a seeded distinct stream (with
+    3x duplicates), per BASELINE.md. LinearCounting keeps small-n errors
+    far tighter; the bound is checked uniformly with slack k=3."""
+    rng = np.random.default_rng(p * 1_000_003 + n)
+    distinct = rng.integers(-2**63, 2**63, size=n, dtype=np.int64)
+    stream = np.concatenate([distinct, distinct[: n // 3]])
+    sk = HllSketch(precision=p)
+    for i in range(0, len(stream), 65536):
+        sk.add_longs(stream[i:i + 65536])
+    est = sk.estimate()
+    bound = 3 * 1.04 / np.sqrt(2.0 ** p)
+    assert abs(est / n - 1) <= max(bound, 0.01), (p, n, est)
+
+
+# --- codec round trips ---------------------------------------------------------
+
+def test_delta_varint_roundtrip():
+    rng = np.random.default_rng(3)
+    for size in (0, 1, 5, 1000):
+        vals = np.sort(rng.choice(2**31 - 1, size=size, replace=False)).astype(np.int64)
+        enc = delta_varint_encode(vals)
+        dec = delta_varint_decode(enc)
+        assert dec.tolist() == vals.tolist()
+
+
+def test_serialize_roundtrip_normal_mode():
+    rng = np.random.default_rng(11)
+    sk = HllSketch(precision=12, sparse_precision=14)
+    sk.add_longs(rng.integers(0, 2**62, size=50000, dtype=np.int64))
+    assert sk.mode == "normal"
+    data = sk.serialize()
+    rt = HllSketch.deserialize(data)
+    assert rt.serialize() == data
+    assert rt.estimate() == sk.estimate()
