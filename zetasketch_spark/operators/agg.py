@@ -1,0 +1,179 @@
+"""Distributed sketch aggregation: the treeAggregate shape as explicit
+DataFrame stages.
+
+The reference leaves distribution to the host engine — workers build partial
+sketches, serialized state protos cross process boundaries, anyone merges
+(`HyperLogLogPlusPlus.java:40-42`, demonstrated by 100 partials -> 1 final in
+`HyperLogLogPlusPlusMergeTest.java:36-73`). Here the host engine is Spark:
+
+* **stage 1 (partial)** — ``mapInPandas``: one pass over each input
+  partition's Arrow batches, one sketch per (group key) per partition,
+  vectorized updates. Output: ``(keys..., sketch binary, rows_seen,
+  partition_id)``. This is the skew defuser: a hot key costs register
+  updates, never a wide shuffle of raw rows — shuffle volume is
+  O(#keys x #partitions x state_size), independent of row count.
+* **shuffle** — only serialized states move.
+* **stage 2 (final)** — ``groupBy(keys).applyInPandas``: associative merge.
+  With ``tree_levels=2`` an intermediate merge on ``(keys, salt)`` bounds
+  fan-in per task when #partitions is huge (1000-executor scale).
+* **stage 3 (result)** — scalar pandas UDF extracts estimates.
+
+Column pruning/pushdown note: stage 1 selects only ``keys + [col]`` before
+the ``mapInPandas`` so Parquet scans read just those columns.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark import TaskContext
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from zetasketch_spark.sketches.base import SketchFamily
+
+SKETCH_COL = "sketch"
+ROWS_COL = "rows_seen"
+PARTITION_COL = "partition_id"
+
+
+def _key_fields(df: DataFrame, keys: list[str]) -> list[StructField]:
+    by_name = {f.name: f for f in df.schema.fields}
+    return [by_name[k] for k in keys]
+
+
+def sketch_partial(df: DataFrame, keys: list[str], col: str,
+                   family: SketchFamily) -> DataFrame:
+    """Stage 1: per-(partition, key) partial sketches, vectorized."""
+    out_schema = StructType(
+        _key_fields(df, keys)
+        + [StructField(SKETCH_COL, BinaryType()),
+           StructField(ROWS_COL, LongType()),
+           StructField(PARTITION_COL, IntegerType())]
+    )
+    keys_t = tuple(keys)
+
+    def partial_fn(batches):
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else -1
+        acc: dict = {}
+        rows: dict = {}
+        for pdf in batches:
+            if len(keys_t) == 0:
+                grouped = [((), pdf)]
+            else:
+                grouped = pdf.groupby(list(keys_t), sort=False, dropna=False)
+            for key, grp in grouped:
+                if not isinstance(key, tuple):
+                    key = (key,)
+                state = acc.get(key)
+                if state is None:
+                    state = family.make()
+                    acc[key] = state
+                    rows[key] = 0
+                family.update(state, grp[col])
+                rows[key] += len(grp)
+        if acc:
+            yield pd.DataFrame(
+                [[*k, family.serialize(s), rows[k], pid] for k, s in acc.items()],
+                columns=[*keys_t, SKETCH_COL, ROWS_COL, PARTITION_COL],
+            )
+
+    return df.select(*keys, col).mapInPandas(partial_fn, out_schema)
+
+
+def sketch_merge(partials: DataFrame, keys: list[str], family: SketchFamily,
+                 tree_levels: int = 1, fan_in: int = 64) -> DataFrame:
+    """Stage 2: merge partial states per key. ``tree_levels=2`` adds an
+    intermediate ``(keys, salt)`` merge so no single task sees more than
+    ~``fan_in`` states for a hot key (the salted pre-aggregation demanded
+    for 10^12-row inputs; cf. SURVEY.md §4 P-row 'skew')."""
+    merged_schema = StructType(
+        [f for f in partials.schema.fields if f.name in keys]
+        + [StructField(SKETCH_COL, BinaryType()), StructField(ROWS_COL, LongType())]
+    )
+
+    def merge_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        blob = family.merge_serialized(pdf[SKETCH_COL])
+        head = [pdf.iloc[0][k] for k in keys]
+        return pd.DataFrame([[*head, blob, int(pdf[ROWS_COL].sum())]],
+                            columns=[*keys, SKETCH_COL, ROWS_COL])
+
+    if tree_levels >= 2:
+        salted = partials.withColumn(
+            "_salt", F.pmod(F.coalesce(F.col(PARTITION_COL), F.lit(0)), F.lit(fan_in))
+        )
+        salted_schema = StructType(list(merged_schema.fields) + [StructField("_salt", IntegerType())])
+
+        def merge_salted(pdf: pd.DataFrame) -> pd.DataFrame:
+            blob = family.merge_serialized(pdf[SKETCH_COL])
+            head = [pdf.iloc[0][k] for k in keys]
+            return pd.DataFrame([[*head, blob, int(pdf[ROWS_COL].sum()), int(pdf.iloc[0]["_salt"])]],
+                                columns=[*keys, SKETCH_COL, ROWS_COL, "_salt"])
+
+        level1 = salted.groupBy(*keys, "_salt").applyInPandas(merge_salted, salted_schema)
+        return level1.groupBy(*keys).applyInPandas(merge_fn, merged_schema)
+
+    return partials.groupBy(*keys).applyInPandas(merge_fn, merged_schema)
+
+
+def sketch_result(merged: DataFrame, family: SketchFamily,
+                  keep_sketch: bool = False) -> DataFrame:
+    """Stage 3: extract results from the sketch column."""
+    from pyspark.sql.functions import pandas_udf
+
+    fields = family.result_fields
+    if len(fields) == 1:
+        name, typ = fields[0]
+
+        @pandas_udf(typ)
+        def extract(blobs: pd.Series) -> pd.Series:
+            return pd.Series([family.result(family.deserialize(bytes(b)))[0] for b in blobs])
+
+        out = merged.withColumn(name, extract(F.col(SKETCH_COL)))
+    else:
+        struct_t = ", ".join(f"`{n}` {t}" for n, t in fields)
+
+        @pandas_udf(f"struct<{struct_t}>")
+        def extract_struct(blobs: pd.Series) -> pd.DataFrame:
+            rows = [family.result(family.deserialize(bytes(b))) for b in blobs]
+            return pd.DataFrame(rows, columns=[n for n, _ in fields])
+
+        out = merged.withColumn("_res", extract_struct(F.col(SKETCH_COL)))
+        for n, _ in fields:
+            out = out.withColumn(n, F.col(f"_res.{n}"))
+        out = out.drop("_res")
+    if not keep_sketch:
+        out = out.drop(SKETCH_COL)
+    return out
+
+
+def sketch_agg(df: DataFrame, keys: list[str], col: str, family: SketchFamily,
+               tree_levels: int = 1, fan_in: int = 64,
+               keep_sketch: bool = False) -> DataFrame:
+    """Full pipeline: partial -> merge -> result.
+
+    Returns ``keys + result_fields (+ rows_seen)``; with ``keep_sketch``
+    also the serialized state (for checkpointing / re-merging: sketches
+    computed at fine grain re-merge exactly across grouping levels).
+    """
+    partials = sketch_partial(df, keys, col, family)
+    merged = sketch_merge(partials, keys, family, tree_levels=tree_levels, fan_in=fan_in)
+    return sketch_result(merged, family, keep_sketch=keep_sketch)
+
+
+def hll_count_distinct(df: DataFrame, keys: list[str], col: str,
+                       precision: int = 15, sparse_precision: int | None = None,
+                       tree_levels: int = 1) -> DataFrame:
+    """Approximate COUNT(DISTINCT col) GROUP BY keys via HLL++ — the query
+    ZetaSketch exists for, distributed the way BigQuery distributes it."""
+    from zetasketch_spark.sketches.base import HllFamily
+
+    fam = HllFamily(precision=precision, sparse_precision=sparse_precision)
+    out = sketch_agg(df, keys, col, fam, tree_levels=tree_levels)
+    return out.withColumnRenamed("estimate", "approx_distinct")

@@ -1,0 +1,125 @@
+"""Sketch family protocol: the Aggregator contract of the reference
+(`java/com/google/zetasketch/Aggregator.java:31-106` — create / add / merge /
+result / serialize) re-expressed for vectorized batch execution.
+
+Every sketch in this library implements this same contract so the Spark
+aggregation harness (`zetasketch_spark.operators.agg`) is shared:
+
+* ``make()``               -> fresh state
+* ``update(state, values)``-> absorb a pandas Series batch (vectorized)
+* ``merge(a, b)``          -> associative combine, returns ``a``
+* ``serialize(state)``     -> bytes (the unit of distribution / checkpoint)
+* ``deserialize(bytes)``   -> state
+* ``result(state)``        -> tuple matching ``result_fields``
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import numpy as np
+import pandas as pd
+
+
+class SketchFamily:
+    """Base class; subclasses define the five operations."""
+
+    name: str = "abstract"
+    #: (column name, spark sql type string) of result() output
+    result_fields: list[tuple[str, str]] = [("estimate", "bigint")]
+
+    def make(self) -> Any:
+        raise NotImplementedError
+
+    def update(self, state: Any, values: pd.Series) -> Any:
+        raise NotImplementedError
+
+    def merge(self, a: Any, b: Any) -> Any:
+        raise NotImplementedError
+
+    def serialize(self, state: Any) -> bytes:
+        raise NotImplementedError
+
+    def deserialize(self, data: bytes) -> Any:
+        raise NotImplementedError
+
+    def result(self, state: Any) -> tuple:
+        raise NotImplementedError
+
+    # -- conveniences shared by the harness ---------------------------------
+
+    def merge_serialized(self, blobs) -> bytes:
+        """Merge an iterable of serialized states into one blob."""
+        acc = None
+        for b in blobs:
+            if b is None:
+                continue
+            s = self.deserialize(bytes(b))
+            acc = s if acc is None else self.merge(acc, s)
+        if acc is None:
+            acc = self.make()
+        return self.serialize(acc)
+
+
+class HllFamily(SketchFamily):
+    """HyperLogLog++ approximate COUNT DISTINCT (reference parity core)."""
+
+    name = "hll"
+    result_fields = [("estimate", "bigint")]
+
+    def __init__(self, precision: int = 15, sparse_precision: int | None = None,
+                 no_sparse: bool = False):
+        self.precision = precision
+        self.sparse_precision = sparse_precision
+        self.no_sparse = no_sparse
+
+    def make(self):
+        from zetasketch_spark.hll import HllSketch
+
+        return HllSketch(precision=self.precision,
+                         sparse_precision=self.sparse_precision,
+                         no_sparse=self.no_sparse)
+
+    def update(self, state, values: pd.Series):
+        values = values.dropna()
+        if len(values) == 0:
+            return state
+        dtype = values.dtype
+        if dtype == np.int64 or str(dtype) == "Int64":
+            state.add_longs(values.to_numpy(dtype=np.int64))
+        elif dtype == np.int32 or str(dtype) == "Int32":
+            state.add_ints(values.to_numpy(dtype=np.int32))
+        else:
+            state.add_strings(values)
+        return state
+
+    def merge(self, a, b):
+        a.merge(b)
+        return a
+
+    def serialize(self, state) -> bytes:
+        return state.serialize()
+
+    def deserialize(self, data: bytes):
+        from zetasketch_spark.hll import HllSketch
+
+        return HllSketch.deserialize(data)
+
+    def result(self, state) -> tuple:
+        return (int(state.estimate()),)
+
+
+_REGISTRY: dict[str, Callable[..., SketchFamily]] = {}
+
+
+def register_family(name: str, factory: Callable[..., SketchFamily]) -> None:
+    _REGISTRY[name] = factory
+
+
+def get_family(name: str, **cfg) -> SketchFamily:
+    if name not in _REGISTRY:
+        raise KeyError(f"unknown sketch family {name!r}; known: {sorted(_REGISTRY)}")
+    return _REGISTRY[name](**cfg)
+
+
+register_family("hll", HllFamily)

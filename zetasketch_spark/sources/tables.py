@@ -1,0 +1,56 @@
+"""TableIO seam: Iceberg when the runtime has it, partitioned Parquet
+otherwise (this sandbox has no network to fetch the Iceberg jar).
+
+The north_rule targets Iceberg tables partitioned by ``days(ts)``; both
+paths present the same API so the engine code never branches. Snapshot /
+resume semantics on the Parquet path are provided by the checkpoint table
+(`zetasketch_spark.operators.checkpoint`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.org.apache.iceberg.Table  # noqa: SLF001
+        return True
+    except Exception:
+        return False
+
+
+class TableIO:
+    """Read/write tables by name against a root (catalog or directory)."""
+
+    def __init__(self, spark: SparkSession, root: str, use_iceberg: bool | None = None):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.use_iceberg = iceberg_available(spark) if use_iceberg is None else use_iceberg
+
+    def _path(self, name: str) -> str:
+        return f"{self.root}/{name}"
+
+    def read(self, name: str) -> DataFrame:
+        if self.use_iceberg:
+            return self.spark.read.format("iceberg").load(self._path(name))
+        return self.spark.read.parquet(self._path(name) + ".parquet") \
+            if name != "transcripts" else self.spark.read.parquet(self._path(name))
+
+    def write(self, df: DataFrame, name: str, partition_by: list[str] | None = None,
+              mode: str = "append") -> None:
+        if self.use_iceberg:
+            w = df.writeTo(self._path(name))
+            (w.append() if mode == "append" else w.createOrReplace())
+            return
+        w = df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self._path(name))
+
+
+def with_day(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Add the day-bucket column used for time-partitioned aggregation
+    (the parquet stand-in for Iceberg's ``days(ts)`` partition transform)."""
+    return df.withColumn("day", F.to_date(F.col(ts_col)))

@@ -1,0 +1,161 @@
+"""Deterministic multi-turn conversation transcript table (FIXTURES.md F1).
+
+Schema per ``BASELINE.json input_hint``:
+``conv_id:string, turn_idx:int32, role:string, text:string, tool:string,
+ts:timestamp`` — stable turn ordering under ``ORDER BY conv_id, turn_idx``.
+
+Generation is numpy-vectorized and seeded, so the same (n_turns, seed)
+always yields byte-identical parquet: sketch *states* over this data are
+reproducible, which the state-equality tests rely on. Conversation sizes are
+Zipf-skewed (hot conversations) to exercise the skew paths; ~10% of turns
+are tool calls with Zipf-skewed tool names (the Count-Min heavy-hitter
+oracle); timestamps are monotone within a conversation and spread over ~30
+days of day buckets.
+
+At cluster scale the table would live in Iceberg partitioned by
+``days(ts)``; the sandbox fallback is parquet written partitioned by
+``day`` via the same ``TableIO`` seam (`zetasketch_spark.sources.tables`).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SCHEMA = pa.schema([
+    ("conv_id", pa.string()),
+    ("turn_idx", pa.int32()),
+    ("role", pa.string()),
+    ("text", pa.string()),
+    ("tool", pa.string()),
+    ("ts", pa.timestamp("us")),
+])
+
+_TOOLS = [
+    "search", "bash", "read_file", "write_file", "edit", "browser", "python",
+    "sql", "calculator", "calendar", "email", "fetch_url", "grep", "glob",
+    "summarize", "translate", "ocr", "speech_to_text", "image_gen", "diff",
+    "lint", "test_runner", "compiler", "debugger", "profiler", "git",
+    "docker", "kubectl", "terraform", "aws_cli", "gcloud", "azure_cli",
+    "slack", "jira", "github", "gitlab", "pagerduty", "datadog", "grafana",
+    "prometheus", "redis_cli", "psql", "mongo", "kafka", "spark_submit",
+    "airflow", "dbt", "notebook", "vector_db", "crawler",
+]
+_VOCAB_SIZE = 4096
+_BASE_TS_US = 1767225600000000  # 2026-01-01T00:00:00Z in microseconds
+
+
+def generate_transcripts(n_turns: int, seed: int = 42,
+                         n_convs: int | None = None) -> pa.Table:
+    """Build an Arrow table of ``n_turns`` transcript turns."""
+    rng = np.random.default_rng(seed)
+    if n_convs is None:
+        n_convs = max(64, n_turns // 100)
+
+    # Zipf(s=1.2) conversation popularity via inverse-CDF over 1/k^s weights
+    s = 1.2
+    weights = 1.0 / np.arange(1, n_convs + 1, dtype=np.float64) ** s
+    cdf = np.cumsum(weights)
+    cdf /= cdf[-1]
+    ranks = np.searchsorted(cdf, rng.random(n_turns), side="left")
+    ranks = np.clip(ranks, 0, n_convs - 1)
+    # permute ranks -> conv indexes so hot conversations aren't conv-0
+    perm = rng.permutation(n_convs)
+    conv_idx = perm[ranks]
+
+    # contiguous turn_idx per conversation: sort by conv, cumcount
+    order = np.argsort(conv_idx, kind="stable")
+    conv_sorted = conv_idx[order]
+    boundary = np.empty(n_turns, dtype=bool)
+    boundary[0] = True
+    boundary[1:] = conv_sorted[1:] != conv_sorted[:-1]
+    group_start = np.maximum.accumulate(np.where(boundary, np.arange(n_turns), 0))
+    turn_idx = (np.arange(n_turns) - group_start).astype(np.int32)
+
+    conv_id = np.char.add("conv-", np.char.zfill(conv_sorted.astype("U10"), 10))
+
+    # roles: user/assistant alternate; ~10% tool turns (deterministic slots)
+    role = np.where(turn_idx % 2 == 0, "user", "assistant").astype(object)
+    tool_turn = rng.random(n_turns) < 0.10
+    role[tool_turn] = "tool"
+
+    # tool names: Zipf(s=1.5) over the 50 names, NULL on non-tool turns
+    t_weights = 1.0 / np.arange(1, len(_TOOLS) + 1, dtype=np.float64) ** 1.5
+    t_cdf = np.cumsum(t_weights)
+    t_cdf /= t_cdf[-1]
+    t_ranks = np.clip(np.searchsorted(t_cdf, rng.random(n_turns), side="left"),
+                      0, len(_TOOLS) - 1)
+    tools = np.array(_TOOLS, dtype=object)[t_ranks]
+    tool = np.where(tool_turn, tools, None)
+
+    # text: 5..200 vocab words per turn, vectorized via one big word draw
+    words_per_turn = rng.integers(5, 201, size=n_turns)
+    total_words = int(words_per_turn.sum())
+    word_ids = rng.integers(0, _VOCAB_SIZE, size=total_words)
+    vocab = np.array([f"w{i:04x}" for i in range(_VOCAB_SIZE)], dtype=object)
+    flat_words = vocab[word_ids]
+    ends = np.cumsum(words_per_turn)
+    starts = ends - words_per_turn
+    joined = np.empty(n_turns, dtype=object)
+    big = " ".join(flat_words)  # single join, then slice by char offsets
+    # char offsets: each word is 5 chars + 1 space
+    char_starts = starts * 6
+    char_ends = ends * 6 - 1
+    for i in range(n_turns):  # slicing strings; cheap relative to parquet IO
+        joined[i] = big[char_starts[i]:char_ends[i]]
+
+    # timestamps: conv base offset over ~30 days + 1..90s per turn, monotone
+    conv_base_us = (conv_sorted * 2654435761 % (30 * 86400)) * 1_000_000
+    step_s = rng.integers(1, 91, size=n_turns)
+    # cumulative within conversation: global cumsum minus value at group start
+    cum = np.cumsum(step_s)
+    cum_at_start = cum[group_start]
+    within = cum - cum_at_start + step_s[group_start] * 0  # seconds since conv start
+    ts = (_BASE_TS_US + conv_base_us + within * 1_000_000).astype("int64")
+
+    return pa.Table.from_arrays(
+        [
+            pa.array(conv_id, type=pa.string()),
+            pa.array(turn_idx, type=pa.int32()),
+            pa.array(role, type=pa.string()),
+            pa.array(joined, type=pa.string()),
+            pa.array(tool, type=pa.string()),
+            pa.array(ts, type=pa.timestamp("us")),
+        ],
+        schema=SCHEMA,
+    )
+
+
+def write_transcripts_parquet(path: str, n_turns: int, seed: int = 42,
+                              n_convs: int | None = None,
+                              rows_per_file: int = 2_000_000,
+                              row_group_size: int = 128 * 1024) -> str:
+    """Write the transcripts table as one-or-more parquet files under
+    ``path`` (idempotent: skips when a matching manifest exists)."""
+    manifest = os.path.join(path, "_MANIFEST")
+    stamp = f"n_turns={n_turns} seed={seed} n_convs={n_convs}"
+    if os.path.exists(manifest) and open(manifest).read() == stamp:
+        return path
+    os.makedirs(path, exist_ok=True)
+    written = 0
+    part = 0
+    while written < n_turns:
+        chunk = min(rows_per_file, n_turns - written)
+        tbl = generate_transcripts(chunk, seed=seed + part, n_convs=n_convs)
+        pq.write_table(tbl, os.path.join(path, f"part-{part:05d}.parquet"),
+                       row_group_size=row_group_size, compression="snappy")
+        written += chunk
+        part += 1
+    with open(manifest, "w") as f:
+        f.write(stamp)
+    return path
+
+
+def load_transcripts(spark, path: str):
+    import pyspark.sql.functions as F
+
+    df = spark.read.parquet(path)
+    return df.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
