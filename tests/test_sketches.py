@@ -1,0 +1,201 @@
+"""Published-bound oracles for Count-Min, KLL, t-digest, Bloom
+(FIXTURES.md F6; SURVEY.md §2.1 'Not in the reference but required')."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from zetasketch_spark.sketches.bloom import BloomFilter, optimal_params
+from zetasketch_spark.sketches.countmin import CountMinSketch
+from zetasketch_spark.sketches.kll import KllSketch
+from zetasketch_spark.sketches.tdigest import TDigest
+
+
+# --- Count-Min ----------------------------------------------------------------
+
+def _zipf_strings(n, n_keys, s, seed):
+    rng = np.random.default_rng(seed)
+    w = 1.0 / np.arange(1, n_keys + 1) ** s
+    cdf = np.cumsum(w) / w.sum()
+    ranks = np.searchsorted(cdf, rng.random(n))
+    return pd.Series([f"tool-{r:03d}" for r in ranks])
+
+
+def test_countmin_point_query_bound():
+    """Overcount <= eps*N with eps = e/width (w.p. 1-e^-depth); never under."""
+    data = _zipf_strings(50_000, 200, 1.3, seed=1)
+    cm = CountMinSketch(width=2048, depth=5)
+    for i in range(0, len(data), 8192):
+        cm.add_series(data.iloc[i:i + 8192])
+    true = data.value_counts()
+    keys = pd.Series(true.index)
+    est = cm.point_query_series(keys)
+    eps = np.e / 2048
+    over = est - true.to_numpy()
+    assert (over >= 0).all(), "CM must never undercount"
+    assert (over <= eps * cm.total).mean() > 0.99
+
+
+def test_countmin_merge_equals_direct():
+    data = _zipf_strings(20_000, 100, 1.2, seed=2)
+    parts = np.array_split(data, 7)
+    sks = []
+    for p in parts:
+        sk = CountMinSketch(width=1024, depth=4)
+        sk.add_series(p.reset_index(drop=True))
+        sks.append(sk)
+    merged = sks[0]
+    for sk in sks[1:]:
+        merged.merge(sk)
+    direct = CountMinSketch(width=1024, depth=4)
+    direct.add_series(data)
+    assert np.array_equal(merged.counters, direct.counters)
+    assert merged.total == direct.total
+
+
+def test_countmin_heavy_hitters():
+    data = _zipf_strings(30_000, 300, 1.5, seed=3)
+    cm = CountMinSketch(width=4096, depth=5)
+    cm.add_series(data)
+    top = cm.heavy_hitters(10)
+    true_top = set(data.value_counts().head(10).index)
+    got = {k for k, _ in top}
+    assert len(got & true_top) >= 8  # top-10 nearly exact under this skew
+
+
+def test_countmin_serde_roundtrip():
+    cm = CountMinSketch(width=512, depth=3, max_candidates=64)
+    cm.add_series(pd.Series(["a", "b", "a", "c"]))
+    rt = CountMinSketch.deserialize(cm.serialize())
+    assert np.array_equal(rt.counters, cm.counters)
+    assert rt.candidates == cm.candidates and rt.total == 4
+
+
+# --- KLL -----------------------------------------------------------------------
+
+@pytest.mark.parametrize("dist", ["uniform", "lognormal"])
+def test_kll_rank_error(dist):
+    rng = np.random.default_rng(17)
+    data = rng.random(200_000) if dist == "uniform" else rng.lognormal(0, 2, 200_000)
+    sk = KllSketch(k=200)
+    for i in range(0, len(data), 65536):
+        sk.add_series(data[i:i + 65536])
+    for q in (0.01, 0.1, 0.5, 0.9, 0.99):
+        est = sk.quantile(q)
+        true_rank = (data <= est).mean()
+        assert abs(true_rank - q) <= 0.015, (q, est, true_rank)
+
+
+def test_kll_merge_rank_error():
+    rng = np.random.default_rng(23)
+    data = rng.normal(size=120_000)
+    parts = np.array_split(data, 16)
+    sks = []
+    for p in parts:
+        sk = KllSketch(k=200)
+        sk.add_series(p)
+        sks.append(sk)
+    acc = sks[0]
+    for sk in sks[1:]:
+        acc.merge(sk)
+    assert acc.n == len(data)
+    for q in (0.1, 0.5, 0.9):
+        est = acc.quantile(q)
+        assert abs((data <= est).mean() - q) <= 0.02
+
+
+def test_kll_serde_roundtrip():
+    sk = KllSketch(k=128)
+    sk.add_series(np.arange(10_000, dtype=np.float64))
+    rt = KllSketch.deserialize(sk.serialize())
+    assert rt.n == sk.n
+    assert rt.quantiles([0.25, 0.75]) == sk.quantiles([0.25, 0.75])
+
+
+# --- t-digest --------------------------------------------------------------------
+
+def test_tdigest_quantile_accuracy():
+    rng = np.random.default_rng(31)
+    data = rng.lognormal(1.0, 1.5, 300_000)
+    td = TDigest(delta=200)
+    for i in range(0, len(data), 65536):
+        td.add_series(data[i:i + 65536])
+    for q in (0.001, 0.01, 0.5, 0.99, 0.999):
+        est = td.quantile(q)
+        true_rank = (data <= est).mean()
+        # t-digest rank error scales with q(1-q)
+        tol = max(0.005, 4 * q * (1 - q) / 200 * 10)
+        assert abs(true_rank - q) <= tol, (q, est, true_rank)
+    # extremes are exact
+    assert td.quantile(0.0) == data.min()
+    assert td.quantile(1.0) == data.max()
+
+
+def test_tdigest_merge_and_size():
+    rng = np.random.default_rng(37)
+    data = rng.normal(size=100_000)
+    parts = np.array_split(data, 10)
+    digs = []
+    for p in parts:
+        td = TDigest(delta=100)
+        td.add_series(p)
+        digs.append(td)
+    acc = digs[0]
+    for td in digs[1:]:
+        acc.merge(td)
+    acc._compress()
+    assert acc.n == len(data)
+    assert len(acc.means) <= 2 * 100  # centroid bound ~delta
+    for q in (0.1, 0.5, 0.9):
+        assert abs((data <= acc.quantile(q)).mean() - q) <= 0.02
+
+
+def test_tdigest_serde_roundtrip():
+    td = TDigest(delta=100)
+    td.add_series(np.linspace(0, 1, 5000))
+    rt = TDigest.deserialize(td.serialize())
+    assert rt.n == td.n
+    assert rt.quantile(0.5) == td.quantile(0.5)
+
+
+# --- Bloom ------------------------------------------------------------------------
+
+def test_bloom_no_false_negatives_and_fpr():
+    n = 50_000
+    m, k = optimal_params(n, 0.01)
+    bf = BloomFilter(m=m, k=k)
+    inserted = pd.Series([f"conv-{i:010d}" for i in range(n)])
+    for i in range(0, n, 8192):
+        bf.add_series(inserted.iloc[i:i + 8192])
+    assert bf.contains_series(inserted).all(), "false negatives are forbidden"
+    absent = pd.Series([f"ghost-{i:010d}" for i in range(n)])
+    fpr = bf.contains_series(absent).mean()
+    assert fpr <= 1.5 * max(bf.expected_fpr(), 0.01), fpr
+
+
+def test_bloom_merge_equals_direct():
+    a = BloomFilter(m=1 << 14, k=5)
+    b = BloomFilter(m=1 << 14, k=5)
+    a.add_series(pd.Series(["x", "y"]))
+    b.add_series(pd.Series(["z"]))
+    a.merge(b)
+    direct = BloomFilter(m=1 << 14, k=5)
+    direct.add_series(pd.Series(["x", "y", "z"]))
+    assert np.array_equal(a.words, direct.words)
+    assert a.contains_series(pd.Series(["x", "y", "z"])).all()
+
+
+def test_bloom_int_columns():
+    bf = BloomFilter(m=1 << 13, k=4)
+    bf.add_series(pd.Series(np.arange(100, dtype=np.int64)))
+    assert bf.contains_series(pd.Series(np.arange(100, dtype=np.int64))).all()
+    assert not bf.contains_series(pd.Series([10**12], dtype=np.int64)).any()
+
+
+def test_bloom_serde_roundtrip():
+    bf = BloomFilter(m=1 << 10, k=3)
+    bf.add_series(pd.Series(["a", "b"]))
+    rt = BloomFilter.deserialize(bf.serialize())
+    assert np.array_equal(rt.words, bf.words) and rt.n_added == 2

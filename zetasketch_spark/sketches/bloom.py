@@ -1,0 +1,144 @@
+"""Bloom filter (Bloom 1970): m bits, k hash functions.
+
+Membership sketch over the same typed-value hashing as HLL++: one
+fingerprint2011 pass per batch, the k probe positions derived by
+Kirsch–Mitzenmacher double hashing h_i = h1 + i·h2 (published to preserve
+the asymptotic false-positive rate with just two base hashes).
+
+Published-bound pytest oracle (FIXTURES.md F6): zero false negatives;
+measured FPR ≤ ~1.5x the analytic (1 − e^(−kn/m))^k.
+Merge = bitwise OR (same m, k).
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+import pandas as pd
+
+from zetasketch_spark.hashing import (
+    fingerprint_int_array,
+    fingerprint_long_array,
+    fingerprint_str_series,
+)
+from zetasketch_spark.sketches.base import SketchFamily, register_family
+
+_MAGIC = b"BLM1"
+
+
+def optimal_params(n: int, fpr: float) -> tuple[int, int]:
+    """(m bits, k hashes) for expected ``n`` inserts at target ``fpr``."""
+    m = int(math.ceil(-n * math.log(fpr) / (math.log(2) ** 2)))
+    m = max(64, (m + 63) & ~63)  # round up to whole uint64 words
+    k = max(1, round(m / n * math.log(2))) if n else 1
+    return m, k
+
+
+def _hash_series(values: pd.Series) -> np.ndarray:
+    dtype = values.dtype
+    if dtype == np.int64:
+        return fingerprint_long_array(values.to_numpy(dtype=np.int64))
+    if dtype == np.int32:
+        return fingerprint_int_array(values.to_numpy(dtype=np.int32))
+    return fingerprint_str_series(values)
+
+
+class BloomFilter:
+    __slots__ = ("m", "k", "words", "n_added")
+
+    def __init__(self, m: int = 1 << 20, k: int = 7):
+        if m % 64:
+            raise ValueError("m must be a multiple of 64")
+        self.m = m
+        self.k = k
+        self.words = np.zeros(m // 64, dtype=np.uint64)
+        self.n_added = 0
+
+    def _positions(self, hashes: np.ndarray) -> np.ndarray:
+        """k x n bit positions."""
+        h1 = hashes & np.uint64(0xFFFFFFFFFFFF)
+        h2 = (hashes >> np.uint64(17)) | np.uint64(1)
+        i = np.arange(self.k, dtype=np.uint64)[:, None]
+        return ((h1[None, :] + i * h2[None, :]) % np.uint64(self.m))
+
+    def add_series(self, values: pd.Series) -> None:
+        values = pd.Series(values).dropna()
+        if len(values) == 0:
+            return
+        pos = self._positions(_hash_series(values)).ravel()
+        word = (pos >> np.uint64(6)).astype(np.int64)
+        bit = np.uint64(1) << (pos & np.uint64(63))
+        np.bitwise_or.at(self.words, word, bit)
+        self.n_added += len(values)
+
+    def contains_series(self, values: pd.Series) -> np.ndarray:
+        values = pd.Series(values)
+        mask_na = values.isna().to_numpy()
+        filled = values.fillna("" if values.dtype == object else 0)
+        pos = self._positions(_hash_series(filled))
+        word = (pos >> np.uint64(6)).astype(np.int64)
+        bit = np.uint64(1) << (pos & np.uint64(63))
+        hit = (self.words[word] & bit) != 0
+        out = hit.all(axis=0)
+        out[mask_na] = False
+        return out
+
+    def expected_fpr(self) -> float:
+        return (1 - math.exp(-self.k * self.n_added / self.m)) ** self.k
+
+    def merge(self, other: "BloomFilter") -> None:
+        if (self.m, self.k) != (other.m, other.k):
+            raise ValueError(
+                f"cannot merge Bloom(m={self.m},k={self.k}) with Bloom(m={other.m},k={other.k})")
+        np.bitwise_or(self.words, other.words, out=self.words)
+        self.n_added += other.n_added
+
+    def serialize(self) -> bytes:
+        return struct.pack("<4sqiq", _MAGIC, self.m, self.k, self.n_added) + self.words.tobytes()
+
+    @classmethod
+    def deserialize(cls, data: bytes) -> "BloomFilter":
+        magic, m, k, n = struct.unpack_from("<4sqiq", data, 0)
+        if magic != _MAGIC:
+            raise ValueError("not a Bloom filter")
+        off = struct.calcsize("<4sqiq")
+        bf = cls(m=m, k=k)
+        bf.words = np.frombuffer(data, dtype=np.uint64, count=m // 64, offset=off).copy()
+        bf.n_added = n
+        return bf
+
+
+class BloomFamily(SketchFamily):
+    name = "bloom"
+    result_fields = [("n_added", "bigint"), ("bits_set", "bigint"),
+                     ("expected_fpr", "double")]
+
+    def __init__(self, m: int = 1 << 20, k: int = 7):
+        self.m = m
+        self.k = k
+
+    def make(self):
+        return BloomFilter(self.m, self.k)
+
+    def update(self, state, values):
+        state.add_series(values)
+        return state
+
+    def merge(self, a, b):
+        a.merge(b)
+        return a
+
+    def serialize(self, state):
+        return state.serialize()
+
+    def deserialize(self, data):
+        return BloomFilter.deserialize(bytes(data))
+
+    def result(self, state):
+        bits = int(np.unpackbits(state.words.view(np.uint8)).sum())
+        return (state.n_added, bits, state.expected_fpr())
+
+
+register_family("bloom", BloomFamily)

@@ -1,0 +1,181 @@
+"""Count-Min sketch (Cormode & Muthukrishnan 2005) with a bounded
+heavy-hitter candidate set.
+
+Follows the same Aggregator contract as the reference's HLL++
+(`java/com/google/zetasketch/Aggregator.java:31-106`): vectorized batch
+update, associative merge, serializable state. Published bounds (pytest
+oracles): a point query overestimates the true count by at most ε·N with
+probability ≥ 1−δ, where ε = e/width and δ = e^−depth.
+
+Row hashes are fingerprint2011 (shared kernel); the ``depth`` row hashes
+derive by double hashing h_i = h1 + i·h2 (Kirsch–Mitzenmacher), so one hash
+pass per batch serves all rows.
+
+The candidate set (capped, Misra-Gries-style pruning) makes distributed
+top-k exact-rankable: partials track locally heavy keys, merge unions and
+re-prunes, the final top-k ranks candidates by their CM estimates.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+
+from zetasketch_spark.hashing import (
+    fingerprint_int_array,
+    fingerprint_long_array,
+    fingerprint_str_series,
+)
+from zetasketch_spark.sketches.base import SketchFamily, register_family
+
+_MAGIC = b"CMS1"
+
+
+def _hash_series(values: pd.Series) -> np.ndarray:
+    dtype = values.dtype
+    if dtype == np.int64:
+        return fingerprint_long_array(values.to_numpy(dtype=np.int64))
+    if dtype == np.int32:
+        return fingerprint_int_array(values.to_numpy(dtype=np.int32))
+    return fingerprint_str_series(values)
+
+
+class CountMinSketch:
+    __slots__ = ("width", "depth", "counters", "total", "candidates", "max_candidates")
+
+    def __init__(self, width: int = 2048, depth: int = 5, max_candidates: int = 512):
+        self.width = width
+        self.depth = depth
+        self.counters = np.zeros((depth, width), dtype=np.int64)
+        self.total = 0
+        self.candidates: dict[str, int] = {}  # locally-exact candidate counts
+        self.max_candidates = max_candidates
+
+    # -- update --------------------------------------------------------------
+
+    def add_series(self, values: pd.Series) -> None:
+        values = values.dropna()
+        if len(values) == 0:
+            return
+        # aggregate duplicates within the batch first: one counter bump per key
+        vc = values.value_counts()
+        keys = vc.index.to_series().reset_index(drop=True)
+        counts = vc.to_numpy(dtype=np.int64)
+        hashes = _hash_series(keys.astype(type(keys.iloc[0])) if len(keys) else keys)
+        self._add_hashed(hashes, counts)
+        self.total += int(counts.sum())
+        # maintain candidates from the batch's biggest keys
+        for k, c in vc.items():
+            ks = str(k)
+            self.candidates[ks] = self.candidates.get(ks, 0) + int(c)
+        self._prune()
+
+    def _add_hashed(self, hashes: np.ndarray, counts: np.ndarray) -> None:
+        h1 = hashes & np.uint64(0xFFFFFFFF)
+        h2 = (hashes >> np.uint64(32)) | np.uint64(1)  # odd
+        for i in range(self.depth):
+            idx = ((h1 + np.uint64(i) * h2) % np.uint64(self.width)).astype(np.int64)
+            np.add.at(self.counters[i], idx, counts)
+
+    def _prune(self) -> None:
+        if len(self.candidates) > self.max_candidates:
+            keep = sorted(self.candidates.items(), key=lambda kv: -kv[1])[: self.max_candidates]
+            self.candidates = dict(keep)
+
+    # -- query ---------------------------------------------------------------
+
+    def point_query_series(self, keys: pd.Series) -> np.ndarray:
+        hashes = _hash_series(keys)
+        h1 = hashes & np.uint64(0xFFFFFFFF)
+        h2 = (hashes >> np.uint64(32)) | np.uint64(1)
+        est = np.full(len(keys), np.iinfo(np.int64).max, dtype=np.int64)
+        for i in range(self.depth):
+            idx = ((h1 + np.uint64(i) * h2) % np.uint64(self.width)).astype(np.int64)
+            est = np.minimum(est, self.counters[i][idx])
+        return est
+
+    def heavy_hitters(self, k: int) -> list[tuple[str, int]]:
+        """Top-k candidates ranked by CM estimate of the *string form* of
+        the key (candidates are tracked as strings)."""
+        if not self.candidates:
+            return []
+        keys = pd.Series(list(self.candidates.keys()))
+        est = self.point_query_series(keys)
+        order = np.argsort(-est, kind="stable")[:k]
+        return [(keys.iloc[i], int(est[i])) for i in order]
+
+    # -- merge / serde ---------------------------------------------------------
+
+    def merge(self, other: "CountMinSketch") -> None:
+        if (self.width, self.depth) != (other.width, other.depth):
+            raise ValueError(
+                f"cannot merge CM({self.width}x{self.depth}) with CM({other.width}x{other.depth})")
+        self.counters += other.counters
+        self.total += other.total
+        for k, c in other.candidates.items():
+            self.candidates[k] = self.candidates.get(k, 0) + c
+        self._prune()
+
+    def serialize(self) -> bytes:
+        cand_keys = "\x00".join(self.candidates.keys()).encode("utf-8")
+        cand_counts = np.fromiter(self.candidates.values(), dtype=np.int64,
+                                  count=len(self.candidates))
+        header = struct.pack("<4siiqii", _MAGIC, self.width, self.depth,
+                             self.total, self.max_candidates, len(self.candidates))
+        return (header + self.counters.tobytes()
+                + cand_counts.tobytes()
+                + struct.pack("<i", len(cand_keys)) + cand_keys)
+
+    @classmethod
+    def deserialize(cls, data: bytes) -> "CountMinSketch":
+        magic, width, depth, total, maxc, ncand = struct.unpack_from("<4siiqii", data, 0)
+        if magic != _MAGIC:
+            raise ValueError("not a CountMin sketch")
+        off = struct.calcsize("<4siiqii")
+        sk = cls(width=width, depth=depth, max_candidates=maxc)
+        n = width * depth
+        sk.counters = np.frombuffer(data, dtype=np.int64, count=n, offset=off).reshape(depth, width).copy()
+        off += n * 8
+        counts = np.frombuffer(data, dtype=np.int64, count=ncand, offset=off)
+        off += ncand * 8
+        (klen,) = struct.unpack_from("<i", data, off)
+        off += 4
+        keys = data[off:off + klen].decode("utf-8").split("\x00") if ncand else []
+        sk.candidates = dict(zip(keys, (int(c) for c in counts)))
+        sk.total = total
+        return sk
+
+
+class CountMinFamily(SketchFamily):
+    name = "countmin"
+    result_fields = [("total", "bigint")]
+
+    def __init__(self, width: int = 2048, depth: int = 5, max_candidates: int = 512):
+        self.width = width
+        self.depth = depth
+        self.max_candidates = max_candidates
+
+    def make(self):
+        return CountMinSketch(self.width, self.depth, self.max_candidates)
+
+    def update(self, state, values):
+        state.add_series(values)
+        return state
+
+    def merge(self, a, b):
+        a.merge(b)
+        return a
+
+    def serialize(self, state):
+        return state.serialize()
+
+    def deserialize(self, data):
+        return CountMinSketch.deserialize(bytes(data))
+
+    def result(self, state):
+        return (state.total,)
+
+
+register_family("countmin", CountMinFamily)
