@@ -1,38 +1,554 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (HLL++ approximate COUNT DISTINCT
+per group — the query ZetaSketch exists for) on sf0.001.
+
+``queries()`` exposes the implemented operator surface (SURVEY.md §2 plus
+the training-data-pipeline operators); ``oracle_sql()`` carries the DuckDB
+equivalent for every exactly-answerable query. Sketch-estimate queries are
+registered without oracle SQL (estimates cannot equal an exact SQL answer);
+their error-envelope assertions live in tests/ (pytest oracles per
+FIXTURES.md F4/F6).
+
+Determinism rules used throughout so Spark and DuckDB hash-match:
+every float is round()ed, every aggregate/computed column is aliased the
+same on both sides, every top-k orders by the rounded measure with an id
+tiebreak, dates/times are formatted to strings.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
 
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# exact queries (oracle-checked)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan-filter-aggregate with pushdown-able predicate."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_top_customers(spark, sf_dir):
+    """Broadcast join + top-k with deterministic tiebreak."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+             F.count("*").alias("n_orders"))
+    )
+    return rev.orderBy(F.col("revenue").desc(), F.col("c_custkey")).limit(10)
+
+
+def q_region_customer_counts(spark, sf_dir):
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_customers"),
+             F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"))
+    )
+
+
+def q_events_summary(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.countDistinct("user_id").alias("n_users"),
+             F.round(F.sum("value"), 2).alias("sum_value"),
+             F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
+def q_events_daily_top(spark, sf_dir):
+    """Window function: busiest day per event_type."""
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .groupBy("event_type", "day").agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("n").desc(), F.col("day"))
+    return (
+        daily.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("event_type", "day", "n")
+    )
+
+
+def q_revenue_filter(spark, sf_dir):
+    """TPC-H Q6 shape: tight predicate + single aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_shipdate") >= F.lit("1996-01-01"))
+                  & (F.col("l_shipdate") < F.lit("1997-01-01"))
+                  & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+                  & (F.col("l_quantity") < 24))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+             F.count("*").alias("n_rows"))
+    )
+
+
+def q_order_priority(spark, sf_dir):
+    """Semi-join (TPC-H Q4 shape)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey").distinct()
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+def q_docs_token_stats(spark, sf_dir):
+    from zetasketch_spark.functions.text import char_count, token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("n_tokens", token_count("text"))
+        .withColumn("n_chr", char_count("text"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+             F.round(F.avg("n_chr"), 4).alias("avg_chars"))
+    )
+
+
+def q_docs_fingerprints(spark, sf_dir):
+    """Exact-dedup fingerprint counts per source (md5 both engines)."""
+    from zetasketch_spark.functions.text import doc_fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("fp", doc_fingerprint("text"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"),
+             F.countDistinct("fp").alias("n_distinct_fp"))
+    )
+
+
+def q_docs_normalized_dedup(spark, sf_dir):
+    """Near-dup via canonical normalization: distinct normalized texts."""
+    from zetasketch_spark.functions.text import normalized_text
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("norm", normalized_text("text"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.countDistinct("norm").alias("n_distinct_norm"))
+    )
+
+
+def q_docs_quality(spark, sf_dir):
+    from zetasketch_spark.functions.text import (
+        punct_count, quality_score, stopword_hits, token_count)
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        punct_count("text").alias("n_punct"),
+        stopword_hits("text").alias("n_stopwords"),
+        quality_score("text").alias("quality"),
+    )
+
+
+def q_docs_lang_id(spark, sf_dir):
+    from zetasketch_spark.functions.text import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("pred_lang", lang_id("text"))
+        .groupBy("pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def q_events_quantiles(spark, sf_dir):
+    """Exact percentiles (interpolated) — the baseline KLL/t-digest chase."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+             F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"))
+    )
+
+
+def q_embedding_norms(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    norm = F.expr("sqrt(aggregate(embedding, cast(0.0 as double), "
+                  "(acc, x) -> acc + cast(x as double) * cast(x as double)))")
+    return (
+        emb.withColumn("norm", norm)
+        .groupBy("label")
+        .agg(F.count("*").alias("n_vecs"),
+             F.round(F.avg("norm"), 4).alias("avg_norm"))
+    )
+
+
+def q_supplier_nation(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_suppliers"),
+             F.round(F.sum("s_acctbal"), 2).alias("sum_acctbal"))
+    )
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for 5 fixed query vectors."""
+    from zetasketch_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return brute_force_topk(emb, queries, k=5)
+
+
+# ---------------------------------------------------------------------------
+# sketch queries (estimates -> rows-only driver check; envelopes in pytest)
+# ---------------------------------------------------------------------------
+
+def q_hll_users_by_type(spark, sf_dir):
+    from zetasketch_spark.operators.agg import hll_count_distinct
+
+    e = _t(spark, sf_dir, "events")
+    return hll_count_distinct(e, ["event_type"], "user_id", precision=14)
+
+
+def q_hll_users_by_type_day(spark, sf_dir):
+    """Finer grain + salted two-level (tree) merge."""
+    from zetasketch_spark.operators.agg import hll_count_distinct
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd"))
+    return hll_count_distinct(e, ["event_type", "day"], "user_id",
+                              precision=12, tree_levels=2)
+
+
+def q_cm_heavy_hitter_users(spark, sf_dir):
+    """Count-Min + candidate sets: top-10 user_ids by event count."""
+    import pandas as pd
+
+    from zetasketch_spark.operators.agg import sketch_merge, sketch_partial
+    from zetasketch_spark.sketches.countmin import CountMinFamily
+
+    e = _t(spark, sf_dir, "events")
+    fam = CountMinFamily(width=4096, depth=5, max_candidates=256)
+    partials = sketch_partial(e, [], "user_id", fam)
+    merged = sketch_merge(partials, [], fam)
+    [row] = merged.collect()
+    cm = fam.deserialize(bytes(row["sketch"]))
+    top = cm.heavy_hitters(10)
+    return spark.createDataFrame(
+        pd.DataFrame(top, columns=["user_id", "est_count"]).astype(
+            {"user_id": str, "est_count": "int64"}))
+
+
+def q_kll_value_quantiles(spark, sf_dir):
+    from zetasketch_spark.operators.agg import sketch_agg
+    from zetasketch_spark.sketches.kll import KllFamily
+
+    e = _t(spark, sf_dir, "events")
+    fam = KllFamily(k=200, quantiles=(0.1, 0.5, 0.9, 0.99))
+    return sketch_agg(e, ["event_type"], "value", fam)
+
+
+def q_tdigest_value_quantiles(spark, sf_dir):
+    from zetasketch_spark.operators.agg import sketch_agg
+    from zetasketch_spark.sketches.tdigest import TDigestFamily
+
+    e = _t(spark, sf_dir, "events")
+    fam = TDigestFamily(delta=200, quantiles=(0.01, 0.5, 0.99))
+    return sketch_agg(e, ["event_type"], "value", fam)
+
+
+def q_bloom_membership(spark, sf_dir):
+    """Bloom over orders.o_custkey, probed with customer keys."""
+    from pyspark.sql.functions import pandas_udf
+
+    from zetasketch_spark.operators.agg import sketch_merge, sketch_partial
+    from zetasketch_spark.sketches.bloom import BloomFamily
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    fam = BloomFamily(m=1 << 17, k=7)
+    partials = sketch_partial(o, [], "o_custkey", fam)
+    merged = sketch_merge(partials, [], fam)
+    [row] = merged.collect()
+    blob = bytes(row["sketch"])
+
+    @pandas_udf("boolean")
+    def probe(keys: pd.Series) -> pd.Series:
+        bf = fam.deserialize(blob)
+        return pd.Series(bf.contains_series(keys))
+
+    return (
+        c.withColumn("member", probe(F.col("c_custkey")))
+        .agg(F.count("*").alias("n_probed"),
+             F.sum(F.col("member").cast("long")).alias("n_member"))
+    )
+
+
+def q_minhash_near_dups(spark, sf_dir):
+    from zetasketch_spark.operators.dedup import minhash_near_dups
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_near_dups(d, threshold=0.5)
+
+
+def q_simhash_near_dups(spark, sf_dir):
+    from zetasketch_spark.operators.dedup import simhash_near_dups
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_dups(d, max_hamming=3)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    from zetasketch_spark.operators.similarity import ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ann_topk(emb, queries, k=5, dim=64)
+
+
+# ---------------------------------------------------------------------------
+# contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship on sf0.001: HLL++ approx COUNT DISTINCT user_id per
+    event_type per day with salted tree merge."""
+    return q_hll_users_by_type_day(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "pricing_summary": q_pricing_summary,
+        "top_customers": q_top_customers,
+        "region_customer_counts": q_region_customer_counts,
+        "events_summary": q_events_summary,
+        "events_daily_top": q_events_daily_top,
+        "revenue_filter": q_revenue_filter,
+        "order_priority": q_order_priority,
+        "docs_token_stats": q_docs_token_stats,
+        "docs_fingerprints": q_docs_fingerprints,
+        "docs_normalized_dedup": q_docs_normalized_dedup,
+        "docs_quality": q_docs_quality,
+        "docs_lang_id": q_docs_lang_id,
+        "events_quantiles": q_events_quantiles,
+        "embedding_norms": q_embedding_norms,
+        "supplier_nation": q_supplier_nation,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        # sketch estimates (rows-only driver check; envelopes in pytest)
+        "hll_users_by_type": q_hll_users_by_type,
+        "hll_users_by_type_day": q_hll_users_by_type_day,
+        "cm_heavy_hitter_users": q_cm_heavy_hitter_users,
+        "kll_value_quantiles": q_kll_value_quantiles,
+        "tdigest_value_quantiles": q_tdigest_value_quantiles,
+        "bloom_membership": q_bloom_membership,
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash_near_dups": q_simhash_near_dups,
+        "ann_lsh_topk": q_ann_lsh_topk,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_EN = "'the', 'and', 'of', 'to', 'in', 'is', 'that', 'it', 'for', 'was'"
+_DE = "'der', 'die', 'das', 'und', 'ist', 'nicht', 'ein', 'mit', 'sich', 'auf'"
+_FR = "'le', 'la', 'les', 'et', 'est', 'pas', 'une', 'pour', 'que', 'dans'"
+_ES = "'el', 'la', 'los', 'que', 'de', 'no', 'una', 'por', 'con', 'para'"
+
+
+def _sw(col: str, words: str) -> str:
+    return f"len(list_filter(string_split({col}, ' '), w -> w in ({words})))"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    quality = (
+        "(CASE WHEN n_tokens BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.0 END"
+        " + CASE WHEN n_chr > 0 THEN 1.0 - least(1.0, n_punct * 10.0 / n_chr) ELSE 0.0 END"
+        " + CASE WHEN n_tokens > 0 THEN least(1.0, n_stopwords * 10.0 / n_tokens) ELSE 0.0 END"
+        ") / 3.0"
+    )
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_extendedprice), 4) AS avg_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_customers": """
+            SELECT c_custkey, c_name,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_custkey, c_name
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 10
+        """,
+        "region_customer_counts": """
+            SELECT r_name, count(*) AS n_customers,
+                   round(sum(c_acctbal), 2) AS sum_acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "events_summary": """
+            SELECT event_type, count(*) AS n_events,
+                   count(DISTINCT user_id) AS n_users,
+                   round(sum(value), 2) AS sum_value,
+                   round(avg(value), 4) AS avg_value
+            FROM events GROUP BY event_type
+        """,
+        "events_daily_top": """
+            WITH daily AS (
+              SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
+              FROM events GROUP BY 1, 2
+            ), ranked AS (
+              SELECT event_type, day, n,
+                     row_number() OVER (PARTITION BY event_type ORDER BY n DESC, day) AS rk
+              FROM daily
+            )
+            SELECT event_type, day, n FROM ranked WHERE rk = 1
+        """,
+        "revenue_filter": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "order_priority": """
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders
+            WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem)
+            GROUP BY o_orderpriority
+        """,
+        "docs_token_stats": """
+            SELECT lang, count(*) AS n_docs,
+                   round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+                   round(avg(length(text)), 4) AS avg_chars
+            FROM documents GROUP BY lang
+        """,
+        "docs_fingerprints": """
+            SELECT source, count(*) AS n_docs,
+                   count(DISTINCT md5(text)) AS n_distinct_fp
+            FROM documents GROUP BY source
+        """,
+        "docs_normalized_dedup": """
+            SELECT lang, count(*) AS n_docs,
+                   count(DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text),
+                        '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))) AS n_distinct_norm
+            FROM documents GROUP BY lang
+        """,
+        "docs_quality": f"""
+            WITH feats AS (
+              SELECT doc_id,
+                     len(string_split(text, ' ')) AS n_tokens,
+                     length(text) AS n_chr,
+                     length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+                     {_sw('text', _EN)} AS n_stopwords
+              FROM documents
+            )
+            SELECT doc_id, n_tokens, n_punct, n_stopwords,
+                   round({quality}, 4) AS quality
+            FROM feats
+        """,
+        "docs_lang_id": f"""
+            WITH scores AS (
+              SELECT doc_id,
+                     {_sw('text', _EN)} AS s_en,
+                     {_sw('text', _DE)} AS s_de,
+                     {_sw('text', _FR)} AS s_fr,
+                     {_sw('text', _ES)} AS s_es
+              FROM documents
+            )
+            SELECT CASE
+                     WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                     WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                     WHEN s_fr >= s_es THEN 'fr'
+                     ELSE 'es'
+                   END AS pred_lang,
+                   count(*) AS n_docs
+            FROM scores GROUP BY 1
+        """,
+        "events_quantiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.9), 6) AS p90
+            FROM events GROUP BY event_type
+        """,
+        "embedding_norms": """
+            SELECT label, count(*) AS n_vecs,
+                   round(avg(sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS avg_norm
+            FROM embeddings GROUP BY label
+        """,
+        "supplier_nation": """
+            SELECT n_name, count(*) AS n_suppliers,
+                   round(sum(s_acctbal), 2) AS sum_acctbal
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec
+                       FROM embeddings WHERE vec_id < 5),
+            scored AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     list_cosine_similarity(
+                       list_transform(q.q_vec, x -> CAST(x AS DOUBLE)),
+                       list_transform(e.embedding, x -> CAST(x AS DOUBLE))) AS cos_raw
+              FROM q CROSS JOIN embeddings e
+              WHERE e.vec_id != q.query_id
+            ), ranked AS (
+              SELECT query_id, neighbor_id, cos_raw,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos_raw DESC, neighbor_id) AS rank
+              FROM scored
+            )
+            SELECT query_id, rank, neighbor_id, round(cos_raw, 4) AS cosine
+            FROM ranked WHERE rank <= 5
+        """,
+    }

@@ -1,0 +1,110 @@
+"""Benchmark harness. Runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ..., "turns_per_sec": ...}.
+
+Also measures sketch-update throughput (turns/sec) on a deterministic
+synthetic transcripts table (BASELINE.json north_rule metric); the
+two-parallelism scaling run lives in tools/bench_scaling.py and writes
+BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "pricing_summary",
+    "top_customers",
+    "events_summary",
+    "events_daily_top",
+    "revenue_filter",
+    "docs_quality",
+    "docs_fingerprints",
+    "embedding_norms",
+    "ann_cosine_topk",
+    "hll_users_by_type",
+    "hll_users_by_type_day",
+    "cm_heavy_hitter_users",
+    "kll_value_quantiles",
+    "tdigest_value_quantiles",
+    "bloom_membership",
+    "minhash_near_dups",
+    "simhash_near_dups",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_turns = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "2000000"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.0
+
+    import __spark_entry__ as entrymod
+    from zetasketch_spark.session import get_spark
+
+    spark = get_spark(app="zetasketch-bench", cpus=cpus, shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm up the JVM + python worker pool so per-query times measure the
+    # queries, not session startup
+    import pyspark.sql.functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(10000).select(F.sum(_warm(F.col("id")))).collect()
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        n = df.count() if hasattr(df, "count") else len(df)
+        timings[name] = round(time.time() - t0, 3)
+
+    # sketch-update throughput on synthetic transcripts (turns/sec)
+    from zetasketch_spark.operators.agg import hll_count_distinct
+    from zetasketch_spark.sources.tables import with_day
+    from zetasketch_spark.sources.transcripts import (
+        load_transcripts, write_transcripts_parquet)
+
+    tdir = os.environ.get(
+        "SPARK_GRAFT_TRANSCRIPTS_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "bench_transcripts"))
+    write_transcripts_parquet(tdir, n_turns=n_turns, seed=42)
+    tdf = with_day(load_transcripts(spark, tdir))
+    t0 = time.time()
+    out = hll_count_distinct(tdf, ["role", "day"], "conv_id", precision=15)
+    out.count()
+    tsec = time.time() - t0
+    timings["transcripts_hll_role_day"] = round(tsec, 3)
+    turns_per_sec = int(n_turns / tsec)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "turns_per_sec": turns_per_sec,
+        "bench_turns": n_turns,
+        "cpus": cpus,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,120 @@
+"""Checkpointed sketch aggregation: resumable partial state with
+per-partition lineage + metrics (north_rule).
+
+Stage-1 partial sketches are appended to a parquet checkpoint table keyed by
+``(input_fingerprint, partition_id)``:
+
+    keys..., sketch binary, rows_seen, partition_id,
+    input_fingerprint string, n_partitions int, job string
+
+Resume semantics: re-running the same job over the same input skips every
+partition already checkpointed — only missing partitions are recomputed
+(e.g. after an executor loss or a killed run). The final merge always reads
+the checkpoint table, so the merge is also a pure function of checkpoint
+state. The input fingerprint covers the file listing (name, size,
+mtime) of the source, so a changed input never reuses stale partials.
+
+This is the parquet stand-in for Iceberg snapshot-based resumability (the
+TableIO seam in `zetasketch_spark.sources.tables` switches to Iceberg when
+the runtime has the jar).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from zetasketch_spark.operators.agg import (
+    PARTITION_COL,
+    ROWS_COL,
+    SKETCH_COL,
+    sketch_merge,
+    sketch_partial,
+    sketch_result,
+)
+from zetasketch_spark.sketches.base import SketchFamily
+
+
+def input_fingerprint(paths: list[str]) -> str:
+    """Stable fingerprint of the input file set (name, size, mtime)."""
+    entries = []
+    for p in sorted(paths):
+        if os.path.isdir(p):
+            for root, _, files in os.walk(p):
+                for fn in sorted(files):
+                    fp = os.path.join(root, fn)
+                    st = os.stat(fp)
+                    entries.append((fp, st.st_size, int(st.st_mtime)))
+        elif os.path.exists(p):
+            st = os.stat(p)
+            entries.append((p, st.st_size, int(st.st_mtime)))
+    return hashlib.sha256(json.dumps(entries).encode()).hexdigest()[:20]
+
+
+def checkpointed_sketch_agg(
+    spark: SparkSession,
+    df: DataFrame,
+    keys: list[str],
+    col: str,
+    family: SketchFamily,
+    checkpoint_dir: str,
+    input_paths: list[str],
+    job: str = "sketch_agg",
+    tree_levels: int = 1,
+) -> tuple[DataFrame, dict]:
+    """Run sketch_agg with stage-1 checkpointing. Returns (result df,
+    metrics dict). Partitions already in the checkpoint for the same
+    (job, input_fingerprint) are not recomputed."""
+    fp = input_fingerprint(input_paths)
+    ckpt_path = os.path.join(checkpoint_dir, "partials")
+    n_partitions = df.rdd.getNumPartitions()
+
+    done: set[int] = set()
+    have_ckpt = os.path.exists(ckpt_path)
+    if have_ckpt:
+        existing = spark.read.parquet(ckpt_path).filter(
+            (F.col("input_fingerprint") == fp) & (F.col("job") == job))
+        done = {r[PARTITION_COL] for r in
+                existing.select(PARTITION_COL).distinct().collect()}
+
+    t0 = time.time()
+    computed = 0
+    if len(done) < n_partitions:
+        partials = sketch_partial(df, keys, col, family)
+        if done:
+            # recompute only missing partitions (lineage-selective resume)
+            partials = partials.filter(~F.col(PARTITION_COL).isin(sorted(done)))
+        to_write = (
+            partials
+            .withColumn("input_fingerprint", F.lit(fp))
+            .withColumn("n_partitions", F.lit(n_partitions))
+            .withColumn("job", F.lit(job))
+        )
+        to_write.write.mode("append").parquet(ckpt_path)
+        computed = n_partitions - len(done)
+
+    all_partials = spark.read.parquet(ckpt_path).filter(
+        (F.col("input_fingerprint") == fp) & (F.col("job") == job))
+    merged = sketch_merge(
+        all_partials.select(*keys, SKETCH_COL, ROWS_COL, PARTITION_COL),
+        keys, family, tree_levels=tree_levels)
+    result = sketch_result(merged, family)
+    metrics = {
+        "job": job,
+        "input_fingerprint": fp,
+        "n_partitions": n_partitions,
+        "partitions_resumed": len(done),
+        "partitions_computed": computed,
+        "stage1_seconds": round(time.time() - t0, 3),
+    }
+    # append metrics for observability (one row per run)
+    metrics_path = os.path.join(checkpoint_dir, "runs.jsonl")
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    with open(metrics_path, "a") as f:
+        f.write(json.dumps({**metrics, "ts": time.time()}) + "\n")
+    return result, metrics

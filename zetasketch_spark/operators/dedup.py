@@ -1,0 +1,232 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, cheapest first — at 100 TB you run them in this order because
+each narrows the candidate set for the next:
+
+* **exact** — md5 fingerprint group-by. One shuffle on a 16-byte key.
+* **normalized** — same, after lowercase/strip/collapse normalization.
+* **MinHash + LSH** — shingle -> minhash signature (vectorized Pandas UDF
+  over fingerprint2011 with Kirsch-Mitzenmacher permutations) -> band
+  buckets -> self-join on (band, bucket) -> exact-Jaccard verification of
+  candidates only. The band join shuffles only (band, bucket, id) rows, and
+  candidate verification touches only colliding pairs — never all pairs.
+* **SimHash** — 64-bit signature; near-dups = small Hamming distance. A
+  prefix-bucket join (4 rotations x 16-bit prefix) bounds the candidate set
+  the same way.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.functions import pandas_udf
+
+from zetasketch_spark.functions.text import doc_fingerprint, normalized_text
+from zetasketch_spark.hashing import fingerprint_str_series
+
+U64 = np.uint64
+
+
+# --- exact / normalized ---------------------------------------------------------
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical documents: (fingerprint, dup_count, keep_id)."""
+    return (
+        df.select(doc_fingerprint(text_col).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("dup_count"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def normalized_dup_groups(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    return (
+        df.select(F.md5(normalized_text(text_col)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("dup_count"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+# --- shingles + MinHash -----------------------------------------------------------
+
+def _shingle_hashes(texts: pd.Series, k: int = 5) -> list[np.ndarray]:
+    """Per-doc sorted unique uint64 hashes of word k-shingles (vectorized:
+    one fingerprint pass over all shingles of the batch)."""
+    all_shingles: list[str] = []
+    counts: list[int] = []
+    for t in texts:
+        words = (t or "").split()
+        if len(words) < k:
+            sh = [" ".join(words)] if words else []
+        else:
+            sh = [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
+        all_shingles.extend(sh)
+        counts.append(len(sh))
+    if not all_shingles:
+        return [np.empty(0, dtype=np.uint64) for _ in counts]
+    hashes = fingerprint_str_series(pd.Series(all_shingles))
+    out = []
+    pos = 0
+    for c in counts:
+        out.append(np.unique(hashes[pos:pos + c]))
+        pos += c
+    return out
+
+
+def _minhash_from_hashes(hs: np.ndarray, num_perm: int) -> np.ndarray:
+    """num_perm minhash values via h_i = a_i*h + b_i (odd multipliers from a
+    fixed seeded table), all uint64 arithmetic."""
+    if len(hs) == 0:
+        return np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+    rng = np.random.default_rng(0xD1CE)
+    a = (rng.integers(1, 2**63, size=num_perm, dtype=np.uint64) << U64(1)) | U64(1)
+    b = rng.integers(0, 2**63, size=num_perm, dtype=np.uint64)
+    # (num_perm, n) permuted values; min along docs' hashes
+    vals = a[:, None] * hs[None, :] + b[:, None]
+    return vals.min(axis=1)
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                       num_perm: int = 64, shingle_k: int = 5) -> DataFrame:
+    """(id, signature array<bigint>) — vectorized Pandas UDF stage."""
+
+    @pandas_udf("array<long>")
+    def sig_udf(texts: pd.Series) -> pd.Series:
+        hsets = _shingle_hashes(texts, k=shingle_k)
+        return pd.Series([
+            _minhash_from_hashes(h, num_perm).view(np.int64).tolist() for h in hsets
+        ])
+
+    return df.select(F.col(id_col), sig_udf(F.col(text_col)).alias("signature"))
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
+                        num_perm: int = 64, bands: int = 16) -> DataFrame:
+    """Band the signatures and self-join on (band, bucket-hash). Returns
+    distinct candidate (id_a, id_b) with id_a < id_b. Only bucket collisions
+    shuffle — the classic LSH trick that replaces the O(n^2) cross join."""
+    rows_per_band = num_perm // bands
+    banded = signatures.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[
+                F.xxhash64(F.concat_ws(",", *[
+                    F.col("signature")[i].cast("string")
+                    for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                ]))
+                for b in range(bands)
+            ])
+        ).alias("band", "bucket"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, on=[F.col(f"a.band") == F.col("b.band"),
+                      F.col(f"a.bucket") == F.col("b.bucket"),
+                      F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def verify_jaccard(pairs: DataFrame, docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", shingle_k: int = 5,
+                   threshold: float = 0.7) -> DataFrame:
+    """Exact shingle-Jaccard on candidate pairs only. Documents are joined
+    back by id (broadcast when small); the Jaccard kernel is a Pandas UDF
+    over the pair batch."""
+    docs_sel = docs.select(F.col(id_col), F.col(text_col))
+    joined = (
+        pairs
+        .join(docs_sel.withColumnRenamed(id_col, "id_a").withColumnRenamed(text_col, "text_a"), "id_a")
+        .join(docs_sel.withColumnRenamed(id_col, "id_b").withColumnRenamed(text_col, "text_b"), "id_b")
+    )
+
+    @pandas_udf("double")
+    def jaccard(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        ha = _shingle_hashes(ta, k=shingle_k)
+        hb = _shingle_hashes(tb, k=shingle_k)
+        out = []
+        for x, y in zip(ha, hb):
+            if len(x) == 0 and len(y) == 0:
+                out.append(1.0)
+                continue
+            inter = len(np.intersect1d(x, y, assume_unique=True))
+            out.append(inter / (len(x) + len(y) - inter))
+        return pd.Series(out)
+
+    return (
+        joined.withColumn("jaccard", F.round(jaccard(F.col("text_a"), F.col("text_b")), 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_near_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                      num_perm: int = 64, bands: int = 16, shingle_k: int = 5,
+                      threshold: float = 0.7) -> DataFrame:
+    """Full pipeline: signatures -> LSH candidates -> exact verification."""
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k)
+    pairs = lsh_candidate_pairs(sigs, id_col, num_perm, bands)
+    return verify_jaccard(pairs, df, text_col, id_col, shingle_k, threshold)
+
+
+# --- SimHash -----------------------------------------------------------------------
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over word hashes: bit j of the signature is the sign
+    of sum over words of (+1/-1 depending on word-hash bit j)."""
+
+    @pandas_udf("long")
+    def sim_udf(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            words = (t or "").split()
+            if not words:
+                continue
+            hs = fingerprint_str_series(pd.Series(words))
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & U64(1)).astype(np.int64)
+            score = (2 * bits - 1).sum(axis=0)
+            sig = np.uint64(0)
+            for j in range(64):
+                if score[j] > 0:
+                    sig |= U64(1) << U64(j)
+            out[i] = np.int64(sig.astype(np.int64))
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), sim_udf(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                      max_hamming: int = 3) -> DataFrame:
+    """Candidate pairs by 16-bit prefix buckets over 4 rotations (any pair
+    within Hamming distance 3 shares at least one intact 16-bit block),
+    then exact Hamming filter via bit_count."""
+    sigs = simhash64(df, text_col, id_col)
+    blocks = sigs.select(
+        id_col, "simhash",
+        F.posexplode(F.array(*[
+            (F.shiftrightunsigned(F.col("simhash"), 16 * b).bitwiseAND(F.lit(0xFFFF)))
+            for b in range(4)
+        ])).alias("block", "key"),
+    )
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    pairs = (
+        a.join(b, on=[F.col("a.block") == F.col("b.block"),
+                      F.col("a.key") == F.col("b.key"),
+                      F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"),
+                F.col("a.simhash").alias("sig_a"), F.col("b.simhash").alias("sig_b"))
+        .distinct()
+    )
+    return (
+        pairs.withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,110 @@
+"""Similarity search over embedding columns (array<float>).
+
+* **brute-force cosine top-k** — the exact baseline: broadcast the (small)
+  query set against the corpus, cosine via JVM-side ``aggregate``/``zip_with``
+  expressions (whole-stage codegen, no Python), rank with a window.
+  At 100 TB corpus scale this is one scan + a broadcast join — no shuffle of
+  the corpus — and the window partitions by query id (tiny).
+* **LSH-bucketed ANN** — the scale path: random-hyperplane signbit buckets
+  (seeded planes, computed by a vectorized Pandas UDF), candidates =
+  bucket collisions across a few hash tables, exact re-rank of candidates
+  only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+from pyspark.sql.functions import pandas_udf
+
+
+def cosine_expr(a: str, b: str):
+    """Cosine similarity of two array<float/double> columns, pure-expression."""
+    dot = F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+                 f"cast(0.0 as double), (acc, v) -> acc + v)")
+    na = F.expr(f"sqrt(aggregate({a}, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))")
+    nb = F.expr(f"sqrt(aggregate({b}, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))")
+    return dot / (na * nb)
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """For each query vector: top-k corpus neighbors by cosine (excluding
+    itself). Queries are broadcast; deterministic tiebreak by neighbor id."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        F.broadcast(q).crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine_expr("q_vec", "c_vec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("cosine", 4).alias("cosine"))
+    )
+
+
+def _hyperplanes(dim: int, bits: int, table: int) -> np.ndarray:
+    rng = np.random.default_rng(0x51A7E5 + table)
+    return rng.standard_normal((bits, dim))
+
+
+def signbit_buckets(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
+                    dim: int = 64, bits: int = 12, tables: int = 4) -> DataFrame:
+    """(id, table, bucket) rows: bucket = signbits of `bits` random
+    hyperplane projections; `tables` independent repetitions."""
+    planes = [np.ascontiguousarray(_hyperplanes(dim, bits, t)) for t in range(tables)]
+
+    @pandas_udf("array<long>")
+    def bucket_udf(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        out = []
+        codes = []
+        for t in range(tables):
+            proj = mat @ planes[t].T  # (n, bits)
+            bitsarr = (proj > 0).astype(np.uint64)
+            code = np.zeros(len(mat), dtype=np.uint64)
+            for j in range(bits):
+                code |= bitsarr[:, j] << np.uint64(j)
+            codes.append(code.astype(np.int64))
+        stacked = np.stack(codes, axis=1)  # (n, tables)
+        return pd.Series([row.tolist() for row in stacked])
+
+    return df.select(
+        F.col(id_col),
+        F.posexplode(bucket_udf(F.col(vec_col))).alias("table", "bucket"),
+    )
+
+
+def ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             dim: int = 64, bits: int = 10, tables: int = 6) -> DataFrame:
+    """Approximate top-k: candidates from bucket collisions, exact cosine
+    re-rank of candidates only. Recall grows with `tables`; cost is the
+    bucket join instead of the full cross product."""
+    cb = signbit_buckets(corpus, vec_col, id_col, dim, bits, tables) \
+        .withColumnRenamed(id_col, "neighbor_id")
+    qb = signbit_buckets(queries, vec_col, id_col, dim, bits, tables) \
+        .withColumnRenamed(id_col, "query_id")
+    cand = (
+        qb.join(cb, on=["table", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        cand.join(F.broadcast(qv), "query_id").join(cv, "neighbor_id")
+        .withColumn("cosine", cosine_expr("q_vec", "c_vec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("cosine", 4).alias("cosine"))
+    )

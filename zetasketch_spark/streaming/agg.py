@@ -1,0 +1,85 @@
+"""Structured Streaming sketch aggregation.
+
+The reference's single-pass design is stream-native: constant-space state,
+one add per element, any-order merge (SURVEY.md §2.2 'streaming'). Here the
+same sketch families drive ``applyInPandasWithState``: group state = the
+serialized sketch blob, each micro-batch's rows update it vectorized, and
+every trigger emits the current estimate per key.
+
+Late data: because sketch updates are idempotent-per-value and merge is
+associative, late rows simply fold into the state — no watermark-forced
+drops are required for correctness, only for state expiry (pass
+``timeout_minutes`` to expire idle keys).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BinaryType, LongType, StringType, StructField, StructType)
+
+from zetasketch_spark.sketches.base import SketchFamily
+
+
+def streaming_sketch_agg(
+    df: DataFrame,
+    keys: list[str],
+    col: str,
+    family: SketchFamily,
+    timeout_minutes: int | None = None,
+) -> DataFrame:
+    """Continuously maintained sketch per key over a streaming DataFrame.
+
+    Emits ``keys..., rows_seen, <result fields>`` every trigger for groups
+    that received data."""
+    key_fields = [f for f in df.schema.fields if f.name in keys]
+    out_schema = StructType(
+        key_fields
+        + [StructField("rows_seen", LongType())]
+        + [StructField(n, _sql_type(t)) for n, t in family.result_fields]
+    )
+    state_schema = StructType([
+        StructField("blob", BinaryType()),
+        StructField("rows", LongType()),
+    ])
+
+    def update_fn(key: Tuple, batches: Iterator[pd.DataFrame],
+                  state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            blob, rows = state.get
+            sk = family.deserialize(bytes(blob))
+        else:
+            sk, rows = family.make(), 0
+        for pdf in batches:
+            family.update(sk, pdf[col])
+            rows += len(pdf)
+        state.update((family.serialize(sk), rows))
+        if timeout_minutes:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        res = family.result(sk)
+        yield pd.DataFrame(
+            [[*key, rows, *res]],
+            columns=[*keys, "rows_seen", *[n for n, _ in family.result_fields]],
+        )
+
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout
+               if timeout_minutes else GroupStateTimeout.NoTimeout)
+    return (
+        df.select(*keys, col)
+        .groupBy(*keys)
+        .applyInPandasWithState(update_fn, out_schema, state_schema,
+                                "update", timeout)
+    )
+
+
+def _sql_type(t: str):
+    from pyspark.sql.types import _parse_datatype_string
+
+    return _parse_datatype_string(t)
