@@ -1,0 +1,183 @@
+"""Tests for training-data pipeline operators: dedup (exact, MinHash-LSH,
+SimHash), similarity search, text analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+WORDS = [f"tok{i}" for i in range(500)]
+
+
+def _doc(rng, n=60):
+    return " ".join(rng.choice(WORDS, size=n))
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    """120 docs: 100 random + exact dup pair + near-dup pair + norm-dup pair."""
+    rng = np.random.default_rng(77)
+    rows = [(i, _doc(rng)) for i in range(100)]
+    rows.append((100, rows[0][1]))                      # exact dup of 0
+    near = rows[1][1].split()
+    near[5] = "CHANGED"
+    rows.append((101, " ".join(near)))                  # near dup of 1
+    rows.append((102, rows[2][1].upper() + "!!!"))      # normalized dup of 2
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    df.cache().count()
+    return df
+
+
+def test_exact_dup_groups(spark, docs):
+    from zetasketch_spark.operators.dedup import exact_dup_groups
+
+    out = exact_dup_groups(docs).collect()
+    assert len(out) == 1
+    assert out[0]["dup_count"] == 2 and out[0]["keep_id"] == 0
+
+
+def test_normalized_dup_groups(spark, docs):
+    from zetasketch_spark.operators.dedup import normalized_dup_groups
+
+    out = normalized_dup_groups(docs).collect()
+    ids = sorted(r["keep_id"] for r in out)
+    assert ids == [0, 2]  # exact pair + case/punct pair
+
+
+def test_minhash_near_dups(spark, docs):
+    from zetasketch_spark.operators.dedup import minhash_near_dups
+
+    out = minhash_near_dups(docs, threshold=0.5).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert (0, 100) in pairs       # exact dup -> jaccard 1.0
+    assert (1, 101) in pairs       # near dup
+    jac = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out}
+    assert jac[(0, 100)] == 1.0
+    assert 0.5 <= jac[(1, 101)] < 1.0
+    # no spurious random pairs at this threshold
+    assert all(a in (0, 1, 2) for a, _ in pairs)
+
+
+def test_simhash_near_dups(spark, docs):
+    from zetasketch_spark.operators.dedup import simhash_near_dups
+
+    out = simhash_near_dups(docs, max_hamming=10).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in out}
+    assert pairs.get((0, 100)) == 0  # identical text -> identical simhash
+
+
+def test_brute_force_topk_self_similarity(spark):
+    from zetasketch_spark.operators.similarity import brute_force_topk
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((50, 16))
+    vecs[10] = vecs[3] * 2.0 + rng.standard_normal(16) * 0.01  # near-parallel
+    pdf = pd.DataFrame({
+        "vec_id": range(50),
+        "embedding": [v.astype(np.float32).tolist() for v in vecs],
+    })
+    df = spark.createDataFrame(pdf)
+    out = brute_force_topk(df, df.filter(F.col("vec_id") == 3), k=1)
+    [row] = out.collect()
+    assert row["neighbor_id"] == 10
+    assert row["cosine"] > 0.99
+
+
+def test_ann_topk_recall(spark):
+    from zetasketch_spark.operators.similarity import ann_topk, brute_force_topk
+
+    # clustered embeddings (the realistic ANN regime: neighbors are angularly
+    # close; iid gaussians have no neighborhood structure for LSH to find)
+    rng = np.random.default_rng(6)
+    centers = rng.standard_normal((20, 64)) * 3
+    assign = rng.integers(0, 20, size=300)
+    vecs = centers[assign] + rng.standard_normal((300, 64)) * 0.4
+    pdf = pd.DataFrame({
+        "vec_id": range(300),
+        "embedding": [v.astype(np.float32).tolist() for v in vecs],
+    })
+    df = spark.createDataFrame(pdf).cache()
+    queries = df.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(df, queries, k=5)
+    approx = ann_topk(df, queries, k=5, dim=64, bits=8, tables=8)
+    exact_sets = {}
+    for r in exact.collect():
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx_sets = {}
+    for r in approx.collect():
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(exact_sets[q] & approx_sets.get(q, set())) / 5 for q in exact_sets]
+    assert np.mean(recalls) >= 0.5  # ANN on random gaussians is hard; sanity bar
+
+
+def test_text_functions(spark):
+    from zetasketch_spark.functions.text import (
+        lang_id, normalized_text, punct_count, quality_score, token_count)
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "text": ["the cat and the dog, in a house. it is big!",
+                 "der hund und die katze ist nicht ein tier auf",
+                 "HELLO World!!!"],
+    }))
+    rows = df.select(
+        token_count("text").alias("toks"),
+        punct_count("text").alias("punct"),
+        lang_id("text").alias("lang"),
+        normalized_text("text").alias("norm"),
+        quality_score("text").alias("q"),
+    ).collect()
+    assert rows[0]["lang"] == "en"
+    assert rows[1]["lang"] == "de"
+    assert rows[0]["punct"] == 3
+    assert rows[2]["norm"] == "hello world"
+    assert 0.0 <= rows[0]["q"] <= 1.0
+
+
+def test_rolling_fingerprints():
+    from zetasketch_spark.functions.fingerprint import winnow_fingerprints
+
+    rng = np.random.default_rng(8)
+    doc = " ".join(rng.choice(WORDS, size=200))
+    fps1 = winnow_fingerprints(doc, k=5, window=4)
+    # winnowing guarantee: a long shared substring yields shared fingerprints
+    shifted = "prefix words here " + doc
+    fps2 = winnow_fingerprints(shifted, k=5, window=4)
+    assert len(set(fps1) & set(fps2)) / len(set(fps1)) > 0.8
+    assert winnow_fingerprints("", k=5, window=4).size == 0
+
+
+def test_multimodal_plumbing(spark):
+    from zetasketch_spark.operators.multimodal import (
+        extract_features, synthesize_media)
+
+    media = synthesize_media(spark, n=48)
+    feats = extract_features(media, deterministic_fake=True)
+    rows = feats.collect()
+    assert len(rows) == 48
+    assert all(r["feature_dim"] == 512 for r in rows)
+    with pytest.raises(Exception):
+        from zetasketch_spark.operators.multimodal import decode_image
+        decode_image(b"xx", deterministic_fake=False)
+
+
+def test_checkpoint_resume(spark, transcripts_path, tmp_path):
+    from zetasketch_spark.operators.checkpoint import checkpointed_sketch_agg
+    from zetasketch_spark.sketches.base import HllFamily
+    from zetasketch_spark.sources.transcripts import load_transcripts
+
+    df = load_transcripts(spark, transcripts_path)
+    fam = HllFamily(precision=13)
+    ckpt = str(tmp_path / "ckpt")
+    res1, m1 = checkpointed_sketch_agg(
+        spark, df, ["role"], "conv_id", fam, ckpt, [transcripts_path], job="t")
+    r1 = {r["role"]: r["estimate"] for r in res1.collect()}
+    assert m1["partitions_resumed"] == 0 and m1["partitions_computed"] > 0
+    # resume: nothing recomputed, same answer
+    res2, m2 = checkpointed_sketch_agg(
+        spark, df, ["role"], "conv_id", fam, ckpt, [transcripts_path], job="t")
+    r2 = {r["role"]: r["estimate"] for r in res2.collect()}
+    assert m2["partitions_computed"] == 0
+    assert m2["partitions_resumed"] == m1["n_partitions"]
+    assert r1 == r2

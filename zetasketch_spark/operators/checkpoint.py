@@ -72,11 +72,11 @@ def checkpointed_sketch_agg(
     (job, input_fingerprint) are not recomputed."""
     fp = input_fingerprint(input_paths)
     ckpt_path = os.path.join(checkpoint_dir, "partials")
-    n_partitions = df.rdd.getNumPartitions()
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    manifest = os.path.join(checkpoint_dir, f"complete-{job}-{fp}")
 
     done: set[int] = set()
-    have_ckpt = os.path.exists(ckpt_path)
-    if have_ckpt:
+    if os.path.exists(ckpt_path):
         existing = spark.read.parquet(ckpt_path).filter(
             (F.col("input_fingerprint") == fp) & (F.col("job") == job))
         done = {r[PARTITION_COL] for r in
@@ -84,19 +84,31 @@ def checkpointed_sketch_agg(
 
     t0 = time.time()
     computed = 0
-    if len(done) < n_partitions:
+    if not os.path.exists(manifest):
+        # (Re)compute: skip partitions whose partials already landed in a
+        # prior (interrupted) run over the same input — partition numbering
+        # is stable for identical input files + session config, which is
+        # the resume contract.
         partials = sketch_partial(df, keys, col, family)
         if done:
-            # recompute only missing partitions (lineage-selective resume)
             partials = partials.filter(~F.col(PARTITION_COL).isin(sorted(done)))
         to_write = (
             partials
             .withColumn("input_fingerprint", F.lit(fp))
-            .withColumn("n_partitions", F.lit(n_partitions))
             .withColumn("job", F.lit(job))
         )
         to_write.write.mode("append").parquet(ckpt_path)
-        computed = n_partitions - len(done)
+        new_done = {r[PARTITION_COL] for r in
+                    spark.read.parquet(ckpt_path)
+                    .filter((F.col("input_fingerprint") == fp) & (F.col("job") == job))
+                    .select(PARTITION_COL).distinct().collect()}
+        computed = len(new_done) - len(done)
+        # the write action finished -> stage 1 is complete for this input
+        with open(manifest, "w") as f:
+            f.write(json.dumps({"partitions": sorted(int(p) for p in new_done)}))
+        done_after = new_done
+    else:
+        done_after = done
 
     all_partials = spark.read.parquet(ckpt_path).filter(
         (F.col("input_fingerprint") == fp) & (F.col("job") == job))
@@ -107,7 +119,7 @@ def checkpointed_sketch_agg(
     metrics = {
         "job": job,
         "input_fingerprint": fp,
-        "n_partitions": n_partitions,
+        "n_partitions": len(done_after),
         "partitions_resumed": len(done),
         "partitions_computed": computed,
         "stage1_seconds": round(time.time() - t0, 3),
