@@ -293,6 +293,46 @@ def fingerprint_str_series(series) -> np.ndarray:
     return out
 
 
+def fingerprint_arrow_array(arr) -> tuple[np.ndarray, np.ndarray | None]:
+    """Hash a pyarrow Array zero-copy off its buffers. Returns
+    ``(hashes uint64[n], valid bool[n] | None)`` — null slots hold garbage
+    hashes and must be masked by the caller via ``valid``.
+
+    This is the Spark hot path: ``mapInArrow`` hands us the Arrow buffers
+    directly, so string batches never materialize as Python objects.
+    """
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    typ = arr.type
+    n = len(arr)
+    valid = None
+    if arr.null_count:
+        valid = np.asarray(arr.is_valid())
+    if pa.types.is_string(typ) or pa.types.is_binary(typ) or \
+            pa.types.is_large_string(typ) or pa.types.is_large_binary(typ):
+        bufs = arr.buffers()
+        odt = np.int64 if (pa.types.is_large_string(typ) or pa.types.is_large_binary(typ)) else np.int32
+        osz = 8 if odt == np.int64 else 4
+        offsets = np.frombuffer(bufs[1], dtype=odt, count=n + 1, offset=arr.offset * osz)
+        data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+        off = offsets[:-1].astype(np.int64)
+        ln = np.diff(offsets).astype(np.int64)
+        return fingerprint_bytes_batch(data, off, ln), valid
+    if pa.types.is_int64(typ) or pa.types.is_uint64(typ) or pa.types.is_timestamp(typ):
+        ints = arr.cast(pa.int64()) if not pa.types.is_int64(typ) else arr
+        if ints.null_count:
+            ints = ints.fill_null(0)
+        return fingerprint_long_array(ints.to_numpy(zero_copy_only=False)), valid
+    if pa.types.is_int32(typ) or pa.types.is_uint32(typ) or pa.types.is_date32(typ):
+        ints = arr.cast(pa.int32()) if not pa.types.is_int32(typ) else arr
+        if ints.null_count:
+            ints = ints.fill_null(0)
+        return fingerprint_int_array(ints.to_numpy(zero_copy_only=False)), valid
+    raise TypeError(f"unsupported arrow type for fingerprinting: {typ}")
+
+
 # ---------------------------------------------------------------------------
 # Scalar conveniences (tests / golden vectors only — not the hot path).
 # ---------------------------------------------------------------------------

@@ -49,7 +49,12 @@ def _key_fields(df: DataFrame, keys: list[str]) -> list[StructField]:
 
 def sketch_partial(df: DataFrame, keys: list[str], col: str,
                    family: SketchFamily) -> DataFrame:
-    """Stage 1: per-(partition, key) partial sketches, vectorized."""
+    """Stage 1: per-(partition, key) partial sketches, vectorized.
+
+    Families with ``supports_arrow`` get the ``mapInArrow`` path: the value
+    column is consumed straight from Arrow buffers (strings never become
+    Python objects), prepared (hashed/cast) once per batch, and
+    group-sliced by numpy indices. Others fall back to pandas batches."""
     out_schema = StructType(
         _key_fields(df, keys)
         + [StructField(SKETCH_COL, BinaryType()),
@@ -57,6 +62,9 @@ def sketch_partial(df: DataFrame, keys: list[str], col: str,
            StructField(PARTITION_COL, IntegerType())]
     )
     keys_t = tuple(keys)
+
+    if getattr(family, "supports_arrow", False):
+        return _sketch_partial_arrow(df, keys, col, family, out_schema)
 
     def partial_fn(batches):
         ctx = TaskContext.get()
@@ -85,6 +93,50 @@ def sketch_partial(df: DataFrame, keys: list[str], col: str,
             )
 
     return df.select(*keys, col).mapInPandas(partial_fn, out_schema)
+
+
+def _sketch_partial_arrow(df: DataFrame, keys: list[str], col: str,
+                          family: SketchFamily, out_schema: StructType) -> DataFrame:
+    import numpy as np
+    import pyarrow as pa
+
+    keys_t = tuple(keys)
+
+    def partial_fn(batches):
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else -1
+        acc: dict = {}
+        rows: dict = {}
+        for batch in batches:
+            val = batch.column(batch.schema.get_field_index(col))
+            prepared = family.prepare_arrow(val)
+            if keys_t:
+                kpdf = pa.Table.from_batches([batch]).select(list(keys_t)).to_pandas()
+                groups = kpdf.groupby(list(keys_t), sort=False, dropna=False).indices
+            else:
+                groups = {(): np.arange(batch.num_rows)}
+            for key, idx in groups.items():
+                if not isinstance(key, tuple):
+                    key = (key,)
+                state = acc.get(key)
+                if state is None:
+                    state = family.make()
+                    acc[key] = state
+                    rows[key] = 0
+                family.update_prepared(state, prepared[idx])
+                rows[key] += len(idx)
+        if acc:
+            import pandas as pd
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            out = pd.DataFrame(
+                [[*k, family.serialize(s), rows[k], pid] for k, s in acc.items()],
+                columns=[*keys_t, SKETCH_COL, ROWS_COL, PARTITION_COL],
+            )
+            yield pa.RecordBatch.from_pandas(
+                out, schema=to_arrow_schema(out_schema), preserve_index=False)
+
+    return df.select(*keys, col).mapInArrow(partial_fn, out_schema)
 
 
 def sketch_merge(partials: DataFrame, keys: list[str], family: SketchFamily,

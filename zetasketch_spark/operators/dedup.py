@@ -184,19 +184,23 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 
     @pandas_udf("long")
     def sim_udf(texts: pd.Series) -> pd.Series:
+        # hash every word of the batch in one fingerprint pass, then
+        # group-reduce bit scores per doc with np.add.reduceat
+        word_lists = [(t or "").split() for t in texts]
+        counts = np.array([len(w) for w in word_lists], dtype=np.int64)
+        flat = [w for ws in word_lists for w in ws]
         out = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            words = (t or "").split()
-            if not words:
-                continue
-            hs = fingerprint_str_series(pd.Series(words))
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & U64(1)).astype(np.int64)
-            score = (2 * bits - 1).sum(axis=0)
-            sig = np.uint64(0)
-            for j in range(64):
-                if score[j] > 0:
-                    sig |= U64(1) << U64(j)
-            out[i] = np.int64(sig.astype(np.int64))
+        if not flat:
+            return pd.Series(out)
+        hs = fingerprint_str_series(pd.Series(flat))
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & U64(1)).astype(np.int32)
+        signed = 2 * bits - 1  # (n_words, 64)
+        nonempty = counts > 0
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])[nonempty]
+        scores = np.add.reduceat(signed, starts, axis=0)  # (n_nonempty, 64)
+        sigs = ((scores > 0).astype(np.uint64)
+                << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1, dtype=np.uint64)
+        out[nonempty] = sigs.view(np.int64)
         return pd.Series(out)
 
     return df.select(F.col(id_col), sim_udf(F.col(text_col)).alias("simhash"))

@@ -27,6 +27,18 @@ class SketchFamily:
     name: str = "abstract"
     #: (column name, spark sql type string) of result() output
     result_fields: list[tuple[str, str]] = [("estimate", "bigint")]
+    #: families that implement prepare_arrow/update_prepared get the
+    #: zero-copy mapInArrow partial stage (no pandas object conversion)
+    supports_arrow: bool = False
+
+    def prepare_arrow(self, arr) -> Any:
+        """Vectorize the whole Arrow column once per batch (e.g. hash it);
+        the harness then group-slices the prepared value with numpy
+        indices. Return any object supporting ``prepared[indices]``."""
+        raise NotImplementedError
+
+    def update_prepared(self, state: Any, prepared_slice: Any) -> Any:
+        raise NotImplementedError
 
     def make(self) -> Any:
         raise NotImplementedError
@@ -61,11 +73,28 @@ class SketchFamily:
         return self.serialize(acc)
 
 
+class _HashPrepared:
+    """Hashes + validity mask, sliceable by row indices."""
+
+    __slots__ = ("hashes", "valid")
+
+    def __init__(self, hashes: np.ndarray, valid: np.ndarray | None):
+        self.hashes = hashes
+        self.valid = valid
+
+    def __getitem__(self, idx):
+        h = self.hashes[idx]
+        if self.valid is None:
+            return h
+        return h[self.valid[idx]]
+
+
 class HllFamily(SketchFamily):
     """HyperLogLog++ approximate COUNT DISTINCT (reference parity core)."""
 
     name = "hll"
     result_fields = [("estimate", "bigint")]
+    supports_arrow = True
 
     def __init__(self, precision: int = 15, sparse_precision: int | None = None,
                  no_sparse: bool = False):
@@ -91,6 +120,28 @@ class HllFamily(SketchFamily):
             state.add_ints(values.to_numpy(dtype=np.int32))
         else:
             state.add_strings(values)
+        return state
+
+    def prepare_arrow(self, arr):
+        import pyarrow as pa
+
+        from zetasketch_spark.hashing import fingerprint_arrow_array
+
+        typ = arr.type
+        if pa.types.is_int64(typ):
+            vt = 8  # UINT64
+        elif pa.types.is_int32(typ):
+            vt = 7  # UINT32
+        else:
+            vt = 11  # BYTES_OR_UTF8_STRING
+        self._arrow_value_type = vt
+        hashes, valid = fingerprint_arrow_array(arr)
+        return _HashPrepared(hashes, valid)
+
+    def update_prepared(self, state, hashes):
+        if state.value_type == 0:
+            state.value_type = getattr(self, "_arrow_value_type", 0)
+        state.add_hashes(np.asarray(hashes))
         return state
 
     def merge(self, a, b):

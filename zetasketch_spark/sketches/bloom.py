@@ -67,11 +67,16 @@ class BloomFilter:
         values = pd.Series(values).dropna()
         if len(values) == 0:
             return
-        pos = self._positions(_hash_series(values)).ravel()
+        self.add_hashes(_hash_series(values))
+
+    def add_hashes(self, hashes: np.ndarray) -> None:
+        if len(hashes) == 0:
+            return
+        pos = self._positions(hashes).ravel()
         word = (pos >> np.uint64(6)).astype(np.int64)
         bit = np.uint64(1) << (pos & np.uint64(63))
         np.bitwise_or.at(self.words, word, bit)
-        self.n_added += len(values)
+        self.n_added += len(hashes)
 
     def contains_series(self, values: pd.Series) -> np.ndarray:
         values = pd.Series(values)
@@ -114,6 +119,7 @@ class BloomFamily(SketchFamily):
     name = "bloom"
     result_fields = [("n_added", "bigint"), ("bits_set", "bigint"),
                      ("expected_fpr", "double")]
+    supports_arrow = True
 
     def __init__(self, m: int = 1 << 20, k: int = 7):
         self.m = m
@@ -121,6 +127,17 @@ class BloomFamily(SketchFamily):
 
     def make(self):
         return BloomFilter(self.m, self.k)
+
+    def prepare_arrow(self, arr):
+        from zetasketch_spark.hashing import fingerprint_arrow_array
+        from zetasketch_spark.sketches.base import _HashPrepared
+
+        hashes, valid = fingerprint_arrow_array(arr)
+        return _HashPrepared(hashes, valid)
+
+    def update_prepared(self, state, hashes):
+        state.add_hashes(np.asarray(hashes))
+        return state
 
     def update(self, state, values):
         state.add_series(values)

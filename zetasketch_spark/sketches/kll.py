@@ -164,8 +164,31 @@ class KllSketch:
         return sk
 
 
+class _FloatPrepared:
+    __slots__ = ("values", "valid")
+
+    def __init__(self, values, valid):
+        self.values = values
+        self.valid = valid
+
+    def __getitem__(self, idx):
+        v = self.values[idx]
+        return v if self.valid is None else v[self.valid[idx]]
+
+
+def _prepare_float_arrow(arr):
+    import pyarrow as pa
+
+    valid = np.asarray(arr.is_valid()) if arr.null_count else None
+    a = arr.cast(pa.float64()) if arr.type != pa.float64() else arr
+    if a.null_count:
+        a = a.fill_null(0.0)
+    return _FloatPrepared(a.to_numpy(zero_copy_only=False), valid)
+
+
 class KllFamily(SketchFamily):
     name = "kll"
+    supports_arrow = True
 
     def __init__(self, k: int = 200, quantiles: tuple = (0.1, 0.5, 0.9, 0.99)):
         self.k = k
@@ -178,6 +201,20 @@ class KllFamily(SketchFamily):
 
     def update(self, state, values):
         state.add_series(values)
+        return state
+
+    def prepare_arrow(self, arr):
+        return _prepare_float_arrow(arr)
+
+    def update_prepared(self, state, values):
+        arr = np.asarray(values)
+        if len(arr) == 0:
+            return state
+        state.n += len(arr)
+        state._min = min(state._min, float(arr.min()))
+        state._max = max(state._max, float(arr.max()))
+        state.levels[0] = np.concatenate([state.levels[0], arr])
+        state._compress()
         return state
 
     def merge(self, a, b):

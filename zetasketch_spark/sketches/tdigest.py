@@ -145,6 +145,7 @@ class TDigest:
 
 class TDigestFamily(SketchFamily):
     name = "tdigest"
+    supports_arrow = True
 
     def __init__(self, delta: float = 200.0, quantiles: tuple = (0.1, 0.5, 0.9, 0.99)):
         self.delta = delta
@@ -157,6 +158,23 @@ class TDigestFamily(SketchFamily):
 
     def update(self, state, values):
         state.add_series(values)
+        return state
+
+    def prepare_arrow(self, arr):
+        from zetasketch_spark.sketches.kll import _prepare_float_arrow
+
+        return _prepare_float_arrow(arr)
+
+    def update_prepared(self, state, values):
+        arr = np.asarray(values)
+        if len(arr) == 0:
+            return state
+        state.n += len(arr)
+        state._min = min(state._min, float(arr.min()))
+        state._max = max(state._max, float(arr.max()))
+        state._buffer.append(arr)
+        if sum(len(b) for b in state._buffer) >= state._buffer_limit:
+            state._compress()
         return state
 
     def merge(self, a, b):
