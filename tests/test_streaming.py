@@ -1,0 +1,54 @@
+"""Structured Streaming sketch aggregation test: file-source micro-batches
+with applyInPandasWithState must converge to the same estimates as the
+batch pipeline (late/out-of-order arrival is free for sketches — merge is
+associative and value-idempotent)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+
+def test_streaming_hll_matches_batch(spark, tmp_path):
+    from zetasketch_spark.sketches.base import HllFamily
+    from zetasketch_spark.sources.transcripts import (
+        load_transcripts, write_transcripts_parquet)
+    from zetasketch_spark.streaming.agg import streaming_sketch_agg
+
+    # 3 files -> 3 micro-batches (incremental state updates)
+    path = str(tmp_path / "stream_src")
+    write_transcripts_parquet(path, n_turns=30_000, seed=7, rows_per_file=10_000)
+    batch_df = load_transcripts(spark, path)
+    schema = spark.read.parquet(path).schema
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+        .select("role", "conv_id")
+    )
+    fam = HllFamily(precision=13, sparse_precision=16)
+    out = streaming_sketch_agg(stream, ["role"], "conv_id", fam)
+    q = (
+        out.writeStream.outputMode("update").format("memory")
+        .queryName("hll_stream").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    final = (
+        spark.sql("select * from hll_stream")
+        .groupBy("role")
+        .agg(F.max("rows_seen").alias("rows_seen"),
+             F.last("estimate").alias("estimate"))
+    )
+    got = {r["role"]: r["estimate"] for r in
+           spark.sql("""
+             select role, estimate from (
+               select role, estimate, rows_seen,
+                      row_number() over (partition by role order by rows_seen desc) rk
+               from hll_stream) where rk = 1
+           """).collect()}
+
+    from zetasketch_spark.operators.agg import hll_count_distinct
+    want = {r["role"]: r["approx_distinct"] for r in
+            hll_count_distinct(batch_df, ["role"], "conv_id", precision=13,
+                               sparse_precision=16).collect()}
+    assert got == want

@@ -1,0 +1,120 @@
+"""Two-cluster-size scaling benchmark (BASELINE.json north_rule).
+
+Runs the flagship sketch job — HLL++ approx COUNT DISTINCT conv_id per
+(role, day) over the synthetic transcripts table — at two parallelism
+levels (local[N] and local[4N]; the sandbox proxy for N vs 4N executors),
+reports turns/sec at both plus scaling efficiency, and writes
+BENCH/BASELINE.md.
+
+Each level runs in a fresh SparkSession (JVM reuse would share caches);
+the first run at each level is a warm-up, the best of `trials` is scored.
+
+Usage: python tools/bench_scaling.py [n_turns] [N] [trials]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+RUNNER = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from zetasketch_spark.session import get_spark
+from zetasketch_spark.operators.fastscan import sketch_agg_rdd
+from zetasketch_spark.sketches.base import HllFamily
+
+cpus = {cpus}
+spark = get_spark(app=f"scaling-{{cpus}}", cpus=cpus, shuffle_partitions=cpus)
+spark.sparkContext.setLogLevel("ERROR")
+fam = HllFamily(precision=15)
+times = []
+for trial in range({trials} + 1):
+    t0 = time.time()
+    out = sketch_agg_rdd(spark, {tdir!r}, ["role", "day"], "conv_id", fam,
+                         derived_keys={{"day": ("to_date", "ts")}})
+    n_groups = out.count()
+    times.append(time.time() - t0)
+best = min(times[1:])  # drop warm-up
+print("RESULT " + json.dumps({{"cpus": cpus, "best_sec": best,
+                              "all_sec": times, "groups": n_groups}}))
+spark.stop()
+"""
+
+
+def run_level(repo: str, tdir: str, cpus: int, trials: int) -> dict:
+    code = RUNNER.format(repo=repo, cpus=cpus, tdir=tdir, trials=trials)
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=1800)
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[7:])
+    raise RuntimeError(f"no RESULT line; stderr tail: {out.stderr[-2000:]}")
+
+
+def main():
+    n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    trials = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    repo = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+    tdir = os.path.join(repo, "data", f"bench_transcripts_{n_turns // 1_000_000}m")
+
+    from zetasketch_spark.sources.transcripts import write_transcripts_parquet
+    write_transcripts_parquet(tdir, n_turns=n_turns, seed=42,
+                              rows_per_file=1_250_000)
+
+    small = run_level(repo, tdir, n_small, trials)
+    large = run_level(repo, tdir, n_small * 4, trials)
+    tp_small = n_turns / small["best_sec"]
+    tp_large = n_turns / large["best_sec"]
+    efficiency = tp_large / (4 * tp_small)
+    report = {
+        "job": "hll_count_distinct(conv_id) by (role, day), p=15",
+        "n_turns": n_turns,
+        "small": {"cpus": small["cpus"], "sec": round(small["best_sec"], 2),
+                  "turns_per_sec": int(tp_small)},
+        "large": {"cpus": large["cpus"], "sec": round(large["best_sec"], 2),
+                  "turns_per_sec": int(tp_large)},
+        "scaling_efficiency": round(efficiency, 3),
+    }
+    print(json.dumps(report, indent=2))
+
+    os.makedirs(os.path.join(repo, "BENCH"), exist_ok=True)
+    md = os.path.join(repo, "BENCH", "BASELINE.md")
+    with open(md, "w") as f:
+        f.write(f"""# BENCH/BASELINE — measured throughput + scaling (north_rule)
+
+Flagship job: **HLL++ approximate COUNT DISTINCT `conv_id` per `(role, day)`**
+(p=15) over the deterministic synthetic transcripts table
+({n_turns:,} turns, seed 42, schema per `BASELINE.json input_hint`),
+three-stage plan: Arrow-native `mapInArrow` partial sketches ->
+state-only shuffle -> `applyInPandas` merge -> estimate.
+
+Two-cluster-size criterion measured as the sandbox proxy (same input, two
+parallelism levels in separate JVMs, best of {trials} after warm-up):
+
+| level | cores | wall (s) | turns/sec |
+|---|---|---|---|
+| N     | {small['cpus']} | {small['best_sec']:.2f} | {int(tp_small):,} |
+| 4N    | {large['cpus']} | {large['best_sec']:.2f} | {int(tp_large):,} |
+
+**Scaling efficiency (throughput_4N / (4 x throughput_N)) = {efficiency:.3f}**
+(target >= 0.8 per `BASELINE.json north_rule`).
+
+Accuracy envelope (pytest oracles, `tests/test_hll_core.py::test_error_envelope`):
+|est/true - 1| <= 1.04/sqrt(2^p) checked at p in {{10, 14, 15, 20}} x
+n in {{10, 1e3, 1e5}}; golden-state byte equality vs the reference wire format
+in `tests/test_hll_core.py` (serialized proto parity, merge == direct build).
+
+Raw trials: N={small['all_sec']}, 4N={large['all_sec']} (first = warm-up).
+""")
+    print(f"wrote {md}")
+
+
+if __name__ == "__main__":
+    main()

@@ -71,16 +71,47 @@ def fingerprint_long_array(values: np.ndarray) -> np.ndarray:
     final mix uses u = the value itself, v = K0 (len < 9).
     """
     x = np.ascontiguousarray(values, dtype=np.int64).view(np.uint64)
-    h = _SEED8
-    data = _shift_mix(x * K3) * K3
-    h = (h ^ data) * K3
-    h = _shift_mix(h) * K3
-    h = _shift_mix(h)
-    # tail: result = hash128to64(result + v, u); v = K0, u = first-8-bytes = x
-    res = _hash128to64(h + K0, x)
+    n = len(x)
+    res = np.empty(n, dtype=np.uint64)
+    # cache-resident chunks with preallocated scratch + in-place ops: every
+    # temporary here is n x 8 bytes of DRAM traffic, and this is the hot
+    # kernel of the whole engine — keep it in L2.
+    chunk = 65536
+    t = np.empty(min(n, chunk), dtype=np.uint64)
+    u = np.empty(min(n, chunk), dtype=np.uint64)
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        m = e - s
+        xv = x[s:e]
+        tv, uv = t[:m], u[:m]
+        # murmur body: data = shift_mix(x*K3)*K3; h = (SEED8 ^ data)*K3
+        np.multiply(xv, K3, out=tv)
+        np.right_shift(tv, _SHIFT47, out=uv)
+        np.bitwise_xor(tv, uv, out=tv)
+        np.multiply(tv, K3, out=tv)
+        np.bitwise_xor(tv, _SEED8, out=tv)
+        np.multiply(tv, K3, out=tv)
+        # h = shift_mix(h)*K3; h = shift_mix(h)
+        np.right_shift(tv, _SHIFT47, out=uv)
+        np.bitwise_xor(tv, uv, out=tv)
+        np.multiply(tv, K3, out=tv)
+        np.right_shift(tv, _SHIFT47, out=uv)
+        np.bitwise_xor(tv, uv, out=tv)
+        # tail: hash128to64(high=h+K0, low=x)
+        np.add(tv, K0, out=tv)
+        rv = res[s:e]
+        np.bitwise_xor(xv, tv, out=rv)
+        np.multiply(rv, K3, out=rv)
+        np.right_shift(rv, _SHIFT47, out=uv)
+        np.bitwise_xor(rv, uv, out=rv)
+        np.bitwise_xor(tv, rv, out=rv)
+        np.multiply(rv, K3, out=rv)
+        np.right_shift(rv, _SHIFT47, out=uv)
+        np.bitwise_xor(rv, uv, out=rv)
+        np.multiply(rv, K3, out=rv)
     bad = (res == U64(0)) | (res == U64(1))
     if bad.any():
-        res = np.where(bad, res + U64(_MASK - 1), res)  # += ~1 (i.e. -2)
+        res[bad] += U64(_MASK - 1)  # += ~1 (i.e. -2)
     return res
 
 
@@ -237,9 +268,21 @@ def fingerprint_bytes_batch(buf: np.ndarray, off: np.ndarray, length: np.ndarray
     off = np.asarray(off, dtype=np.int64)
     length = np.asarray(length, dtype=np.int64)
     n = len(off)
-    result = np.zeros(n, dtype=np.uint64)
     # pad the buffer so unaligned 8-byte gathers at the tail never go OOB
     buf = np.concatenate([buf, np.zeros(8, dtype=np.uint8)])
+    # cache-resident row chunks (same rationale as fingerprint_long_array)
+    if n > 65536:
+        out = np.empty(n, dtype=np.uint64)
+        for s in range(0, n, 65536):
+            e = min(s + 65536, n)
+            out[s:e] = _fingerprint_bytes_chunk(buf, off[s:e], length[s:e])
+        return out
+    return _fingerprint_bytes_chunk(buf, off, length)
+
+
+def _fingerprint_bytes_chunk(buf, off, length):
+    n = len(off)
+    result = np.zeros(n, dtype=np.uint64)
 
     small = length <= 32
     mid = (length > 32) & (length <= 64)

@@ -1,0 +1,261 @@
+"""Columnar fast path for sketch partials: decode parquet inside the
+Python workers.
+
+Why this exists: sketch partial aggregation is an update-heavy leaf — every
+input row crosses into Python, but only tiny serialized states come back.
+Measured on this machine, Spark's JVM->Python Arrow handoff tops out around
+~3M rows/s *regardless of core count* (the JVM decodes fast and Python
+hashes fast, but the boundary is a shared ceiling), which caps scaling.
+Reading the parquet row groups directly with pyarrow inside each worker
+removes the boundary from the per-row path entirely: the JVM ships only
+(file, row-group) split descriptors out and sketch blobs back.
+
+Scope and honesty:
+* This is a *leaf-scan short circuit* for plain parquet inputs with a
+  column-pruned projection — exactly the pushdown Catalyst would do, done
+  by the source itself (the same trick a DataSourceV2 "python-native scan"
+  would implement). Everything after the partial stage (shuffle, merge,
+  result, joins, windows) stays DataFrame/Catalyst.
+* Filters or non-parquet sources fall back to the mapInArrow path in
+  `zetasketch_spark.operators.agg` (same semantics; tests assert
+  state-level equality between the two paths).
+* At cluster scale the split planning below is what Spark's own
+  FileSourceScan does: row-group-aligned splits, bin-packed by bytes.
+
+Derived keys: a small expression language (("to_date", col)) covers the
+day-bucket case so `(role, days(ts))` grouping needs no JVM round trip.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    BinaryType, IntegerType, LongType, StructField, StructType)
+
+from zetasketch_spark.operators.agg import (
+    PARTITION_COL, ROWS_COL, SKETCH_COL, sketch_merge, sketch_result)
+from zetasketch_spark.sketches.base import SketchFamily
+
+
+def plan_splits(path: str, target_bytes: int = 96 << 20) -> list[tuple[str, list[int]]]:
+    """Row-group-aligned splits bin-packed to ~target_bytes, like
+    FileSourceScan's openCost/maxPartitionBytes planning."""
+    import pyarrow.parquet as pq
+
+    files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+    splits: list[tuple[str, list[int]]] = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        cur: list[int] = []
+        cur_bytes = 0
+        for rg in range(md.num_row_groups):
+            sz = md.row_group(rg).total_byte_size
+            if cur and cur_bytes + sz > target_bytes:
+                splits.append((f, cur))
+                cur, cur_bytes = [], 0
+            cur.append(rg)
+            cur_bytes += sz
+        if cur:
+            splits.append((f, cur))
+    return splits
+
+
+def _derive_key_arrays(tbl, keys, derived: dict):
+    """Returns dict key -> pandas-able arrow array for grouping."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    out = {}
+    for k in keys:
+        if k in derived:
+            op, src = derived[k]
+            if op == "to_date":
+                out[k] = pc.cast(pc.floor_temporal(tbl[src], unit="day"), pa.date32())
+            elif op == "date_str":
+                out[k] = pc.strftime(tbl[src], format="%Y-%m-%d")
+            else:
+                raise ValueError(f"unknown derived-key op {op!r}")
+        else:
+            out[k] = tbl[k]
+    return out
+
+
+def sketch_partial_fastscan(
+    spark: SparkSession,
+    path: str,
+    keys: list[str],
+    col: str,
+    family: SketchFamily,
+    key_schema: list[tuple[str, str]] | None = None,
+    derived_keys: dict | None = None,
+    target_split_bytes: int = 96 << 20,
+) -> DataFrame:
+    """Stage 1 over a parquet directory, decoding in the workers.
+
+    ``derived_keys``: {out_name: (op, source_col)} with op in
+    {"to_date", "date_str"}. ``key_schema``: [(name, spark_type_str)] for
+    derived keys (plain columns are inferred by reading one footer)."""
+    import pyarrow.parquet as pq
+
+    derived = derived_keys or {}
+    splits = plan_splits(path, target_split_bytes)
+    read_cols = sorted({col, *[k for k in keys if k not in derived],
+                        *[src for (_, src) in derived.values()]})
+
+    # output schema: derive plain key types from the parquet schema
+    sample_schema = pq.read_schema(sorted(_glob.glob(os.path.join(path, "*.parquet")))[0])
+    type_map = {"string": "string", "large_string": "string", "int64": "bigint",
+                "int32": "int", "double": "double", "float": "float",
+                "timestamp[us]": "timestamp", "date32[day]": "date"}
+    ks = dict(key_schema or [])
+    fields = []
+    from pyspark.sql.types import _parse_datatype_string
+
+    for k in keys:
+        if k in ks:
+            fields.append(StructField(k, _parse_datatype_string(ks[k])))
+        elif k in derived:
+            op = derived[k][0]
+            fields.append(StructField(k, _parse_datatype_string(
+                "date" if op == "to_date" else "string")))
+        else:
+            pa_t = str(sample_schema.field(k).type)
+            fields.append(StructField(k, _parse_datatype_string(type_map[pa_t])))
+    out_schema = StructType(fields + [
+        StructField(SKETCH_COL, BinaryType()),
+        StructField(ROWS_COL, LongType()),
+        StructField(PARTITION_COL, IntegerType()),
+    ])
+
+    sc = spark.sparkContext
+    n_parts = len(splits)
+    rdd = sc.parallelize(list(enumerate(splits)), n_parts)
+
+    keys_t = tuple(keys)
+
+    def run_split(it):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq  # noqa: F811
+
+        for pid, (f, rgs) in it:
+            pf = pq.ParquetFile(f)
+            tbl = pf.read_row_groups(rgs, columns=read_cols, use_threads=False)
+            tbl = tbl.combine_chunks()
+            val = tbl[col].combine_chunks()
+            if isinstance(val, pa.ChunkedArray):
+                val = val.chunk(0) if val.num_chunks else pa.array([], type=val.type)
+            prepared = family.prepare_arrow(val)
+            acc: dict = {}
+            rows: dict = {}
+            if keys_t:
+                karrs = _derive_key_arrays(tbl, keys_t, derived)
+                kpdf = pa.table(karrs).to_pandas()
+                groups = kpdf.groupby(list(keys_t), sort=False, dropna=False).indices
+            else:
+                groups = {(): np.arange(tbl.num_rows)}
+            for key, idx in groups.items():
+                if not isinstance(key, tuple):
+                    key = (key,)
+                state = acc.get(key)
+                if state is None:
+                    state = family.make()
+                    acc[key] = state
+                    rows[key] = 0
+                family.update_prepared(state, prepared[idx])
+                rows[key] += len(idx)
+            for k, s in acc.items():
+                yield (*k, family.serialize(s), rows[k], pid)
+
+    return spark.createDataFrame(rdd.mapPartitions(run_split), out_schema)
+
+
+def sketch_agg_fastscan(spark, path, keys, col, family,
+                        derived_keys=None, tree_levels: int = 1,
+                        target_split_bytes: int = 96 << 20,
+                        keep_sketch: bool = False) -> DataFrame:
+    partials = sketch_partial_fastscan(
+        spark, path, keys, col, family, derived_keys=derived_keys,
+        target_split_bytes=target_split_bytes)
+    merged = sketch_merge(partials, keys, family, tree_levels=tree_levels)
+    return sketch_result(merged, family, keep_sketch=keep_sketch)
+
+
+def sketch_agg_rdd(spark, path, keys, col, family,
+                   derived_keys=None, target_split_bytes: int = 96 << 20,
+                   reduce_partitions: int | None = None,
+                   keep_sketch: bool = False):
+    """Flagship execution fabric: parquet-split scan + ``reduceByKey`` tree
+    merge, entirely in the RDD runner.
+
+    Measured on this sandbox, Spark's SQL Arrow runner adds a ~2-3 s
+    constant per data-bearing Python stage (independent of bytes, cores,
+    and batch size), which dominates wall time and destroys the N->4N
+    scaling signal. The plain RDD pipe has ~5 ms/task overhead, so this
+    pipeline keeps the treeAggregate shape (partial per split -> pairwise
+    state merge -> estimate) with only serialized sketch states crossing
+    process boundaries. State equality with the DataFrame path is
+    asserted in tests (same cores, same bytes, same estimates).
+
+    Returns a Spark DataFrame of ``keys + (rows_seen, estimate fields)``.
+    """
+    derived = derived_keys or {}
+    splits = plan_splits(path, target_split_bytes)
+    read_cols = sorted({col, *[k for k in keys if k not in derived],
+                        *[src for (_, src) in derived.values()]})
+    sc = spark.sparkContext
+    rdd = sc.parallelize(list(enumerate(splits)), len(splits))
+    keys_t = tuple(keys)
+
+    def run_split(it):
+        import pyarrow as pa
+        import pyarrow.parquet as pq  # noqa: F811
+
+        for pid, (f, rgs) in it:
+            pf = pq.ParquetFile(f)
+            tbl = pf.read_row_groups(rgs, columns=read_cols, use_threads=False)
+            tbl = tbl.combine_chunks()
+            val = tbl[col].combine_chunks()
+            if isinstance(val, pa.ChunkedArray):
+                val = val.chunk(0) if val.num_chunks else pa.array([], type=val.type)
+            prepared = family.prepare_arrow(val)
+            if keys_t:
+                karrs = _derive_key_arrays(tbl, keys_t, derived)
+                kpdf = pa.table(karrs).to_pandas()
+                groups = kpdf.groupby(list(keys_t), sort=False, dropna=False).indices
+            else:
+                groups = {(): np.arange(tbl.num_rows)}
+            for key, idx in groups.items():
+                if not isinstance(key, tuple):
+                    key = (key,)
+                state = family.make()
+                family.update_prepared(state, prepared[idx])
+                yield (key, (family.serialize(state), len(idx)))
+
+    def merge_pair(a, b):
+        sa = family.deserialize(a[0])
+        sb = family.deserialize(b[0])
+        return (family.serialize(family.merge(sa, sb)), a[1] + b[1])
+
+    n_red = reduce_partitions or max(4, min(64, len(splits)))
+    merged = rdd.mapPartitions(run_split).reduceByKey(merge_pair, numPartitions=n_red)
+
+    rows = merged.collect()  # #groups rows of (key, (blob, rows_seen)) — tiny
+    import pandas as pd
+
+    res_names = [n for n, _ in family.result_fields]
+    recs = []
+    for key, (blob, rows_seen) in rows:
+        st = family.deserialize(blob)
+        rec = [*key, rows_seen, *family.result(st)]
+        if keep_sketch:
+            rec.append(blob)
+        recs.append(rec)
+    cols = [*keys_t, ROWS_COL, *res_names] + ([SKETCH_COL] if keep_sketch else [])
+    pdf = pd.DataFrame(recs, columns=cols)
+    return spark.createDataFrame(pdf) if len(pdf) else spark.createDataFrame([], schema=", ".join(
+        [f"{c} string" for c in cols]))

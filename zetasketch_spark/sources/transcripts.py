@@ -49,8 +49,19 @@ _BASE_TS_US = 1767225600000000  # 2026-01-01T00:00:00Z in microseconds
 
 
 def generate_transcripts(n_turns: int, seed: int = 42,
-                         n_convs: int | None = None) -> pa.Table:
-    """Build an Arrow table of ``n_turns`` transcript turns."""
+                         n_convs: int | None = None,
+                         text_mode: str = "unique") -> pa.Table:
+    """Build an Arrow table of ``n_turns`` transcript turns.
+
+    ``text_mode``:
+    * ``"unique"`` — every turn gets a fresh 5-200-word text (exact
+      COUNT(DISTINCT text) is meaningful); per-row Python string slicing,
+      fine up to ~10M turns.
+    * ``"pool"`` — texts drawn from a 64Ki pool (dictionary-encodable, so
+      parquet stays small and generation is fully vectorized); used for the
+      very large throughput/scaling tables where the benched job never
+      reads text. conv_id is a plain numeric string in this mode.
+    """
     rng = np.random.default_rng(seed)
     if n_convs is None:
         n_convs = max(64, n_turns // 100)
@@ -75,37 +86,69 @@ def generate_transcripts(n_turns: int, seed: int = 42,
     group_start = np.maximum.accumulate(np.where(boundary, np.arange(n_turns), 0))
     turn_idx = (np.arange(n_turns) - group_start).astype(np.int32)
 
-    conv_id = np.char.add("conv-", np.char.zfill(conv_sorted.astype("U10"), 10))
+    if text_mode == "pool":
+        import pyarrow.compute as pc
+
+        conv_id_arr = pc.cast(pa.array(conv_sorted), pa.string())
+    else:
+        conv_id_arr = pa.array(
+            np.char.add("conv-", np.char.zfill(conv_sorted.astype("U10"), 10)),
+            type=pa.string())
 
     # roles: user/assistant alternate; ~10% tool turns (deterministic slots)
-    role = np.where(turn_idx % 2 == 0, "user", "assistant").astype(object)
     tool_turn = rng.random(n_turns) < 0.10
-    role[tool_turn] = "tool"
+    role_codes = np.where(turn_idx % 2 == 0, 0, 1).astype(np.int8)
+    role_codes[tool_turn] = 2
 
     # tool names: Zipf(s=1.5) over the 50 names, NULL on non-tool turns
     t_weights = 1.0 / np.arange(1, len(_TOOLS) + 1, dtype=np.float64) ** 1.5
     t_cdf = np.cumsum(t_weights)
     t_cdf /= t_cdf[-1]
     t_ranks = np.clip(np.searchsorted(t_cdf, rng.random(n_turns), side="left"),
-                      0, len(_TOOLS) - 1)
-    tools = np.array(_TOOLS, dtype=object)[t_ranks]
-    tool = np.where(tool_turn, tools, None)
+                      0, len(_TOOLS) - 1).astype(np.int32)
 
-    # text: 5..200 vocab words per turn, vectorized via one big word draw
-    words_per_turn = rng.integers(5, 201, size=n_turns)
-    total_words = int(words_per_turn.sum())
-    word_ids = rng.integers(0, _VOCAB_SIZE, size=total_words)
-    vocab = np.array([f"w{i:04x}" for i in range(_VOCAB_SIZE)], dtype=object)
-    flat_words = vocab[word_ids]
-    ends = np.cumsum(words_per_turn)
-    starts = ends - words_per_turn
-    joined = np.empty(n_turns, dtype=object)
-    big = " ".join(flat_words)  # single join, then slice by char offsets
-    # char offsets: each word is 5 chars + 1 space
-    char_starts = starts * 6
-    char_ends = ends * 6 - 1
-    for i in range(n_turns):  # slicing strings; cheap relative to parquet IO
-        joined[i] = big[char_starts[i]:char_ends[i]]
+    _ROLES = ["user", "assistant", "tool"]
+    if text_mode == "pool":
+        import pyarrow.compute as pc
+
+        role_arr = pc.cast(pa.DictionaryArray.from_arrays(
+            pa.array(role_codes.astype(np.int32)), pa.array(_ROLES)), pa.string())
+        tool_arr = pc.cast(pa.DictionaryArray.from_arrays(
+            pa.array(t_ranks, mask=~tool_turn), pa.array(_TOOLS)), pa.string())
+    else:
+        role = np.array(_ROLES, dtype=object)[role_codes]
+        tools = np.array(_TOOLS, dtype=object)[t_ranks]
+        tool = np.where(tool_turn, tools, None)
+        role_arr = pa.array(role, type=pa.string())
+        tool_arr = pa.array(tool, type=pa.string())
+
+    if text_mode == "pool":
+        pool_rng = np.random.default_rng(0x7E57)
+        pool = []
+        vocab = np.array([f"w{i:04x}" for i in range(_VOCAB_SIZE)], dtype=object)
+        for _ in range(65536):
+            k = int(pool_rng.integers(5, 31))
+            pool.append(" ".join(vocab[pool_rng.integers(0, _VOCAB_SIZE, size=k)]))
+        idx = rng.integers(0, len(pool), size=n_turns).astype(np.int32)
+        text_arr = pa.DictionaryArray.from_arrays(
+            pa.array(idx), pa.array(pool, type=pa.string()))
+    else:
+        # text: 5..200 vocab words per turn, vectorized via one big word draw
+        words_per_turn = rng.integers(5, 201, size=n_turns)
+        total_words = int(words_per_turn.sum())
+        word_ids = rng.integers(0, _VOCAB_SIZE, size=total_words)
+        vocab = np.array([f"w{i:04x}" for i in range(_VOCAB_SIZE)], dtype=object)
+        flat_words = vocab[word_ids]
+        ends = np.cumsum(words_per_turn)
+        starts = ends - words_per_turn
+        joined = np.empty(n_turns, dtype=object)
+        big = " ".join(flat_words)  # single join, then slice by char offsets
+        # char offsets: each word is 5 chars + 1 space
+        char_starts = starts * 6
+        char_ends = ends * 6 - 1
+        for i in range(n_turns):  # slicing strings; cheap relative to parquet IO
+            joined[i] = big[char_starts[i]:char_ends[i]]
+        text_arr = pa.array(joined, type=pa.string())
 
     # timestamps: conv base offset over ~30 days + 1..90s per turn, monotone
     conv_base_us = (conv_sorted * 2654435761 % (30 * 86400)) * 1_000_000
@@ -116,42 +159,63 @@ def generate_transcripts(n_turns: int, seed: int = 42,
     within = cum - cum_at_start + step_s[group_start] * 0  # seconds since conv start
     ts = (_BASE_TS_US + conv_base_us + within * 1_000_000).astype("int64")
 
-    return pa.Table.from_arrays(
-        [
-            pa.array(conv_id, type=pa.string()),
-            pa.array(turn_idx, type=pa.int32()),
-            pa.array(role, type=pa.string()),
-            pa.array(joined, type=pa.string()),
-            pa.array(tool, type=pa.string()),
-            pa.array(ts, type=pa.timestamp("us")),
-        ],
-        schema=SCHEMA,
-    )
+    cols = [
+        conv_id_arr,
+        pa.array(turn_idx, type=pa.int32()),
+        role_arr,
+        text_arr,
+        tool_arr,
+        pa.array(ts, type=pa.timestamp("us")),
+    ]
+    if text_mode == "pool":
+        schema = pa.schema([
+            SCHEMA.field(0), SCHEMA.field(1), SCHEMA.field(2),
+            pa.field("text", pa.dictionary(pa.int32(), pa.string())),
+            SCHEMA.field(4), SCHEMA.field(5),
+        ])
+        return pa.Table.from_arrays(cols, schema=schema)
+    return pa.Table.from_arrays(cols, schema=SCHEMA)
 
 
 def write_transcripts_parquet(path: str, n_turns: int, seed: int = 42,
                               n_convs: int | None = None,
                               rows_per_file: int = 2_000_000,
-                              row_group_size: int = 128 * 1024) -> str:
+                              row_group_size: int = 128 * 1024,
+                              text_mode: str = "unique") -> str:
     """Write the transcripts table as one-or-more parquet files under
     ``path`` (idempotent: skips when a matching manifest exists)."""
     manifest = os.path.join(path, "_MANIFEST")
-    stamp = f"n_turns={n_turns} seed={seed} n_convs={n_convs}"
+    stamp = f"n_turns={n_turns} seed={seed} n_convs={n_convs} text_mode={text_mode}"
     if os.path.exists(manifest) and open(manifest).read() == stamp:
         return path
     os.makedirs(path, exist_ok=True)
+    jobs = []
     written = 0
     part = 0
     while written < n_turns:
         chunk = min(rows_per_file, n_turns - written)
-        tbl = generate_transcripts(chunk, seed=seed + part, n_convs=n_convs)
-        pq.write_table(tbl, os.path.join(path, f"part-{part:05d}.parquet"),
-                       row_group_size=row_group_size, compression="snappy")
+        jobs.append((path, part, chunk, seed + part, n_convs, text_mode,
+                     row_group_size))
         written += chunk
         part += 1
+    if len(jobs) > 1:
+        from multiprocessing import get_context
+
+        with get_context("spawn").Pool(min(16, len(jobs))) as pool:
+            pool.map(_write_one_part, jobs)
+    else:
+        _write_one_part(jobs[0])
     with open(manifest, "w") as f:
         f.write(stamp)
     return path
+
+
+def _write_one_part(args):
+    path, part, chunk, seed, n_convs, text_mode, row_group_size = args
+    tbl = generate_transcripts(chunk, seed=seed, n_convs=n_convs,
+                               text_mode=text_mode)
+    pq.write_table(tbl, os.path.join(path, f"part-{part:05d}.parquet"),
+                   row_group_size=row_group_size, compression="snappy")
 
 
 def load_transcripts(spark, path: str):
