@@ -228,6 +228,40 @@ def q_supplier_nation(spark, sf_dir):
     )
 
 
+def q_rollup_revenue(spark, sf_dir):
+    """ROLLUP over (year, priority): aggregates re-usable across grouping
+    levels — the relational twin of sketch re-merging."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.withColumn("year", F.year("o_orderdate").cast("long"))
+        .rollup("year", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+def q_cube_lineitem(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+def q_set_ops(spark, sf_dir):
+    """INTERSECT / EXCEPT over key sets."""
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    both = o.intersect(c).count()
+    never_ordered = c.exceptAll(c.join(o.distinct(), "k", "left_semi")).count()
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame([[both, never_ordered]],
+                     columns=["n_active_customers", "n_never_ordered"]))
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-5 for 5 fixed query vectors."""
     from zetasketch_spark.operators.similarity import brute_force_topk
@@ -371,6 +405,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_quantiles": q_events_quantiles,
         "embedding_norms": q_embedding_norms,
         "supplier_nation": q_supplier_nation,
+        "rollup_revenue": q_rollup_revenue,
+        "cube_lineitem": q_cube_lineitem,
+        "set_ops": q_set_ops,
         "ann_cosine_topk": q_ann_cosine_topk,
         # sketch estimates (rows-only driver check; envelopes in pytest)
         "hll_users_by_type": q_hll_users_by_type,
@@ -531,6 +568,27 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(s_acctbal), 2) AS sum_acctbal
             FROM supplier JOIN nation ON s_nationkey = n_nationkey
             GROUP BY n_name
+        """,
+        "rollup_revenue": """
+            SELECT year(o_orderdate) AS year, o_orderpriority,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders
+            GROUP BY ROLLUP (year(o_orderdate), o_orderpriority)
+        """,
+        "cube_lineitem": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "set_ops": """
+            SELECT
+              (SELECT count(*) FROM
+                 ((SELECT o_custkey AS k FROM orders)
+                  INTERSECT (SELECT c_custkey FROM customer))) AS n_active_customers,
+              (SELECT count(*) FROM customer
+                WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) AS n_never_ordered
         """,
         "ann_cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec

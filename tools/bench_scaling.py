@@ -58,15 +58,15 @@ def run_level(repo: str, tdir: str, cpus: int, trials: int) -> dict:
 
 
 def main():
-    n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 600_000_000
     n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     trials = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     repo = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
-    tdir = os.path.join(repo, "data", f"bench_transcripts_{n_turns // 1_000_000}m")
+    tdir = os.path.join(repo, "data", f"scaling_{n_turns // 1_000_000}m")
 
     from zetasketch_spark.sources.transcripts import write_transcripts_parquet
     write_transcripts_parquet(tdir, n_turns=n_turns, seed=42,
-                              rows_per_file=1_250_000)
+                              rows_per_file=10_000_000, text_mode="pool")
 
     small = run_level(repo, tdir, n_small, trials)
     large = run_level(repo, tdir, n_small * 4, trials)
