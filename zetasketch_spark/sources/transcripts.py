@@ -201,7 +201,7 @@ def write_transcripts_parquet(path: str, n_turns: int, seed: int = 42,
     if len(jobs) > 1:
         from multiprocessing import get_context
 
-        with get_context("spawn").Pool(min(16, len(jobs))) as pool:
+        with get_context("fork").Pool(min(16, len(jobs))) as pool:
             pool.map(_write_one_part, jobs)
     else:
         _write_one_part(jobs[0])
