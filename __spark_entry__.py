@@ -370,6 +370,33 @@ def q_simhash_near_dups(spark, sf_dir):
     return simhash_near_dups(d, max_hamming=3)
 
 
+def q_docs_winnow_fingerprints(spark, sf_dir):
+    """Winnowing document fingerprints (rolling-hash k-gram minima)."""
+    from zetasketch_spark.functions.fingerprint import winnow_fingerprints_udf
+
+    d = _t(spark, sf_dir, "documents")
+    fp = winnow_fingerprints_udf(k=5, window=4)
+    return (
+        d.withColumn("fps", fp(F.col("text")))
+        .select("doc_id", F.size("fps").alias("n_fingerprints"))
+    )
+
+
+def q_hll_sql_surface(spark, sf_dir):
+    """BigQuery-style INIT/MERGE/EXTRACT over events (rollup by merging)."""
+    from zetasketch_spark.functions.sketch_udfs import (
+        hll_estimate, hll_init_agg, hll_merge_agg)
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd"))
+    fine = e.groupBy("event_type", "day").agg(
+        hll_init_agg("user_id", 14).alias("sk"))
+    return (
+        fine.groupBy("event_type").agg(hll_merge_agg("sk").alias("sk"))
+        .select("event_type", hll_estimate(F.col("sk")).alias("approx_users"))
+    )
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     from zetasketch_spark.operators.similarity import ann_topk
 
@@ -419,6 +446,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "docs_winnow_fingerprints": q_docs_winnow_fingerprints,
+        "hll_sql_surface": q_hll_sql_surface,
     }
 
 

@@ -42,6 +42,29 @@ def test_udaf_state_matches_operator_pipeline(spark, transcripts_path):
     assert udaf == pipe
 
 
+def test_sketch_rollup_grouping_sets(spark, transcripts_path):
+    """ROLLUP over sketch-merge: compute once at (role, tool) grain, roll up
+    by merging — estimates at every grouping level from one pass
+    (SURVEY.md §2.2 'aggregations')."""
+    from zetasketch_spark.functions.sketch_udfs import (
+        hll_estimate, hll_init_agg, hll_merge_agg)
+    from zetasketch_spark.sources.transcripts import load_transcripts
+
+    df = load_transcripts(spark, transcripts_path)
+    fine = df.groupBy("role", "tool").agg(hll_init_agg("conv_id", 13).alias("sk"))
+    rolled = (
+        fine.rollup("role", "tool")
+        .agg(hll_merge_agg("sk").alias("sk"))
+        .select("role", "tool", hll_estimate(F.col("sk")).alias("approx"))
+    )
+    rows = {(r["role"], r["tool"]): r["approx"] for r in rolled.collect()}
+    grand = rows[(None, None)]
+    exact = df.select(F.countDistinct("conv_id")).first()[0]
+    assert abs(grand / exact - 1) <= 0.05
+    # per-role subtotals present
+    assert ("user", None) in rows and ("assistant", None) in rows
+
+
 def test_sql_registration(spark, transcripts_path):
     from zetasketch_spark.functions.sketch_udfs import hll_init_agg, register_sql
     from zetasketch_spark.sources.transcripts import load_transcripts
