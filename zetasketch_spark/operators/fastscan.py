@@ -208,14 +208,21 @@ def sketch_agg_rdd(spark, path, keys, col, family,
     read_cols = sorted({col, *[k for k in keys if k not in derived],
                         *[src for (_, src) in derived.values()]})
     sc = spark.sparkContext
-    rdd = sc.parallelize(list(enumerate(splits)), len(splits))
+    # several splits per task: one accumulated state per (task, key) crosses
+    # the boundary instead of one per (split, key) — partial-state volume
+    # shrinks by the splits-per-task factor
+    cpus = sc.defaultParallelism
+    n_tasks = max(1, min(len(splits), 2 * cpus))
+    rdd = sc.parallelize(list(splits), n_tasks)
     keys_t = tuple(keys)
 
     def run_split(it):
         import pyarrow as pa
         import pyarrow.parquet as pq  # noqa: F811
 
-        for pid, (f, rgs) in it:
+        acc: dict = {}
+        rows: dict = {}
+        for f, rgs in it:
             pf = pq.ParquetFile(f)
             tbl = pf.read_row_groups(rgs, columns=read_cols, use_threads=False)
             tbl = tbl.combine_chunks()
@@ -232,9 +239,15 @@ def sketch_agg_rdd(spark, path, keys, col, family,
             for key, idx in groups.items():
                 if not isinstance(key, tuple):
                     key = (key,)
-                state = family.make()
+                state = acc.get(key)
+                if state is None:
+                    state = family.make()
+                    acc[key] = state
+                    rows[key] = 0
                 family.update_prepared(state, prepared[idx])
-                yield (key, (family.serialize(state), len(idx)))
+                rows[key] += len(idx)
+        for key, state in acc.items():
+            yield (key, (family.serialize(state), rows[key]))
 
     def merge_pair(a, b):
         sa = family.deserialize(a[0])
