@@ -111,6 +111,9 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
     distinct candidate (id_a, id_b) with id_a < id_b. Only bucket collisions
     shuffle — the classic LSH trick that replaces the O(n^2) cross join."""
     rows_per_band = num_perm // bands
+    # materialize signatures once: a self-join would otherwise re-run the
+    # minhash UDF on both sides
+    signatures = signatures.localCheckpoint(eager=True)
     banded = signatures.select(
         F.col(id_col),
         F.posexplode(
@@ -211,7 +214,7 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     """Candidate pairs by 16-bit prefix buckets over 4 rotations (any pair
     within Hamming distance 3 shares at least one intact 16-bit block),
     then exact Hamming filter via bit_count."""
-    sigs = simhash64(df, text_col, id_col)
+    sigs = simhash64(df, text_col, id_col).localCheckpoint(eager=True)
     blocks = sigs.select(
         id_col, "simhash",
         F.posexplode(F.array(*[
