@@ -1,0 +1,129 @@
+"""Bit-level encoding parity tests, ported from
+`javatests/.../internal/hllplus/EncodingNormalTest.java:33-76` and
+`EncodingSparseTest.java:41-260` (literal bit-pattern expectations)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from zetasketch_spark.hll import (
+    IncompatiblePrecisionError,
+    SparseEncoding,
+    downgrade_rho_w,
+    rho_w,
+)
+
+
+def _arr(*vals):
+    return np.array(vals, dtype=np.int64)
+
+
+def _h(v):
+    return np.array([v], dtype=np.uint64)
+
+
+# --- normal encoding (EncodingNormalTest) ------------------------------------
+
+def test_normal_index():
+    h = np.uint64(0b101110001 << 55)
+    assert int(h >> np.uint64(64 - 5)) == 0b10111
+
+
+def test_normal_rho_w():
+    # 3 leading zeros after the 5-bit index -> rhoW = 4
+    assert rho_w(_h(0b101110001 << 55), 64 - 5).tolist() == [4]
+
+
+def test_downgrade_index():
+    assert (0b10111 >> (5 - 3)) == 0b101
+
+
+def test_downgrade_rho_w_non_zero():
+    # index 0b10001 at p=5 -> p=3: suffix 0b01 nonzero, new rhoW = clz+1 = 2
+    out = downgrade_rho_w(_arr(0b10001), _arr(4), 5, 3)
+    assert out.tolist() == [2]
+
+
+def test_downgrade_rho_w_zero_suffix():
+    # index 0b10000: suffix all zeros -> rhoW + 5 - 3 = 6
+    out = downgrade_rho_w(_arr(0b10000), _arr(4), 5, 3)
+    assert out.tolist() == [6]
+
+
+# --- sparse encoding (EncodingSparseTest) ------------------------------------
+
+@pytest.fixture
+def enc47():
+    return SparseEncoding(4, 7)
+
+
+def test_decode_normal_index(enc47):
+    assert enc47.decode_normal_index(_arr(0b1010100)).tolist() == [0b1010]
+    assert enc47.decode_normal_index(_arr(0b11010001100)).tolist() == [0b1010]
+
+
+def test_decode_normal_rho(enc47):
+    assert enc47.decode_normal_rho(_arr(0b1010100)).tolist() == [1]
+    assert enc47.decode_normal_rho(_arr(0b11010001100)).tolist() == [0b1100 + 3]
+
+
+def test_decode_sparse_index(enc47):
+    assert enc47.decode_sparse_index(_arr(0b1010100)).tolist() == [0b1010100]
+    assert enc47.decode_sparse_index(_arr(0b11010001100)).tolist() == [0b1010000]
+
+
+def test_decode_sparse_rho_if_present(enc47):
+    assert enc47.decode_sparse_rho_if_present(_arr(0b1010100)).tolist() == [0]
+    assert enc47.decode_sparse_rho_if_present(_arr(0b11010001100)).tolist() == [0b1100]
+
+
+def test_dedupe(enc47):
+    values = _arr(
+        0b00000010100, 0b00001010100, 0b00001010101,
+        0b11010001100, 0b11010010000, 0b11110000000)
+    out = enc47.dedupe_sorted(values)
+    assert out.tolist() == [
+        0b00000010100, 0b00001010100, 0b00001010101, 0b11010010000, 0b11110000000]
+
+
+def test_dedupe_exact_duplicates(enc47):
+    values = _arr(0b00000010100, 0b00000010100, 0b00000010100,
+                  0b11010001100, 0b11010001100, 0b11010001100)
+    assert enc47.dedupe_sorted(values).tolist() == [0b00000010100, 0b11010001100]
+
+
+def test_encode_without_rho(enc47):
+    assert enc47.encode_hashes(_h(0b101100101 << 55)).tolist() == [0b1011001]
+
+
+def test_encode_without_rho_at_max_sparse_precision():
+    enc = SparseEncoding(4, 30)
+    assert enc.encode_hashes(_h(0b101100101 << 55)).tolist() == [0b101100101 << 21]
+
+
+def test_encode_with_rho_at_max_normal_precision():
+    enc = SparseEncoding(24, 26)
+    assert enc.encode_hashes(_h(0b101 << 61)).tolist() == [
+        (1 << 30) | (0b101 << 27) | 39]
+
+
+def test_encode_with_rho_at_min_normal_precision():
+    enc = SparseEncoding(1, 5)
+    assert enc.encode_hashes(_h(0b1 << 63)).tolist() == [
+        (1 << 7) | (0b1 << 6) | 60]
+
+
+def test_encode_with_rho_flag_clear_of_normal_index(enc47):
+    assert enc47.encode_hashes(_h(0b101100001 << 55)).tolist() == [
+        (1 << 10) | (0b1011 << 6) | 2]
+
+
+def test_compatibility_partial_order():
+    SparseEncoding(4, 7).assert_compatible(SparseEncoding(4, 7))
+    SparseEncoding(4, 7).assert_compatible(SparseEncoding(3, 6))
+    SparseEncoding(4, 7).assert_compatible(SparseEncoding(5, 8))
+    with pytest.raises(IncompatiblePrecisionError):
+        SparseEncoding(4, 7).assert_compatible(SparseEncoding(5, 6))
+    with pytest.raises(IncompatiblePrecisionError):
+        SparseEncoding(4, 7).assert_compatible(SparseEncoding(3, 8))
