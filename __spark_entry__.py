@@ -18,7 +18,18 @@ tiebreak, dates/times are formatted to strings.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# make zetasketch_spark importable regardless of the driver's cwd, and for
+# the python workers (they inherit PYTHONPATH at daemon launch)
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+_pp = os.environ.get("PYTHONPATH", "")
+if _REPO not in _pp.split(os.pathsep):
+    os.environ["PYTHONPATH"] = f"{_REPO}{os.pathsep}{_pp}" if _pp else _REPO
 
 import pandas as pd
 import pyspark.sql.functions as F

@@ -1,0 +1,97 @@
+"""Property-based invariants (hypothesis): the commutative-monoid laws the
+Aggregator contract promises (`Aggregator.java:47-78`), checked at the
+serialized-state level across random streams, precisions, and partitions."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from zetasketch_spark.hll import HllSketch
+from zetasketch_spark.sketches.countmin import CountMinSketch
+from zetasketch_spark.sketches.bloom import BloomFilter
+
+import pandas as pd
+
+
+def _sketch(values, p, sp):
+    sk = HllSketch(precision=p, sparse_precision=sp)
+    if len(values):
+        sk.add_longs(np.asarray(values, dtype=np.int64))
+    return sk
+
+
+streams = st.lists(st.integers(-2**63, 2**63 - 1), max_size=300)
+
+
+@settings(max_examples=40, deadline=None)
+@given(a=streams, b=streams, p=st.integers(10, 16))
+def test_hll_merge_commutes_at_state_level(a, b, p):
+    sp = p + 4
+    ab = _sketch(a, p, sp)
+    ab.merge(_sketch(b, p, sp))
+    ba = _sketch(b, p, sp)
+    ba.merge(_sketch(a, p, sp))
+    assert ab.serialize() == ba.serialize()
+
+
+@settings(max_examples=40, deadline=None)
+@given(a=streams, b=streams, c=streams, p=st.integers(10, 14))
+def test_hll_merge_associates_at_state_level(a, b, c, p):
+    sp = p + 5
+    left = _sketch(a, p, sp)
+    left.merge(_sketch(b, p, sp))
+    left.merge(_sketch(c, p, sp))
+    bc = _sketch(b, p, sp)
+    bc.merge(_sketch(c, p, sp))
+    right = _sketch(a, p, sp)
+    right.merge(bc)
+    assert left.serialize() == right.serialize()
+
+
+@settings(max_examples=30, deadline=None)
+@given(vals=streams, p=st.integers(10, 16), cuts=st.lists(st.integers(0, 300), max_size=4))
+def test_hll_partitioning_invariance(vals, p, cuts):
+    """Any split of the stream into partials merges to the direct state."""
+    sp = p + 4
+    direct = _sketch(vals, p, sp)
+    bounds = sorted({min(c, len(vals)) for c in cuts} | {0, len(vals)})
+    acc = HllSketch(precision=p, sparse_precision=sp)
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        acc.merge(_sketch(vals[lo:hi], p, sp))
+    # num_values differs only if empty partials skipped adds; both saw all
+    assert acc.serialize() == direct.serialize()
+
+
+@settings(max_examples=30, deadline=None)
+@given(vals=streams, p=st.integers(10, 16))
+def test_hll_serde_fixpoint(vals, p):
+    sk = _sketch(vals, p, p + 4)
+    data = sk.serialize()
+    rt = HllSketch.deserialize(data)
+    assert rt.serialize() == data
+    assert rt.estimate() == sk.estimate()
+
+
+@settings(max_examples=20, deadline=None)
+@given(a=st.lists(st.text(min_size=0, max_size=20), max_size=150),
+       b=st.lists(st.text(min_size=0, max_size=20), max_size=150))
+def test_countmin_merge_equals_direct_property(a, b):
+    x = CountMinSketch(width=256, depth=3)
+    x.add_series(pd.Series(a, dtype=object))
+    y = CountMinSketch(width=256, depth=3)
+    y.add_series(pd.Series(b, dtype=object))
+    x.merge(y)
+    direct = CountMinSketch(width=256, depth=3)
+    direct.add_series(pd.Series(a + b, dtype=object))
+    assert np.array_equal(x.counters, direct.counters)
+
+
+@settings(max_examples=20, deadline=None)
+@given(vals=st.lists(st.integers(0, 10**9), max_size=200))
+def test_bloom_never_false_negative_property(vals):
+    bf = BloomFilter(m=1 << 12, k=4)
+    s = pd.Series(vals, dtype=np.int64)
+    bf.add_series(s)
+    if len(vals):
+        assert bf.contains_series(s).all()
