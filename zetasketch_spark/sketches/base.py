@@ -169,6 +169,12 @@ def register_family(name: str, factory: Callable[..., SketchFamily]) -> None:
 
 def get_family(name: str, **cfg) -> SketchFamily:
     if name not in _REGISTRY:
+        # lazily import the module that registers this family
+        import importlib
+
+        for mod in ("countmin", "kll", "tdigest", "bloom"):
+            importlib.import_module(f"zetasketch_spark.sketches.{mod}")
+    if name not in _REGISTRY:
         raise KeyError(f"unknown sketch family {name!r}; known: {sorted(_REGISTRY)}")
     return _REGISTRY[name](**cfg)
 
