@@ -27,7 +27,6 @@ Usage::
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql.functions import pandas_udf

@@ -219,7 +219,5 @@ def _write_one_part(args):
 
 
 def load_transcripts(spark, path: str):
-    import pyspark.sql.functions as F
-
     df = spark.read.parquet(path)
     return df.select("conv_id", "turn_idx", "role", "text", "tool", "ts")

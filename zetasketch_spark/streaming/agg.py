@@ -20,7 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
-    BinaryType, LongType, StringType, StructField, StructType)
+    BinaryType, LongType, StructField, StructType)
 
 from zetasketch_spark.sketches.base import SketchFamily
 
