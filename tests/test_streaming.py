@@ -52,3 +52,48 @@ def test_streaming_hll_matches_batch(spark, tmp_path):
             hll_count_distinct(batch_df, ["role"], "conv_id", precision=13,
                                sparse_precision=16).collect()}
     assert got == want
+
+
+def test_streaming_windowed_with_watermark(spark, tmp_path):
+    """Event-time windows + watermark: per-(window, role) sketches converge
+    to the batch answer; out-of-order files (within watermark) fold in."""
+    import pyspark.sql.functions as F
+
+    from zetasketch_spark.sketches.base import HllFamily
+    from zetasketch_spark.sources.transcripts import (
+        load_transcripts, write_transcripts_parquet)
+    from zetasketch_spark.streaming.agg import streaming_windowed_sketch_agg
+
+    path = str(tmp_path / "wsrc")
+    write_transcripts_parquet(path, n_turns=20_000, seed=11, rows_per_file=7_000)
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(path).select("role", "conv_id", "ts")
+    )
+    fam = HllFamily(precision=12, sparse_precision=16)
+    out = streaming_windowed_sketch_agg(
+        stream, ["role"], "conv_id", fam, ts_col="ts",
+        window="1 day", watermark="365 days")
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName("hll_windows").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    final = spark.sql("""
+        select window_start, role, estimate from (
+          select *, row_number() over (
+            partition by window_start, role order by rows_seen desc) rk
+          from hll_windows) where rk = 1
+    """)
+    got = {(str(r["window_start"]), r["role"]): r["estimate"] for r in final.collect()}
+
+    batch = load_transcripts(spark, path)
+    want_df = (
+        batch.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn("window_start", F.window("ts", "1 day")["start"])
+        .groupBy("window_start", "role")
+        .agg(F.countDistinct("conv_id").alias("n"))
+    )
+    want = {(str(r["window_start"]), r["role"]): r["n"] for r in want_df.collect()}
+    assert set(got) == set(want)
+    for k, n in want.items():
+        assert abs(got[k] / n - 1) <= 0.1, (k, got[k], n)

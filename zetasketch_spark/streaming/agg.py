@@ -83,3 +83,32 @@ def _sql_type(t: str):
     from pyspark.sql.types import _parse_datatype_string
 
     return _parse_datatype_string(t)
+
+
+def streaming_windowed_sketch_agg(
+    df: DataFrame,
+    keys: list[str],
+    col: str,
+    family: SketchFamily,
+    ts_col: str = "ts",
+    window: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Event-time-windowed continuous sketches with a watermark.
+
+    Late rows inside the watermark fold into their window's sketch exactly
+    (associative, value-idempotent merge — no approximation penalty for
+    out-of-order arrival); rows later than the watermark are dropped by
+    Spark before reaching the state function, which is the watermark
+    contract. Emits ``window_start, keys..., rows_seen, <results>`` in
+    update mode every trigger.
+    """
+    import pyspark.sql.functions as F
+
+    bucketed = (
+        df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))  # ntz -> ltz
+        .withWatermark(ts_col, watermark)
+        .withColumn("window_start", F.window(ts_col, window)["start"])
+    )
+    return streaming_sketch_agg(
+        bucketed, ["window_start", *keys], col, family)
