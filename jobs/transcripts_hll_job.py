@@ -1,0 +1,76 @@
+"""spark-submit entry point: approximate COUNT DISTINCT over transcripts.
+
+Usage (north_rule shape)::
+
+    python tools/make_pyfiles_zip.py   # build dist/zetasketch_spark.zip
+    spark-submit --master local[32] \
+        --py-files dist/zetasketch_spark.zip \
+        jobs/transcripts_hll_job.py \
+        --input data/bench_transcripts --keys role,day --col conv_id \
+        --precision 15 --checkpoint-dir /tmp/hll_ckpt --output /tmp/hll_out
+
+Writes the result as parquet, checkpoints per-partition partial states with
+lineage + metrics (resumable: re-running skips completed partitions).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="parquet directory")
+    ap.add_argument("--keys", default="role", help="comma-separated group keys; "
+                    "'day' is derived from ts")
+    ap.add_argument("--col", default="conv_id")
+    ap.add_argument("--precision", type=int, default=15)
+    ap.add_argument("--sparse-precision", type=int, default=None)
+    ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--output", default=None)
+    ap.add_argument("--tree-levels", type=int, default=1)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("zetasketch-hll").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from zetasketch_spark.sketches.base import HllFamily
+    from zetasketch_spark.sources.tables import with_day
+    from zetasketch_spark.sources.transcripts import load_transcripts
+
+    fam = HllFamily(precision=args.precision,
+                    sparse_precision=args.sparse_precision)
+    keys = [k.strip() for k in args.keys.split(",") if k.strip()]
+
+    df = load_transcripts(spark, args.input)
+    if "day" in keys:
+        df = with_day(df)
+
+    if args.checkpoint_dir:
+        from zetasketch_spark.operators.checkpoint import checkpointed_sketch_agg
+
+        result, metrics = checkpointed_sketch_agg(
+            spark, df, keys, args.col, fam, args.checkpoint_dir,
+            [args.input], job="transcripts_hll", tree_levels=args.tree_levels)
+        print("METRICS " + json.dumps(metrics))
+    else:
+        from zetasketch_spark.operators.agg import sketch_agg
+
+        result = sketch_agg(df, keys, args.col, fam,
+                            tree_levels=args.tree_levels)
+
+    if args.output:
+        result.write.mode("overwrite").parquet(args.output)
+        print(f"WROTE {args.output}")
+    else:
+        for row in result.orderBy(*keys).collect():
+            print("ROW " + json.dumps({k: str(row[k]) for k in row.asDict()}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
