@@ -150,16 +150,23 @@ def test_rolling_fingerprints():
 
 def test_multimodal_plumbing(spark):
     from zetasketch_spark.operators.multimodal import (
-        extract_features, synthesize_media)
+        decode_image, extract_features, resize_image, sample_frames,
+        synthesize_media)
 
     media = synthesize_media(spark, n=48)
     feats = extract_features(media, deterministic_fake=True)
     rows = feats.collect()
     assert len(rows) == 48
     assert all(r["feature_dim"] == 512 for r in rows)
-    with pytest.raises(Exception):
-        from zetasketch_spark.operators.multimodal import decode_image
+    with pytest.raises(NotImplementedError):
         decode_image(b"xx", deterministic_fake=False)
+    with pytest.raises(NotImplementedError):
+        sample_frames(b"xx", 5000, deterministic_fake=False)
+    block = decode_image(b"payload" * 32, deterministic_fake=True)
+    small = resize_image(block, 4, 16)
+    assert small.shape == (4, 16)
+    frames = sample_frames(b"payload" * 64, 5000, deterministic_fake=True)
+    assert len(frames) == 5 and frames[0].shape == (8, 64)
 
 
 def test_checkpoint_resume(spark, transcripts_path, tmp_path):

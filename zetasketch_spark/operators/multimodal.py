@@ -57,6 +57,29 @@ def decode_image(payload: bytes, deterministic_fake: bool = False) -> np.ndarray
     return np.tile(h, (8, 1)).astype(np.float64)  # fake 8x64 'pixel' block
 
 
+def resize_image(block: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize of a decoded block (the real thing would be
+    PIL/opencv; the geometry/plumbing here is what the pipeline tests)."""
+    h, w = block.shape[:2]
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return block[ys][:, xs]
+
+
+def sample_frames(payload: bytes, duration_ms: int, every_ms: int = 1000,
+                  deterministic_fake: bool = False) -> list[np.ndarray]:
+    """STUB: video frame sampling. Real decode needs ffmpeg (absent);
+    the deterministic fake derives one block per sampled timestamp so the
+    batch shapes downstream are real."""
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "video decode requires ffmpeg which is not available in this "
+            "environment; pass deterministic_fake=True for plumbing tests")
+    n = max(1, duration_ms // every_ms)
+    return [decode_image(payload[i:] + payload[:i], deterministic_fake=True)
+            for i in range(min(n, 8))]
+
+
 FEATURE_SCHEMA = StructType([
     StructField("media_id", LongType()),
     StructField("kind", StringType()),
