@@ -112,6 +112,28 @@ def test_ann_topk_recall(spark):
     assert np.mean(recalls) >= 0.5  # ANN on random gaussians is hard; sanity bar
 
 
+def test_ivf_topk_recall(spark):
+    from zetasketch_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    rng = np.random.default_rng(9)
+    centers = rng.standard_normal((12, 64)) * 3
+    assign = rng.integers(0, 12, size=400)
+    vecs = centers[assign] + rng.standard_normal((400, 64)) * 0.4
+    pdf = pd.DataFrame({
+        "vec_id": range(400),
+        "embedding": [v.astype(np.float32).tolist() for v in vecs],
+    })
+    df = spark.createDataFrame(pdf).cache()
+    queries = df.filter(F.col("vec_id") < 5)
+    exact_sets, approx_sets = {}, {}
+    for r in brute_force_topk(df, queries, k=5).collect():
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in ivf_topk(df, queries, k=5, n_centroids=12, nprobe=3).collect():
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(exact_sets[q] & approx_sets.get(q, set())) / 5 for q in exact_sets]
+    assert np.mean(recalls) >= 0.8  # clustered data, 3/12 cells probed
+
+
 def test_text_functions(spark):
     from zetasketch_spark.functions.text import (
         lang_id, normalized_text, punct_count, quality_score, token_count)

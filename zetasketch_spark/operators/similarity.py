@@ -80,6 +80,77 @@ def signbit_buckets(df: DataFrame, vec_col: str = "embedding", id_col: str = "ve
     )
 
 
+def train_ivf_centroids(corpus: DataFrame, vec_col: str = "embedding",
+                        n_centroids: int = 16, sample: int = 4096,
+                        iters: int = 10, seed: int = 7) -> np.ndarray:
+    """Mini k-means on a driver-side sample (the IVF coarse quantizer).
+    At 100 TB you train on a ~10^5-row sample — the quantizer is tiny and
+    broadcast; only assignment is distributed."""
+    rows = corpus.select(vec_col).limit(sample).collect()
+    x = np.vstack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=n_centroids, replace=False)]
+    for _ in range(iters):
+        assign = (x @ cent.T).argmax(axis=1)
+        for c in range(n_centroids):
+            m = assign == c
+            if m.any():
+                v = x[m].mean(axis=0)
+                cent[c] = v / (np.linalg.norm(v) or 1.0)
+    return cent
+
+
+def _ivf_assign(df: DataFrame, centroids: np.ndarray, id_alias: str,
+                id_col: str, vec_col: str, nprobe: int) -> DataFrame:
+    """(id, cell) rows: nprobe nearest coarse cells per vector."""
+
+    @pandas_udf("array<int>")
+    def cells_udf(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = mat @ centroids.T
+        top = np.argsort(-sims, axis=1)[:, :nprobe].astype(np.int32)
+        return pd.Series([row.tolist() for row in top])
+
+    return df.select(
+        F.col(id_col).alias(id_alias),
+        F.explode(cells_udf(F.col(vec_col))).alias("cell"),
+    )
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             n_centroids: int = 16, nprobe: int = 3,
+             centroids: np.ndarray | None = None) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in their nearest coarse
+    cell (nprobe=1), queries probe their ``nprobe`` nearest cells; exact
+    cosine re-rank on the candidates. The corpus assignment is the only
+    full pass; the probe join touches ~nprobe/n_centroids of the corpus."""
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, vec_col, n_centroids)
+    cb = _ivf_assign(corpus, centroids, "neighbor_id", id_col, vec_col, nprobe=1)
+    qb = _ivf_assign(queries, centroids, "query_id", id_col, vec_col, nprobe=nprobe)
+    cand = (
+        qb.join(cb, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        cand.join(F.broadcast(qv), "query_id").join(cv, "neighbor_id")
+        .withColumn("cosine", cosine_expr("q_vec", "c_vec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("cosine", 4).alias("cosine"))
+    )
+
+
 def ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
              dim: int = 64, bits: int = 10, tables: int = 6) -> DataFrame:
