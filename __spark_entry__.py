@@ -416,6 +416,14 @@ def q_ann_lsh_topk(spark, sf_dir):
     return ann_topk(emb, queries, k=5, dim=64)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    from zetasketch_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -457,6 +465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "docs_winnow_fingerprints": q_docs_winnow_fingerprints,
         "hll_sql_surface": q_hll_sql_surface,
     }
