@@ -68,6 +68,16 @@ def test_simhash_near_dups(spark, docs):
     assert pairs.get((0, 100)) == 0  # identical text -> identical simhash
 
 
+def test_dup_clusters_connected_components(spark):
+    from zetasketch_spark.operators.dedup import dup_clusters
+
+    # two components: {1,2,3,9} via chain, {5,6}
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [1, 2, 3, 5], "id_b": [2, 3, 9, 6]}))
+    out = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
+
+
 def test_brute_force_topk_self_similarity(spark):
     from zetasketch_spark.operators.similarity import brute_force_topk
 

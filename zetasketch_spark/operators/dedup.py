@@ -179,6 +179,53 @@ def minhash_near_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     return verify_jaccard(pairs, df, text_col, id_col, shingle_k, threshold)
 
 
+# --- dup clusters ------------------------------------------------------------------
+
+def dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs -> ``(doc_id, cluster_id)``
+    where cluster_id = min doc id in the component (the canonical keeper).
+
+    Iterative min-label propagation: each round every vertex takes the min
+    of its own label and its neighbors' labels; dup clusters have tiny
+    diameter so this converges in a handful of joins. Lineage is truncated
+    per round (localCheckpoint) so the plan stays flat at scale.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("cluster_id", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src").agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("cluster_id"),
+                        F.coalesce(F.col("nbr_min"), F.col("cluster_id"))).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n").join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
 # --- SimHash -----------------------------------------------------------------------
 
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
