@@ -195,6 +195,28 @@ def q_docs_quality(spark, sf_dir):
     )
 
 
+def q_docs_bpe_tokens(spark, sf_dir):
+    """BPE-ish token counting (regex sub-word proxy), per source."""
+    from zetasketch_spark.functions.text import bpe_ish_token_count, token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("n_bpe", bpe_ish_token_count("text"))
+        .withColumn("n_ws", token_count("text"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"),
+             F.round(F.avg("n_bpe"), 4).alias("avg_bpe_tokens"),
+             F.round(F.avg("n_ws"), 4).alias("avg_ws_tokens"))
+    )
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    from zetasketch_spark.operators.similarity import embedding_near_dups
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dups(emb, threshold=0.9)
+
+
 def q_docs_lang_id(spark, sf_dir):
     from zetasketch_spark.functions.text import lang_id
 
@@ -447,6 +469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_fingerprints": q_docs_fingerprints,
         "docs_normalized_dedup": q_docs_normalized_dedup,
         "docs_quality": q_docs_quality,
+        "docs_bpe_tokens": q_docs_bpe_tokens,
         "docs_lang_id": q_docs_lang_id,
         "events_quantiles": q_events_quantiles,
         "embedding_norms": q_embedding_norms,
@@ -466,6 +489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "embedding_near_dups": q_embedding_near_dups,
         "docs_winnow_fingerprints": q_docs_winnow_fingerprints,
         "hll_sql_surface": q_hll_sql_surface,
     }
@@ -581,6 +605,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens, n_punct, n_stopwords,
                    round({quality}, 4) AS quality
             FROM feats
+        """,
+        "docs_bpe_tokens": r"""
+            SELECT source, count(*) AS n_docs,
+                   round(avg(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]'))), 4) AS avg_bpe_tokens,
+                   round(avg(len(string_split(text, ' '))), 4) AS avg_ws_tokens
+            FROM documents GROUP BY source
         """,
         "docs_lang_id": f"""
             WITH scores AS (

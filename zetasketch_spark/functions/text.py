@@ -32,6 +32,18 @@ def token_count(text: str | Column) -> Column:
     return F.size(tokens(text))
 
 
+BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]"
+
+
+def bpe_ish_token_count(text_col: str) -> Column:
+    """Sub-word-ish token count: letter runs, single digits, and punctuation
+    each count as one token (the regex family BPE tokenizers approximate;
+    same pattern evaluates identically in Java regex and RE2/DuckDB)."""
+    # Spark SQL string literals consume one level of backslash escaping
+    sql_pattern = BPE_ISH_PATTERN.replace("\\", "\\\\")
+    return F.expr(f"size(regexp_extract_all({text_col}, '{sql_pattern}', 0))")
+
+
 def char_count(text: str | Column) -> Column:
     return F.length(F.col(text) if isinstance(text, str) else text)
 

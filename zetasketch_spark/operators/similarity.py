@@ -151,6 +151,32 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        dim: int = 64, bits: int = 10, tables: int = 8) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: signbit-LSH candidates, exact
+    cosine filter at ``threshold``. Returns (id_a, id_b, cosine) with
+    id_a < id_b. Near-parallel vectors collide in some table with high
+    probability at these settings; only collisions are scored."""
+    b = signbit_buckets(df, vec_col, id_col, dim, bits, tables)
+    a_side = b.withColumnRenamed(id_col, "id_a")
+    b_side = b.withColumnRenamed(id_col, "id_b")
+    cand = (
+        a_side.join(b_side, on=["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    return (
+        cand.join(va, "id_a").join(vb, "id_b")
+        .withColumn("cosine", F.round(cosine_expr("vec_a", "vec_b"), 4))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
              dim: int = 64, bits: int = 10, tables: int = 6) -> DataFrame:
