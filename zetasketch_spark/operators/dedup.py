@@ -55,26 +55,34 @@ def normalized_dup_groups(df: DataFrame, text_col: str = "text",
 # --- shingles + MinHash -----------------------------------------------------------
 
 def _shingle_hashes(texts: pd.Series, k: int = 5) -> list[np.ndarray]:
-    """Per-doc sorted unique uint64 hashes of word k-shingles (vectorized:
-    one fingerprint pass over all shingles of the batch)."""
-    all_shingles: list[str] = []
-    counts: list[int] = []
-    for t in texts:
-        words = (t or "").split()
-        if len(words) < k:
-            sh = [" ".join(words)] if words else []
-        else:
-            sh = [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
-        all_shingles.extend(sh)
-        counts.append(len(sh))
-    if not all_shingles:
-        return [np.empty(0, dtype=np.uint64) for _ in counts]
-    hashes = fingerprint_str_series(pd.Series(all_shingles))
-    out = []
-    pos = 0
-    for c in counts:
-        out.append(np.unique(hashes[pos:pos + c]))
-        pos += c
+    """Per-doc sorted unique uint64 hashes of word k-shingles.
+
+    Fully vectorized: one fingerprint pass over all words of the batch,
+    then each shingle hash = fingerprint of the k consecutive word hashes'
+    bytes (sliding window) — no shingle strings are ever materialized."""
+    from zetasketch_spark.hashing import fingerprint_bytes_batch
+
+    word_lists = [(t or "").split() for t in texts]
+    counts = np.array([len(w) for w in word_lists], dtype=np.int64)
+    flat = [w for ws in word_lists for w in ws]
+    if not flat:
+        return [np.empty(0, dtype=np.uint64) for _ in word_lists]
+    wh = fingerprint_str_series(pd.Series(flat))
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    out: list[np.ndarray] = []
+    for s, e, c in zip(starts, ends, counts):
+        if c == 0:
+            out.append(np.empty(0, dtype=np.uint64))
+            continue
+        doc = wh[s:e]
+        kk = min(k, int(c))
+        win = np.lib.stride_tricks.sliding_window_view(doc, kk)  # (n_sh, kk)
+        buf = np.ascontiguousarray(win).view(np.uint8).reshape(len(win), kk * 8)
+        flatbuf = buf.reshape(-1)
+        off = np.arange(len(win), dtype=np.int64) * (kk * 8)
+        ln = np.full(len(win), kk * 8, dtype=np.int64)
+        out.append(np.unique(fingerprint_bytes_batch(flatbuf, off, ln)))
     return out
 
 
@@ -93,14 +101,29 @@ def _minhash_from_hashes(hs: np.ndarray, num_perm: int) -> np.ndarray:
 
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                        num_perm: int = 64, shingle_k: int = 5) -> DataFrame:
-    """(id, signature array<bigint>) — vectorized Pandas UDF stage."""
+    """(id, signature array<bigint>) — vectorized Pandas UDF stage: one
+    permutation pass over the whole batch's shingle hashes with per-doc
+    ``np.minimum.reduceat`` (no per-doc matrices)."""
 
     @pandas_udf("array<long>")
     def sig_udf(texts: pd.Series) -> pd.Series:
         hsets = _shingle_hashes(texts, k=shingle_k)
-        return pd.Series([
-            _minhash_from_hashes(h, num_perm).view(np.int64).tolist() for h in hsets
-        ])
+        counts = np.array([len(h) for h in hsets], dtype=np.int64)
+        n_docs = len(hsets)
+        sigs = np.full((n_docs, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+        nonempty = counts > 0
+        if nonempty.any():
+            hs = np.concatenate([h for h in hsets if len(h)])
+            ne_counts = counts[nonempty]
+            starts = np.concatenate([[0], np.cumsum(ne_counts)[:-1]])
+            rng = np.random.default_rng(0xD1CE)
+            a = (rng.integers(1, 2**63, size=num_perm, dtype=np.uint64) << U64(1)) | U64(1)
+            b = rng.integers(0, 2**63, size=num_perm, dtype=np.uint64)
+            ne_rows = np.flatnonzero(nonempty)
+            for i in range(num_perm):
+                vals = a[i] * hs + b[i]
+                sigs[ne_rows, i] = np.minimum.reduceat(vals, starts)
+        return pd.Series([row.view(np.int64).tolist() for row in sigs])
 
     return df.select(F.col(id_col), sig_udf(F.col(text_col)).alias("signature"))
 
@@ -235,7 +258,8 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     @pandas_udf("long")
     def sim_udf(texts: pd.Series) -> pd.Series:
         # hash every word of the batch in one fingerprint pass, then
-        # group-reduce bit scores per doc with np.add.reduceat
+        # accumulate per-doc bit scores in cache-resident word chunks
+        # (score = 2*popcount_sum - n_words, avoiding the signed matrix)
         word_lists = [(t or "").split() for t in texts]
         counts = np.array([len(w) for w in word_lists], dtype=np.int64)
         flat = [w for ws in word_lists for w in ws]
@@ -243,14 +267,23 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         if not flat:
             return pd.Series(out)
         hs = fingerprint_str_series(pd.Series(flat))
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & U64(1)).astype(np.int32)
-        signed = 2 * bits - 1  # (n_words, 64)
-        nonempty = counts > 0
-        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])[nonempty]
-        scores = np.add.reduceat(signed, starts, axis=0)  # (n_nonempty, 64)
-        sigs = ((scores > 0).astype(np.uint64)
+        n_docs = len(texts)
+        doc_ids = np.repeat(np.arange(n_docs), counts)
+        shifts = np.arange(64, dtype=np.uint64)[None, :]
+        pos = np.zeros((n_docs, 64), dtype=np.int64)
+        chunk = 65536
+        for s in range(0, len(hs), chunk):
+            e = min(s + chunk, len(hs))
+            bits = ((hs[s:e, None] >> shifts) & U64(1)).astype(np.int32)
+            ids = doc_ids[s:e]
+            run_starts = np.flatnonzero(np.diff(ids, prepend=ids[0] - 1))
+            sums = np.add.reduceat(bits, run_starts, axis=0)
+            np.add.at(pos, ids[run_starts], sums)
+        score = 2 * pos - counts[:, None]  # (n_docs, 64)
+        sigs = ((score > 0).astype(np.uint64)
                 << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1, dtype=np.uint64)
-        out[nonempty] = sigs.view(np.int64)
+        nonempty = counts > 0
+        out[nonempty] = sigs[nonempty].view(np.int64)
         return pd.Series(out)
 
     return df.select(F.col(id_col), sim_udf(F.col(text_col)).alias("simhash"))
