@@ -54,6 +54,64 @@ def test_streaming_hll_matches_batch(spark, tmp_path):
     assert got == want
 
 
+def test_streaming_restart_recovers_state(spark, tmp_path):
+    """Kill the query between micro-batches and restart with the same
+    checkpointLocation: the state store must restore the sketches and the
+    final estimates must equal the batch answer."""
+    from zetasketch_spark.operators.agg import hll_count_distinct
+    from zetasketch_spark.sketches.base import HllFamily
+    from zetasketch_spark.sources.transcripts import (
+        load_transcripts, write_transcripts_parquet)
+    from zetasketch_spark.streaming.agg import streaming_sketch_agg
+
+    src = str(tmp_path / "rsrc")
+    ckpt = str(tmp_path / "rckpt")
+    write_transcripts_parquet(src, n_turns=30_000, seed=3, rows_per_file=10_000)
+    schema = spark.read.parquet(src).schema
+    fam = HllFamily(precision=12, sparse_precision=16)
+
+    sink = str(tmp_path / "rsink")
+
+    def write_batch(bdf, batch_id):
+        bdf.write.mode("append").parquet(sink)
+
+    def start(available_now=False):
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .parquet(src).select("role", "conv_id")
+        )
+        out = streaming_sketch_agg(stream, ["role"], "conv_id", fam)
+        w = (out.writeStream.outputMode("update").foreachBatch(write_batch)
+             .option("checkpointLocation", ckpt))
+        if available_now:
+            w = w.trigger(availableNow=True)
+        return w.start()
+
+    # phase 1: process exactly one micro-batch, then stop mid-stream
+    q1 = start()
+    while q1.lastProgress is None or q1.lastProgress["numInputRows"] == 0:
+        q1.awaitTermination(1)
+    q1.stop()
+    q1.awaitTermination(30)
+
+    # phase 2: restart from the checkpoint; availableNow drains the rest
+    q2 = start(available_now=True)
+    q2.awaitTermination(120)
+
+    emitted = spark.read.parquet(sink)
+    emitted.createOrReplaceTempView("hll_restart_sink")
+    got = {r["role"]: r["estimate"] for r in spark.sql("""
+        select role, estimate from (
+          select *, row_number() over (partition by role order by rows_seen desc) rk
+          from hll_restart_sink) where rk = 1
+    """).collect()}
+    batch = load_transcripts(spark, src)
+    want = {r["role"]: r["approx_distinct"] for r in
+            hll_count_distinct(batch, ["role"], "conv_id", precision=12,
+                               sparse_precision=16).collect()}
+    assert got == want
+
+
 def test_streaming_windowed_with_watermark(spark, tmp_path):
     """Event-time windows + watermark: per-(window, role) sketches converge
     to the batch answer; out-of-order files (within watermark) fold in."""
