@@ -45,7 +45,7 @@ HEADLINE = [
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_turns = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "2000000"))
+    n_turns = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "10000000"))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.0
 
@@ -82,8 +82,10 @@ def main():
 
     tdir = os.environ.get(
         "SPARK_GRAFT_TRANSCRIPTS_DIR",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "bench_transcripts"))
-    write_transcripts_parquet(tdir, n_turns=n_turns, seed=42)
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "data",
+                     f"bench_transcripts_{n_turns // 1_000_000}m"))
+    write_transcripts_parquet(tdir, n_turns=n_turns, seed=42,
+                              rows_per_file=1_250_000)
     fam = HllFamily(precision=15)
     best = None
     for _ in range(2):

@@ -15,7 +15,8 @@ import pyspark.sql.functions as F
 
 def iceberg_available(spark: SparkSession) -> bool:
     try:
-        spark._jvm.org.apache.iceberg.Table  # noqa: SLF001
+        # py4j package access is lazy/truthy; force a real classload
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.Table")  # noqa: SLF001
         return True
     except Exception:
         return False
