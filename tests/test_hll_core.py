@@ -172,6 +172,64 @@ def test_type_incompatibility():
         c.add_longs([1]) or c.add_ints([2])
 
 
+# --- register-level merge goldens (NormalRepresentationTest.java:199-240) -----
+
+def _normal_with_hashes(p, hashes):
+    from zetasketch_spark.hll import HllSketch
+    sk = HllSketch(precision=p, no_sparse=True)
+    sk.add_hashes(np.array(hashes, dtype=np.uint64))
+    return sk
+
+
+def test_merge_normal_with_higher_precision_registers():
+    """target p=10 absorbing source p=11: expected register array spelled
+    out (`NormalRepresentationTest.java:199-216`)."""
+    target = _normal_with_hashes(10, [
+        (0b0000000000 << 54) | (0b001 << 51),  # idx 0, rhoW 3
+        (0b0000000001 << 54) | (0b111 << 51),  # idx 1, rhoW 1
+    ])
+    source = _normal_with_hashes(11, [
+        (0b00000000000 << 53) | (0b111 << 50),  # idx 0, rhoW 1
+        (0b00000000010 << 53) | (0b001 << 50),  # idx 2 (p11), rhoW 3
+    ])
+    target.merge(source)
+    expected = np.zeros(1 << 10, dtype=np.uint8)
+    expected[0b0000000000] = 3  # preserved
+    expected[0b0000000001] = 4  # updated: source idx2@p11 -> idx1@p10, rhoW 3+1
+    assert target.registers.tolist() == expected.tolist()
+
+
+def test_merge_normal_with_lower_precision_registers():
+    """target p=11 absorbing source p=10 downgrades itself
+    (`NormalRepresentationTest.java:222-240`)."""
+    source = _normal_with_hashes(10, [
+        (0b0000000000 << 54) | (0b001 << 51),
+        (0b0000000001 << 54) | (0b111 << 51),
+    ])
+    target = _normal_with_hashes(11, [
+        (0b00000000000 << 53) | (0b111 << 50),
+        (0b00000000010 << 53) | (0b001 << 50),
+    ])
+    target.merge(source)
+    assert target.p == 10
+    expected = np.zeros(1 << 10, dtype=np.uint8)
+    expected[0b0000000000] = 3
+    expected[0b0000000001] = 4
+    assert target.registers.tolist() == expected.tolist()
+
+
+def test_merge_downgrades_sparse_precision_bookkeeping():
+    """min sparse precision wins even with no data
+    (`NormalRepresentationTest.java:186-193`)."""
+    from zetasketch_spark.hll import HllSketch
+    a = HllSketch(precision=10, sparse_precision=14)
+    a._normalize()  # normal mode, sp bookkeeping 14
+    b = HllSketch(precision=10, sparse_precision=15)
+    b._normalize()
+    b.merge(a)
+    assert b.sp == 14
+
+
 # --- state-level merge associativity (MergeTest.java:36-73) ------------------
 
 def test_hundred_way_merge_equals_direct_state():
