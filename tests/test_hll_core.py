@@ -314,8 +314,17 @@ def test_upgrade_boundary():
 
 # --- error envelope (F4) ------------------------------------------------------
 
-@pytest.mark.parametrize("p", [10, 14, 15, 20])
-@pytest.mark.parametrize("n", [10, 1000, 100_000])
+@pytest.mark.parametrize("p,n", [
+    # full advertised range p in 10..24 (BASELINE.json metric), crossing the
+    # LC thresholds and the sparse->dense upgrade boundary
+    (10, 10), (10, 1000), (10, 100_000),
+    (12, 5000), (13, 20_000),
+    (14, 10), (14, 1000), (14, 100_000),
+    (15, 10), (15, 1000), (15, 100_000), (15, 1_000_000),
+    (16, 300_000), (18, 500_000),
+    (20, 10), (20, 1000), (20, 100_000),
+    (22, 200_000), (24, 1_000_000),
+])
 def test_error_envelope(p, n):
     """|est/n - 1| <= 3 * 1.04/sqrt(2^p) on a seeded distinct stream (with
     3x duplicates), per BASELINE.md. LinearCounting keeps small-n errors
