@@ -362,6 +362,19 @@ def q_tdigest_value_quantiles(spark, sf_dir):
     return sketch_agg(e, ["event_type"], "value", fam)
 
 
+def q_multi_stats_by_type(spark, sf_dir):
+    """One scan, two sketches: HLL distinct users + KLL value quantiles."""
+    from zetasketch_spark.operators.multi import multi_sketch_agg
+    from zetasketch_spark.sketches.base import HllFamily
+    from zetasketch_spark.sketches.kll import KllFamily
+
+    e = _t(spark, sf_dir, "events")
+    return multi_sketch_agg(e, ["event_type"], {
+        "users": ("user_id", HllFamily(precision=14)),
+        "values": ("value", KllFamily(k=200, quantiles=(0.5, 0.9))),
+    })
+
+
 def q_bloom_membership(spark, sf_dir):
     """Bloom over orders.o_custkey, probed with customer keys."""
     from pyspark.sql.functions import pandas_udf
@@ -484,6 +497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cm_heavy_hitter_users": q_cm_heavy_hitter_users,
         "kll_value_quantiles": q_kll_value_quantiles,
         "tdigest_value_quantiles": q_tdigest_value_quantiles,
+        "multi_stats_by_type": q_multi_stats_by_type,
         "bloom_membership": q_bloom_membership,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,

@@ -73,6 +73,27 @@ def test_hll_serde_fixpoint(vals, p):
     assert rt.estimate() == sk.estimate()
 
 
+@settings(max_examples=25, deadline=None)
+@given(a=streams, b=streams,
+       pa=st.integers(10, 16), pb=st.integers(10, 16),
+       da=st.integers(2, 6), db=st.integers(2, 6))
+def test_hll_cross_precision_merge_estimate(a, b, pa, pb, da, db):
+    """Merging across any compatible (p, sp) pair estimates the union
+    within the coarser precision's envelope (downgrade correctness)."""
+    spa, spb = pa + da, pb + db
+    # only compatible orderings (assertCompatible partial order)
+    if not ((pa <= pb and spa <= spb) or (pa >= pb and spa >= spb)):
+        return
+    x = _sketch(a, pa, spa)
+    x.merge(_sketch(b, pb, spb))
+    true = len(set(a) | set(b))
+    if true == 0:
+        assert x.estimate() == 0
+        return
+    bound = 3 * 1.04 / np.sqrt(2.0 ** min(pa, pb))
+    assert abs(x.estimate() / true - 1) <= max(bound, 0.25)
+
+
 @settings(max_examples=20, deadline=None)
 @given(a=st.lists(st.text(min_size=0, max_size=20), max_size=150),
        b=st.lists(st.text(min_size=0, max_size=20), max_size=150))
