@@ -87,9 +87,14 @@ def test_streaming_restart_recovers_state(spark, tmp_path):
             w = w.trigger(availableNow=True)
         return w.start()
 
-    # phase 1: process exactly one micro-batch, then stop mid-stream
+    # phase 1: process at least one micro-batch, then stop mid-stream
+    import time as _time
+
     q1 = start()
-    while q1.lastProgress is None or q1.lastProgress["numInputRows"] == 0:
+    deadline = _time.time() + 60
+    while (q1.lastProgress is None or q1.lastProgress["numInputRows"] == 0):
+        assert _time.time() < deadline, "stream made no progress in 60s"
+        assert q1.exception() is None, q1.exception()
         q1.awaitTermination(1)
     q1.stop()
     q1.awaitTermination(30)
