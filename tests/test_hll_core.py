@@ -340,6 +340,43 @@ def test_error_envelope(p, n):
     assert abs(est / n - 1) <= max(bound, 0.01), (p, n, est)
 
 
+# --- proto validation (HyperLogLogPlusPlusTest.java:332-485) -------------------
+
+def test_deserialize_rejects_wrong_aggregator_type():
+    sk = HllSketch(precision=10)
+    sk.add_longs([1, 2, 3])
+    data = bytearray(sk.serialize())
+    assert data[0] == 0x08 and data[1] == 112
+    data[1] = 100  # AggregatorType.SUM
+    with pytest.raises(ValueError, match="HYPERLOGLOG_PLUS_UNIQUE"):
+        HllSketch.deserialize(bytes(data))
+
+
+def test_deserialize_rejects_wrong_encoding_version():
+    sk = HllSketch(precision=10)
+    sk.add_longs([1])
+    data = bytearray(sk.serialize())
+    i = data.index(0x18)  # encoding_version tag
+    assert data[i + 1] == 2
+    data[i + 1] = 1
+    with pytest.raises(ValueError, match="encoding version"):
+        HllSketch.deserialize(bytes(data))
+
+
+def test_deserialize_rejects_wrong_data_size():
+    sk = HllSketch(precision=4, no_sparse=True)
+    sk.add_longs([42])
+    data = sk.serialize()
+    # truncate one register byte: declared 2^4 = 16, provide 15
+    broken = data[:-1]
+    broken = bytearray(broken)
+    # fix the two length prefixes (hll submessage and data field)
+    broken[10] -= 1   # hll ext length (0x14 -> 0x13)
+    broken[14] -= 1   # data field length (0x10 -> 0x0f)
+    with pytest.raises(ValueError, match="exactly 16 bytes"):
+        HllSketch.deserialize(bytes(broken))
+
+
 # --- codec round trips ---------------------------------------------------------
 
 def test_delta_varint_roundtrip():
