@@ -65,6 +65,38 @@ def test_sketch_rollup_grouping_sets(spark, transcripts_path):
     assert ("user", None) in rows and ("assistant", None) in rows
 
 
+def test_sketch_agg_over_window_frame(spark, transcripts_path):
+    """The INIT UDAF composes with window frames — per-partition distinct
+    counts without a group-by collapse (window functions over sketches)."""
+    from pyspark.sql import Window
+
+    from zetasketch_spark.functions.sketch_udfs import hll_estimate, hll_init_agg
+    from zetasketch_spark.sources.transcripts import load_transcripts
+
+    df = load_transcripts(spark, transcripts_path)
+    w = Window.partitionBy("role")
+    out = (
+        df.withColumn("sk", hll_init_agg("conv_id", 13).over(w))
+        .select("role", hll_estimate("sk").alias("distinct_convs"))
+        .distinct()
+    )
+    got = {r["role"]: r["distinct_convs"] for r in out.collect()}
+    exact = {r["role"]: r["n"] for r in df.groupBy("role").agg(
+        F.countDistinct("conv_id").alias("n")).collect()}
+    for role, n in exact.items():
+        assert abs(got[role] / n - 1) <= 0.05
+
+
+def test_udfs_importable_without_session():
+    """Importing the module must not require an active SparkSession (the
+    scalar UDFs are created lazily)."""
+    import importlib
+
+    import zetasketch_spark.functions.sketch_udfs as m
+
+    importlib.reload(m)
+
+
 def test_sql_registration(spark, transcripts_path):
     from zetasketch_spark.functions.sketch_udfs import hll_init_agg, register_sql
     from zetasketch_spark.sources.transcripts import load_transcripts

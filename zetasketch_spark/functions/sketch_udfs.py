@@ -73,33 +73,49 @@ def hll_merge_agg(col):
     return _merge(F.col(col) if isinstance(col, str) else col)
 
 
-@pandas_udf("long")
-def hll_estimate(states: pd.Series) -> pd.Series:
+def _estimate_udf():
+    # created lazily: pandas_udf needs an active SparkSession to parse the
+    # return type, so module import must stay session-free
+    @pandas_udf("long")
+    def _estimate(states: pd.Series) -> pd.Series:
+        from zetasketch_spark.hll import HllSketch
+
+        return pd.Series([
+            HllSketch.deserialize(bytes(b)).estimate() if b is not None else 0
+            for b in states
+        ])
+
+    return _estimate
+
+
+def hll_estimate(col):
     """Scalar: cardinality estimate from a serialized sketch. Equivalent of
     BigQuery ``HLL_COUNT.EXTRACT``."""
-    from zetasketch_spark.hll import HllSketch
-
-    return pd.Series([
-        HllSketch.deserialize(bytes(b)).estimate() if b is not None else 0
-        for b in states
-    ])
+    return _estimate_udf()(F.col(col) if isinstance(col, str) else col)
 
 
-@pandas_udf("long")
-def hll_num_values(states: pd.Series) -> pd.Series:
+def _num_values_udf():
+    @pandas_udf("long")
+    def _num_values(states: pd.Series) -> pd.Series:
+        from zetasketch_spark.hll import HllSketch
+
+        return pd.Series([
+            HllSketch.deserialize(bytes(b)).num_values if b is not None else 0
+            for b in states
+        ])
+
+    return _num_values
+
+
+def hll_num_values(col):
     """Scalar: total values absorbed (`Aggregator.numValues`)."""
-    from zetasketch_spark.hll import HllSketch
-
-    return pd.Series([
-        HllSketch.deserialize(bytes(b)).num_values if b is not None else 0
-        for b in states
-    ])
+    return _num_values_udf()(F.col(col) if isinstance(col, str) else col)
 
 
 def register_sql(spark) -> None:
     """Register the scalar/agg functions for use from ``spark.sql``."""
-    spark.udf.register("hll_estimate", hll_estimate)
-    spark.udf.register("hll_num_values", hll_num_values)
+    spark.udf.register("hll_estimate", _estimate_udf())
+    spark.udf.register("hll_num_values", _num_values_udf())
 
     @pandas_udf("binary")
     def _merge(states: pd.Series) -> bytes:
