@@ -160,6 +160,23 @@ def test_merge_normal_into_sparse_disables_sparse():
     assert a.estimate() == 4
 
 
+def test_merge_null_and_empty_are_noops():
+    """`HyperLogLogPlusPlusTest.java:619-643`: merging null / empty
+    serialized states changes nothing."""
+    from zetasketch_spark.sketches.base import HllFamily
+
+    fam = HllFamily(precision=12)
+    sk = fam.make()
+    sk.add_longs([1, 2, 3])
+    direct = fam.serialize(sk)
+    merged = fam.merge_serialized([None, b"", direct, None])
+    assert merged == direct
+    sk2 = HllSketch(precision=12)
+    sk2.add_longs([1, 2, 3])
+    sk2.merge(None)  # aggregator-null merge is a no-op
+    assert sk2.serialize() == direct
+
+
 def test_type_incompatibility():
     a = HllSketch()
     a.add_longs([1])

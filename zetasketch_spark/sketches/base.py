@@ -61,10 +61,12 @@ class SketchFamily:
     # -- conveniences shared by the harness ---------------------------------
 
     def merge_serialized(self, blobs) -> bytes:
-        """Merge an iterable of serialized states into one blob."""
+        """Merge an iterable of serialized states into one blob. None and
+        empty blobs are no-ops (`HyperLogLogPlusPlus.java:231-243`: null /
+        empty proto merges are ignored)."""
         acc = None
         for b in blobs:
-            if b is None:
+            if b is None or len(b) == 0:
                 continue
             s = self.deserialize(bytes(b))
             acc = s if acc is None else self.merge(acc, s)
