@@ -160,6 +160,20 @@ def test_merge_normal_into_sparse_disables_sparse():
     assert a.estimate() == 4
 
 
+def test_builder_precision_validation():
+    """Builder bounds (`HyperLogLogPlusPlusTest.java:300-331`): p in [4,24],
+    sp in [p,25] or 0."""
+    for p in (3, 25):
+        with pytest.raises(ValueError, match=r"\[4,24\]"):
+            HllSketch(precision=p)
+    with pytest.raises(ValueError):
+        HllSketch(precision=10, sparse_precision=26)
+    with pytest.raises(ValueError):
+        HllSketch(precision=10, sparse_precision=9)
+    assert HllSketch(precision=4).sp == 9
+    assert HllSketch(precision=24).sp == 25  # capped at MAXIMUM_SPARSE_PRECISION
+
+
 def test_merge_null_and_empty_are_noops():
     """`HyperLogLogPlusPlusTest.java:619-643`: merging null / empty
     serialized states changes nothing."""

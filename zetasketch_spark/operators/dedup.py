@@ -86,19 +86,6 @@ def _shingle_hashes(texts: pd.Series, k: int = 5) -> list[np.ndarray]:
     return out
 
 
-def _minhash_from_hashes(hs: np.ndarray, num_perm: int) -> np.ndarray:
-    """num_perm minhash values via h_i = a_i*h + b_i (odd multipliers from a
-    fixed seeded table), all uint64 arithmetic."""
-    if len(hs) == 0:
-        return np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
-    rng = np.random.default_rng(0xD1CE)
-    a = (rng.integers(1, 2**63, size=num_perm, dtype=np.uint64) << U64(1)) | U64(1)
-    b = rng.integers(0, 2**63, size=num_perm, dtype=np.uint64)
-    # (num_perm, n) permuted values; min along docs' hashes
-    vals = a[:, None] * hs[None, :] + b[:, None]
-    return vals.min(axis=1)
-
-
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                        num_perm: int = 64, shingle_k: int = 5) -> DataFrame:
     """(id, signature array<bigint>) — vectorized Pandas UDF stage: one
