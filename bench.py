@@ -68,11 +68,6 @@ def main():
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        n = df.count() if hasattr(df, "count") else len(df)
-        timings[name] = round(time.time() - t0, 3)
 
     # sketch-update throughput on synthetic transcripts (turns/sec) via the
     # RDD execution fabric (see operators/fastscan.py for why)
@@ -97,6 +92,13 @@ def main():
         best = tsec if best is None else min(best, tsec)
     timings["transcripts_hll_role_day"] = round(best, 3)
     turns_per_sec = int(n_turns / best)
+
+
+    for name in HEADLINE:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        n = df.count() if hasattr(df, "count") else len(df)
+        timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
