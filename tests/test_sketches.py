@@ -67,10 +67,11 @@ def test_countmin_heavy_hitters():
 
 def test_countmin_serde_roundtrip():
     cm = CountMinSketch(width=512, depth=3, max_candidates=64)
-    cm.add_series(pd.Series(["a", "b", "a", "c"]))
+    # keys with NUL bytes, unicode, and empties must round-trip
+    cm.add_series(pd.Series(["a", "b", "a", "c", "x\x00y", "", "Zürich"]))
     rt = CountMinSketch.deserialize(cm.serialize())
     assert np.array_equal(rt.counters, cm.counters)
-    assert rt.candidates == cm.candidates and rt.total == 4
+    assert rt.candidates == cm.candidates and rt.total == 7
 
 
 # --- KLL -----------------------------------------------------------------------

@@ -119,13 +119,16 @@ class CountMinSketch:
         self._prune()
 
     def serialize(self) -> bytes:
-        cand_keys = "\x00".join(self.candidates.keys()).encode("utf-8")
+        # candidates as length-prefixed UTF-8 (keys may contain any byte)
+        key_blobs = [k.encode("utf-8") for k in self.candidates.keys()]
+        key_lens = np.array([len(b) for b in key_blobs], dtype=np.int32)
+        cand_keys = b"".join(key_blobs)
         cand_counts = np.fromiter(self.candidates.values(), dtype=np.int64,
                                   count=len(self.candidates))
         header = struct.pack("<4siiqii", _MAGIC, self.width, self.depth,
                              self.total, self.max_candidates, len(self.candidates))
         return (header + self.counters.tobytes()
-                + cand_counts.tobytes()
+                + cand_counts.tobytes() + key_lens.tobytes()
                 + struct.pack("<i", len(cand_keys)) + cand_keys)
 
     @classmethod
@@ -140,9 +143,15 @@ class CountMinSketch:
         off += n * 8
         counts = np.frombuffer(data, dtype=np.int64, count=ncand, offset=off)
         off += ncand * 8
+        key_lens = np.frombuffer(data, dtype=np.int32, count=ncand, offset=off)
+        off += ncand * 4
         (klen,) = struct.unpack_from("<i", data, off)
         off += 4
-        keys = data[off:off + klen].decode("utf-8").split("\x00") if ncand else []
+        keys = []
+        pos = off
+        for ln in key_lens:
+            keys.append(data[pos:pos + int(ln)].decode("utf-8"))
+            pos += int(ln)
         sk.candidates = dict(zip(keys, (int(c) for c in counts)))
         sk.total = total
         return sk
