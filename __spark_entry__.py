@@ -4,11 +4,13 @@
 per group — the query ZetaSketch exists for) on sf0.001.
 
 ``queries()`` exposes the implemented operator surface (SURVEY.md §2 plus
-the training-data-pipeline operators); ``oracle_sql()`` carries the DuckDB
-equivalent for every exactly-answerable query. Sketch-estimate queries are
-registered without oracle SQL (estimates cannot equal an exact SQL answer);
-their error-envelope assertions live in tests/ (pytest oracles per
-FIXTURES.md F4/F6).
+the training-data-pipeline operators); ``oracle_sql()`` carries a DuckDB
+equivalent for EVERY query. Sketch-estimate queries are self-verifying:
+they emit exact companion columns (DuckDB recomputes them) plus booleans
+asserting the sketch's published guarantee (HLL envelope, KLL/t-digest
+rank brackets, CM overcount bound, Bloom zero-false-negatives, LSH recall
+on planted near-duplicates) — see zetasketch_spark/operators/verify.py.
+The pure operator versions are benchmarked via ``bench_queries()``.
 
 Determinism rules used throughout so Spark and DuckDB hash-match:
 every float is round()ed, every aggregate/computed column is aliased the
@@ -211,10 +213,14 @@ def q_docs_bpe_tokens(spark, sf_dir):
 
 
 def q_embedding_near_dups(spark, sf_dir):
+    """Signbit-LSH near-dup pairs over the corpus + deterministically
+    planted near-duplicates: the pair set at cosine ≥ 0.95 is an exact
+    function of the data (DuckDB brute-force oracle)."""
     from zetasketch_spark.operators.similarity import embedding_near_dups
+    from zetasketch_spark.operators.verify import planted_corpus
 
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dups(emb, threshold=0.9)
+    return embedding_near_dups(planted_corpus(emb), threshold=0.95)
 
 
 def q_docs_lang_id(spark, sf_dir):
@@ -305,10 +311,27 @@ def q_ann_cosine_topk(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# sketch queries (estimates -> rows-only driver check; envelopes in pytest)
+# sketch queries — self-verifying gate versions.
+#
+# Sketch estimates cannot equal an exact SQL answer, so each gate query
+# emits exact companion columns (DuckDB recomputes them verbatim) plus
+# boolean columns asserting the sketch's published guarantee; the oracle
+# emits the same exact columns + literal true. A broken estimate flips a
+# boolean and fails the value hash — a *hard* driver-gate signal (see
+# zetasketch_spark/operators/verify.py). The pure operator versions (the
+# ones benchmarked) live below as q_*_pure.
 # ---------------------------------------------------------------------------
 
 def q_hll_users_by_type(spark, sf_dir):
+    """HLL++ p=14 approx COUNT DISTINCT per type, checked against the exact
+    distinct within the published 1.04/√2^p envelope."""
+    from zetasketch_spark.operators.verify import hll_verified
+
+    e = _t(spark, sf_dir, "events")
+    return hll_verified(e, ["event_type"], "user_id", precision=14)
+
+
+def q_hll_users_by_type_pure(spark, sf_dir):
     from zetasketch_spark.operators.agg import hll_count_distinct
 
     e = _t(spark, sf_dir, "events")
@@ -316,7 +339,16 @@ def q_hll_users_by_type(spark, sf_dir):
 
 
 def q_hll_users_by_type_day(spark, sf_dir):
-    """Finer grain + salted two-level (tree) merge."""
+    """Finer grain + salted two-level (tree) merge, envelope-checked."""
+    from zetasketch_spark.operators.verify import hll_verified
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd"))
+    return hll_verified(e, ["event_type", "day"], "user_id", precision=12,
+                        tree_levels=2)
+
+
+def q_hll_users_by_type_day_pure(spark, sf_dir):
     from zetasketch_spark.operators.agg import hll_count_distinct
 
     e = _t(spark, sf_dir, "events").withColumn(
@@ -326,7 +358,16 @@ def q_hll_users_by_type_day(spark, sf_dir):
 
 
 def q_cm_heavy_hitter_users(spark, sf_dir):
-    """Count-Min + candidate sets: top-10 user_ids by event count."""
+    """Count-Min top-10: exact top-10 keys with the CM overcount bound
+    (exact ≤ estimate ≤ exact + ⌈εN⌉) and candidate-set membership."""
+    from zetasketch_spark.operators.verify import cm_topk_verified
+
+    e = _t(spark, sf_dir, "events")
+    return cm_topk_verified(e, "user_id", k=10, width=4096, depth=5,
+                            max_candidates=256).withColumnRenamed("key", "user_id")
+
+
+def q_cm_heavy_hitter_users_pure(spark, sf_dir):
     import pandas as pd
 
     from zetasketch_spark.operators.agg import sketch_merge, sketch_partial
@@ -345,6 +386,20 @@ def q_cm_heavy_hitter_users(spark, sf_dir):
 
 
 def q_kll_value_quantiles(spark, sf_dir):
+    """KLL quantiles rank-bracket-checked against the raw data (±ε rank),
+    with the exact interpolated median as the oracle-hashable companion."""
+    from zetasketch_spark.operators.verify import quantile_sketch_verified
+    from zetasketch_spark.sketches.kll import KllFamily
+
+    e = _t(spark, sf_dir, "events")
+    fam = KllFamily(k=200, quantiles=(0.1, 0.5, 0.9, 0.99))
+    return quantile_sketch_verified(
+        e, ["event_type"], "value", fam,
+        qcols={"q10": 0.1, "q50": 0.5, "q90": 0.9, "q99": 0.99},
+        eps=0.025, ok_col="kll_rank_ok")
+
+
+def q_kll_value_quantiles_pure(spark, sf_dir):
     from zetasketch_spark.operators.agg import sketch_agg
     from zetasketch_spark.sketches.kll import KllFamily
 
@@ -354,6 +409,20 @@ def q_kll_value_quantiles(spark, sf_dir):
 
 
 def q_tdigest_value_quantiles(spark, sf_dir):
+    """t-digest quantiles rank-bracket-checked (tolerance scales with
+    q(1-q), tight at the extremes — the t-digest design point)."""
+    from zetasketch_spark.operators.verify import quantile_sketch_verified
+    from zetasketch_spark.sketches.tdigest import TDigestFamily
+
+    e = _t(spark, sf_dir, "events")
+    fam = TDigestFamily(delta=200, quantiles=(0.01, 0.5, 0.99))
+    return quantile_sketch_verified(
+        e, ["event_type"], "value", fam,
+        qcols={"q01": 0.01, "q50": 0.5, "q99": 0.99},
+        eps={"q01": 0.01, "q50": 0.05, "q99": 0.01}, ok_col="td_rank_ok")
+
+
+def q_tdigest_value_quantiles_pure(spark, sf_dir):
     from zetasketch_spark.operators.agg import sketch_agg
     from zetasketch_spark.sketches.tdigest import TDigestFamily
 
@@ -363,7 +432,37 @@ def q_tdigest_value_quantiles(spark, sf_dir):
 
 
 def q_multi_stats_by_type(spark, sf_dir):
-    """One scan, two sketches: HLL distinct users + KLL value quantiles."""
+    """One scan, two sketches (HLL users + KLL quantiles), both checked:
+    HLL within envelope, KLL within rank brackets."""
+    import math
+
+    from zetasketch_spark.operators.multi import multi_sketch_agg
+    from zetasketch_spark.operators.verify import rank_check
+    from zetasketch_spark.sketches.base import HllFamily
+    from zetasketch_spark.sketches.kll import KllFamily
+
+    e = _t(spark, sf_dir, "events")
+    res = multi_sketch_agg(e, ["event_type"], {
+        "users": ("user_id", HllFamily(precision=14)),
+        "values": ("value", KllFamily(k=200, quantiles=(0.5, 0.9))),
+    })
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"))
+    kll_ok = rank_check(e, ["event_type"], "value", res,
+                        {"values_q50": 0.5, "values_q90": 0.9},
+                        eps=0.025, ok_col="kll_ok")
+    bound = 1.04 / math.sqrt(2 ** 14)
+    return (
+        kll_ok.join(exact, "event_type")
+        .join(res.select("event_type", "users_estimate"), "event_type")
+        .withColumn("hll_ok",
+                    F.abs(F.col("users_estimate") / F.col("exact_users") - 1.0)
+                    <= F.lit(bound))
+        .select("event_type", "n_rows", "exact_users", "hll_ok", "kll_ok")
+    )
+
+
+def q_multi_stats_by_type_pure(spark, sf_dir):
     from zetasketch_spark.operators.multi import multi_sketch_agg
     from zetasketch_spark.sketches.base import HllFamily
     from zetasketch_spark.sketches.kll import KllFamily
@@ -376,7 +475,16 @@ def q_multi_stats_by_type(spark, sf_dir):
 
 
 def q_bloom_membership(spark, sf_dir):
-    """Bloom over orders.o_custkey, probed with customer keys."""
+    """Bloom over orders.o_custkey probed with customer keys: zero false
+    negatives (forbidden by construction) + bounded false-positive rate."""
+    from zetasketch_spark.operators.verify import bloom_verified
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return bloom_verified(o, "o_custkey", c, "c_custkey", m=1 << 17, k=7)
+
+
+def q_bloom_membership_pure(spark, sf_dir):
     from pyspark.sql.functions import pandas_udf
 
     from zetasketch_spark.operators.agg import sketch_merge, sketch_partial
@@ -403,6 +511,9 @@ def q_bloom_membership(spark, sf_dir):
 
 
 def q_minhash_near_dups(spark, sf_dir):
+    """MinHash-LSH near-dup pairs with exact-Jaccard verification — the
+    pair set IS an exact function of the data (every emitted pair carries
+    its exact shingle Jaccard), so DuckDB brute-force is a direct oracle."""
     from zetasketch_spark.operators.dedup import minhash_near_dups
 
     d = _t(spark, sf_dir, "documents")
@@ -410,6 +521,16 @@ def q_minhash_near_dups(spark, sf_dir):
 
 
 def q_simhash_near_dups(spark, sf_dir):
+    """Ground-truth near-dup pairs + SimHash theorem booleans: any pair at
+    Hamming ≤ 3 must be emitted (prefix-block guarantee) and everything
+    emitted must be a genuine near-dup."""
+    from zetasketch_spark.operators.verify import simhash_verified
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_verified(d, max_hamming=3, gt_threshold=0.5)
+
+
+def q_simhash_near_dups_pure(spark, sf_dir):
     from zetasketch_spark.operators.dedup import simhash_near_dups
 
     d = _t(spark, sf_dir, "documents")
@@ -417,7 +538,23 @@ def q_simhash_near_dups(spark, sf_dir):
 
 
 def q_docs_winnow_fingerprints(spark, sf_dir):
-    """Winnowing document fingerprints (rolling-hash k-gram minima)."""
+    """Winnowing fingerprints with the Schleimer guarantee as booleans:
+    ceil(W/window) ≤ |fingerprints| ≤ #k-grams (W = #windows)."""
+    from zetasketch_spark.functions.fingerprint import winnow_fingerprints_udf
+    from zetasketch_spark.functions.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    fp = winnow_fingerprints_udf(k=5, window=4)
+    nw = token_count("text")
+    n_grams = F.when(nw >= 5, nw - 4).when(nw > 0, F.lit(1)).otherwise(F.lit(0))
+    wnd = F.when(n_grams > 4, n_grams - 3).otherwise(F.least(n_grams, F.lit(1)))
+    n_fp = F.size(fp(F.col("text")))
+    bounds_ok = F.when(n_grams == 0, n_fp == 0).otherwise(
+        (n_fp >= F.ceil(wnd / F.lit(4.0))) & (n_fp <= n_grams))
+    return d.select("doc_id", nw.alias("n_words"), bounds_ok.alias("bounds_ok"))
+
+
+def q_docs_winnow_fingerprints_pure(spark, sf_dir):
     from zetasketch_spark.functions.fingerprint import winnow_fingerprints_udf
 
     d = _t(spark, sf_dir, "documents")
@@ -429,7 +566,41 @@ def q_docs_winnow_fingerprints(spark, sf_dir):
 
 
 def q_hll_sql_surface(spark, sf_dir):
-    """BigQuery-style INIT/MERGE/EXTRACT over events (rollup by merging)."""
+    """BigQuery-style INIT/MERGE/EXTRACT: day-sketches merged up to type
+    must (a) land in the envelope vs exact and (b) estimate identically to
+    a direct type-level sketch — merge associativity, exactly checked."""
+    import math
+
+    from zetasketch_spark.functions.sketch_udfs import (
+        hll_estimate, hll_init_agg, hll_merge_agg)
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd"))
+    fine = e.groupBy("event_type", "day").agg(
+        hll_init_agg("user_id", 14).alias("sk"))
+    merged = (
+        fine.groupBy("event_type").agg(hll_merge_agg("sk").alias("sk"))
+        .select("event_type", hll_estimate(F.col("sk")).alias("est_merged"))
+    )
+    direct = (
+        e.groupBy("event_type").agg(hll_init_agg("user_id", 14).alias("sk"))
+        .select("event_type", hll_estimate(F.col("sk")).alias("est_direct"))
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"))
+    bound = 1.04 / math.sqrt(2 ** 14)
+    return (
+        exact.join(merged, "event_type").join(direct, "event_type")
+        .select(
+            "event_type", "exact_users",
+            (F.abs(F.col("est_merged") / F.col("exact_users") - 1.0)
+             <= F.lit(bound)).alias("within_envelope"),
+            (F.col("est_merged") == F.col("est_direct")).alias("merge_consistent"),
+        )
+    )
+
+
+def q_hll_sql_surface_pure(spark, sf_dir):
     from zetasketch_spark.functions.sketch_udfs import (
         hll_estimate, hll_init_agg, hll_merge_agg)
 
@@ -444,6 +615,20 @@ def q_hll_sql_surface(spark, sf_dir):
 
 
 def q_ann_lsh_topk(spark, sf_dir):
+    """LSH ANN over the corpus + deterministically planted near-duplicates
+    (cosine ≈ 0.997): the rank-1 neighbor of each planted query is an exact
+    function of the data, so DuckDB brute-force is a direct oracle."""
+    from zetasketch_spark.operators.similarity import ann_topk
+    from zetasketch_spark.operators.verify import PLANT_N, planted_corpus
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = planted_corpus(emb)
+    queries = corpus.filter(F.col("vec_id") < PLANT_N)
+    res = ann_topk(corpus, queries, k=5, dim=64)
+    return res.filter(F.col("rank") == 1).select("query_id", "neighbor_id", "cosine")
+
+
+def q_ann_lsh_topk_pure(spark, sf_dir):
     from zetasketch_spark.operators.similarity import ann_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -452,6 +637,19 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 
 def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN, same planted construction: probe cells must recover the
+    true rank-1 neighbor."""
+    from zetasketch_spark.operators.similarity import ivf_topk
+    from zetasketch_spark.operators.verify import PLANT_N, planted_corpus
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = planted_corpus(emb)
+    queries = corpus.filter(F.col("vec_id") < PLANT_N)
+    res = ivf_topk(corpus, queries, k=5, n_centroids=16, nprobe=4)
+    return res.filter(F.col("rank") == 1).select("query_id", "neighbor_id", "cosine")
+
+
+def q_ann_ivf_topk_pure(spark, sf_dir):
     from zetasketch_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -491,7 +689,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_lineitem": q_cube_lineitem,
         "set_ops": q_set_ops,
         "ann_cosine_topk": q_ann_cosine_topk,
-        # sketch estimates (rows-only driver check; envelopes in pytest)
+        # sketch queries, self-verifying (hard driver-gate signal: exact
+        # companion columns + guarantee booleans; see module docstring)
         "hll_users_by_type": q_hll_users_by_type,
         "hll_users_by_type_day": q_hll_users_by_type_day,
         "cm_heavy_hitter_users": q_cm_heavy_hitter_users,
@@ -509,6 +708,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """The pure operator versions for benchmarking: gate queries carry an
+    exact twin computation (countDistinct / brute-force pairs / rank
+    brackets) whose cost would measure the oracle, not the operator."""
+    pure = {
+        "hll_users_by_type": q_hll_users_by_type_pure,
+        "hll_users_by_type_day": q_hll_users_by_type_day_pure,
+        "cm_heavy_hitter_users": q_cm_heavy_hitter_users_pure,
+        "kll_value_quantiles": q_kll_value_quantiles_pure,
+        "tdigest_value_quantiles": q_tdigest_value_quantiles_pure,
+        "multi_stats_by_type": q_multi_stats_by_type_pure,
+        "bloom_membership": q_bloom_membership_pure,
+        "simhash_near_dups": q_simhash_near_dups_pure,
+        "docs_winnow_fingerprints": q_docs_winnow_fingerprints_pure,
+        "hll_sql_surface": q_hll_sql_surface_pure,
+        "ann_lsh_topk": q_ann_lsh_topk_pure,
+        "ann_ivf_topk": q_ann_ivf_topk_pure,
+    }
+    return {**queries(), **pure}
+
+
 _EN = "'the', 'and', 'of', 'to', 'in', 'is', 'that', 'it', 'for', 'was'"
 _DE = "'der', 'die', 'das', 'und', 'ist', 'nicht', 'ein', 'mit', 'sich', 'auf'"
 _FR = "'le', 'la', 'les', 'et', 'est', 'pas', 'une', 'pour', 'que', 'dans'"
@@ -517,6 +737,47 @@ _ES = "'el', 'la', 'los', 'que', 'de', 'no', 'una', 'por', 'con', 'para'"
 
 def _sw(col: str, words: str) -> str:
     return f"len(list_filter(string_split({col}, ' '), w -> w in ({words})))"
+
+
+# brute-force exact shingle-Jaccard pairs (k = min(5, n_words) word
+# shingles, distinct, unit separator — mirrors operators/dedup.py's hashed
+# shingles exactly, modulo negligible fingerprint collisions)
+_SHINGLE_PAIRS = """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+                 range(1, greatest(n - least(5, n) + 1, 0) + 1),
+                 i -> array_to_string(ws[i:i+least(5,n)-1], chr(31)))) AS shingles
+      FROM w
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+             (len(a.shingles) + len(b.shingles)
+              - len(list_intersect(a.shingles, b.shingles))) AS j
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.shingles, b.shingles)) > 0
+    )
+"""
+
+# corpus + planted near-duplicates (must mirror operators/verify.py
+# planted_corpus: PLANT_N=20, PLANT_OFFSET=10000, PLANT_EPS=0.08, float64)
+_PLANTED = """
+    WITH base AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), planted AS (
+      SELECT vec_id + 10000 AS vec_id,
+             list_transform(range(1, len(v) + 1),
+                            i -> v[i] + 0.08 * v[(i % len(v)) + 1]) AS v
+      FROM base WHERE vec_id < 20
+    ), corpus AS (
+      SELECT * FROM base UNION ALL SELECT * FROM planted
+    )
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -701,5 +962,113 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, rank, neighbor_id, round(cos_raw, 4) AS cosine
             FROM ranked WHERE rank <= 5
+        """,
+        # --- self-verifying sketch queries: exact columns + literal true ---
+        "hll_users_by_type": """
+            SELECT event_type, count(*) AS n_rows,
+                   count(DISTINCT user_id) AS exact_distinct,
+                   true AS within_envelope
+            FROM events GROUP BY event_type
+        """,
+        "hll_users_by_type_day": """
+            SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                   count(*) AS n_rows,
+                   count(DISTINCT user_id) AS exact_distinct,
+                   true AS within_envelope
+            FROM events GROUP BY 1, 2
+        """,
+        "hll_sql_surface": """
+            SELECT event_type, count(DISTINCT user_id) AS exact_users,
+                   true AS within_envelope, true AS merge_consistent
+            FROM events GROUP BY event_type
+        """,
+        "cm_heavy_hitter_users": """
+            WITH c AS (
+              SELECT CAST(user_id AS VARCHAR) AS user_id, count(*) AS exact_count
+              FROM events GROUP BY 1
+            ), r AS (
+              SELECT user_id, exact_count,
+                     row_number() OVER (ORDER BY exact_count DESC, user_id) AS rank
+              FROM c
+            )
+            SELECT user_id, exact_count, rank,
+                   true AS est_ok, true AS in_candidates
+            FROM r WHERE rank <= 10
+        """,
+        "kll_value_quantiles": """
+            SELECT event_type, count(*) AS n_rows,
+                   round(quantile_cont(value, 0.5), 6) AS exact_p50,
+                   true AS kll_rank_ok
+            FROM events GROUP BY event_type
+        """,
+        "tdigest_value_quantiles": """
+            SELECT event_type, count(*) AS n_rows,
+                   round(quantile_cont(value, 0.5), 6) AS exact_p50,
+                   true AS td_rank_ok
+            FROM events GROUP BY event_type
+        """,
+        "multi_stats_by_type": """
+            SELECT event_type, count(*) AS n_rows,
+                   count(DISTINCT user_id) AS exact_users,
+                   true AS hll_ok, true AS kll_ok
+            FROM events GROUP BY event_type
+        """,
+        "bloom_membership": """
+            SELECT (SELECT count(*) FROM customer) AS n_probed,
+                   (SELECT count(*) FROM customer
+                     WHERE c_custkey IN (SELECT o_custkey FROM orders))
+                       AS n_actual_members,
+                   true AS no_false_negatives,
+                   true AS fp_bounded
+        """,
+        "minhash_near_dups": _SHINGLE_PAIRS + """
+            SELECT id_a, id_b, round(j, 4) AS jaccard
+            FROM pairs WHERE round(j, 4) >= 0.5
+        """,
+        "simhash_near_dups": _SHINGLE_PAIRS + """
+            SELECT id_a, id_b, round(j, 4) AS jaccard,
+                   true AS blocking_ok, true AS no_false_positives
+            FROM pairs WHERE round(j, 4) >= 0.5
+        """,
+        "docs_winnow_fingerprints": """
+            SELECT doc_id, len(string_split(text, ' ')) AS n_words,
+                   true AS bounds_ok
+            FROM documents
+        """,
+        "ann_lsh_topk": _PLANTED + """
+            , q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < 20),
+            scored AS (
+              SELECT q.query_id, c.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.qv, c.v) AS cos_raw
+              FROM q CROSS JOIN corpus c WHERE c.vec_id != q.query_id
+            ), ranked AS (
+              SELECT query_id, neighbor_id, cos_raw,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos_raw DESC, neighbor_id) AS rk
+              FROM scored
+            )
+            SELECT query_id, neighbor_id, round(cos_raw, 4) AS cosine
+            FROM ranked WHERE rk = 1
+        """,
+        "ann_ivf_topk": _PLANTED + """
+            , q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < 20),
+            scored AS (
+              SELECT q.query_id, c.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.qv, c.v) AS cos_raw
+              FROM q CROSS JOIN corpus c WHERE c.vec_id != q.query_id
+            ), ranked AS (
+              SELECT query_id, neighbor_id, cos_raw,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos_raw DESC, neighbor_id) AS rk
+              FROM scored
+            )
+            SELECT query_id, neighbor_id, round(cos_raw, 4) AS cosine
+            FROM ranked WHERE rk = 1
+        """,
+        "embedding_near_dups": _PLANTED + """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+            FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.95
         """,
     }
