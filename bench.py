@@ -66,7 +66,10 @@ def main():
 
     spark.range(10000).select(F.sum(_warm(F.col("id")))).collect()
 
-    qs = entrymod.queries()
+    # bench the pure operator versions: the gate versions carry an exact
+    # twin computation (their verification payload), which would measure
+    # the oracle rather than the operator
+    qs = entrymod.bench_queries()
     timings: dict[str, float] = {}
 
     # sketch-update throughput on synthetic transcripts (turns/sec) via the
@@ -101,6 +104,24 @@ def main():
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+
+    # round-over-round regression flagging: compare per-query times against
+    # the newest BENCH_r*.json and surface anything >1.5x slower
+    regressions: dict[str, dict[str, float]] = {}
+    repo = os.path.dirname(os.path.abspath(__file__))
+    prior = sorted(f for f in os.listdir(repo)
+                   if re.fullmatch(r"BENCH_r\d+\.json", f))
+    if prior:
+        try:
+            with open(os.path.join(repo, prior[-1])) as fh:
+                base = json.load(fh).get("queries", {})
+            for name, t in timings.items():
+                b = base.get(name)
+                if b and b > 0.2 and t > 1.5 * b:
+                    regressions[name] = {"baseline": b, "now": t}
+        except (OSError, ValueError):
+            pass
+
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": total,
@@ -110,6 +131,8 @@ def main():
         "turns_per_sec": turns_per_sec,
         "bench_turns": n_turns,
         "cpus": cpus,
+        "baseline_round": prior[-1] if prior else None,
+        "regressions": regressions,
     }))
     spark.stop()
 

@@ -133,3 +133,15 @@ def register_sql(spark) -> None:
         return acc.serialize() if acc is not None else None
 
     spark.udf.register("hll_merge_agg", _merge)
+
+    @pandas_udf("binary")
+    def _init(values: pd.Series, precision: pd.Series) -> bytes:
+        from zetasketch_spark.sketches.base import HllFamily
+
+        p = int(precision.iloc[0]) if len(precision) else 15
+        fam = HllFamily(precision=p)
+        sk = fam.make()
+        fam.update(sk, values)
+        return sk.serialize()
+
+    spark.udf.register("hll_init_agg", _init)

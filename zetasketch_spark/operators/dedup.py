@@ -57,33 +57,51 @@ def normalized_dup_groups(df: DataFrame, text_col: str = "text",
 def _shingle_hashes(texts: pd.Series, k: int = 5) -> list[np.ndarray]:
     """Per-doc sorted unique uint64 hashes of word k-shingles.
 
-    Fully vectorized: one fingerprint pass over all words of the batch,
-    then each shingle hash = fingerprint of the k consecutive word hashes'
-    bytes (sliding window) — no shingle strings are ever materialized."""
+    Fully vectorized ACROSS the batch: one fingerprint pass over all words,
+    then ONE ``fingerprint_bytes_batch`` call for every shingle of every
+    document — a shingle is the k consecutive word hashes' bytes, which are
+    already contiguous in the word-hash buffer, so the windows are pure
+    (offset, length) views with zero copying. Per-doc dedupe is a single
+    lexsort over (doc, hash). No per-document Python loop, no shingle
+    strings ever materialized."""
     from zetasketch_spark.hashing import fingerprint_bytes_batch
 
     word_lists = [(t or "").split() for t in texts]
+    n_docs = len(word_lists)
     counts = np.array([len(w) for w in word_lists], dtype=np.int64)
     flat = [w for ws in word_lists for w in ws]
     if not flat:
-        return [np.empty(0, dtype=np.uint64) for _ in word_lists]
+        return [np.empty(0, dtype=np.uint64)] * n_docs
     wh = fingerprint_str_series(pd.Series(flat))
     ends = np.cumsum(counts)
     starts = ends - counts
-    out: list[np.ndarray] = []
-    for s, e, c in zip(starts, ends, counts):
-        if c == 0:
-            out.append(np.empty(0, dtype=np.uint64))
-            continue
-        doc = wh[s:e]
-        kk = min(k, int(c))
-        win = np.lib.stride_tricks.sliding_window_view(doc, kk)  # (n_sh, kk)
-        buf = np.ascontiguousarray(win).view(np.uint8).reshape(len(win), kk * 8)
-        flatbuf = buf.reshape(-1)
-        off = np.arange(len(win), dtype=np.int64) * (kk * 8)
-        ln = np.full(len(win), kk * 8, dtype=np.int64)
-        out.append(np.unique(fingerprint_bytes_batch(flatbuf, off, ln)))
-    return out
+
+    # full-width windows: doc with c >= k words has c-k+1 shingles starting
+    # at word offsets s..s+c-k; short docs (0 < c < k) have one shingle of
+    # all c words. Both are just (byte offset, byte length) into wh.
+    m = np.where(counts >= k, counts - k + 1, 0)
+    tot = int(m.sum())
+    doc_of_full = np.repeat(np.arange(n_docs, dtype=np.int64), m)
+    within = np.arange(tot, dtype=np.int64) - np.repeat(np.cumsum(m) - m, m)
+    off_full = (within + np.repeat(starts, m)) * 8
+    len_full = np.full(tot, k * 8, dtype=np.int64)
+
+    short = np.flatnonzero((counts > 0) & (counts < k))
+    off = np.concatenate([off_full, starts[short] * 8])
+    lens = np.concatenate([len_full, counts[short] * 8])
+    doc_of = np.concatenate([doc_of_full, short])
+    if len(off) == 0:
+        return [np.empty(0, dtype=np.uint64)] * n_docs
+
+    h = fingerprint_bytes_batch(wh.view(np.uint8), off, lens)
+
+    order = np.lexsort((h, doc_of))
+    hs, ds = h[order], doc_of[order]
+    keep = np.ones(len(hs), dtype=bool)
+    keep[1:] = (ds[1:] != ds[:-1]) | (hs[1:] != hs[:-1])
+    hu, du = hs[keep], ds[keep]
+    per_doc = np.bincount(du, minlength=n_docs)
+    return np.split(hu, np.cumsum(per_doc)[:-1])
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -147,34 +165,38 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
     )
 
 
+def shingle_sets(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", shingle_k: int = 5) -> DataFrame:
+    """(id, shingles array<long>) — sorted unique shingle hashes per doc,
+    computed ONCE per document (batch-vectorized)."""
+
+    @pandas_udf("array<long>")
+    def sh_udf(texts: pd.Series) -> pd.Series:
+        hs = _shingle_hashes(texts, k=shingle_k)
+        return pd.Series([h.view(np.int64).tolist() for h in hs])
+
+    return docs.select(F.col(id_col), sh_udf(F.col(text_col)).alias("shingles"))
+
+
 def verify_jaccard(pairs: DataFrame, docs: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", shingle_k: int = 5,
                    threshold: float = 0.7) -> DataFrame:
-    """Exact shingle-Jaccard on candidate pairs only. Documents are joined
-    back by id (broadcast when small); the Jaccard kernel is a Pandas UDF
-    over the pair batch."""
-    docs_sel = docs.select(F.col(id_col), F.col(text_col))
+    """Exact shingle-Jaccard on candidate pairs only. Shingle sets are
+    computed once per document (not once per pair) and joined to the pair
+    list; the Jaccard itself is a JVM ``array_intersect`` expression, so
+    no Python runs in the per-pair loop."""
+    sh = shingle_sets(docs, text_col, id_col, shingle_k) \
+        .localCheckpoint(eager=True)
     joined = (
         pairs
-        .join(docs_sel.withColumnRenamed(id_col, "id_a").withColumnRenamed(text_col, "text_a"), "id_a")
-        .join(docs_sel.withColumnRenamed(id_col, "id_b").withColumnRenamed(text_col, "text_b"), "id_b")
+        .join(sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")), "id_b")
     )
-
-    @pandas_udf("double")
-    def jaccard(ta: pd.Series, tb: pd.Series) -> pd.Series:
-        ha = _shingle_hashes(ta, k=shingle_k)
-        hb = _shingle_hashes(tb, k=shingle_k)
-        out = []
-        for x, y in zip(ha, hb):
-            if len(x) == 0 and len(y) == 0:
-                out.append(1.0)
-                continue
-            inter = len(np.intersect1d(x, y, assume_unique=True))
-            out.append(inter / (len(x) + len(y) - inter))
-        return pd.Series(out)
-
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    denom = F.size("sh_a") + F.size("sh_b") - inter
+    jac = F.when(denom > 0, inter.cast("double") / denom).otherwise(F.lit(1.0))
     return (
-        joined.withColumn("jaccard", F.round(jaccard(F.col("text_a"), F.col("text_b")), 4))
+        joined.withColumn("jaccard", F.round(jac, 4))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -257,18 +257,39 @@ def sketch_agg_rdd(spark, path, keys, col, family,
     n_red = reduce_partitions or max(4, min(64, len(splits)))
     merged = rdd.mapPartitions(run_split).reduceByKey(merge_pair, numPartitions=n_red)
 
-    rows = merged.collect()  # #groups rows of (key, (blob, rows_seen)) — tiny
-    import pandas as pd
+    # estimate extraction stays distributed: map over the merged states and
+    # build the DataFrame from the RDD with an explicit schema — no driver
+    # collect, so a high-cardinality group key is as safe here as in the
+    # DataFrame path (the old collect() shortcut capped this fabric at
+    # driver-memory group counts).
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import _parse_datatype_string
 
-    res_names = [n for n, _ in family.result_fields]
-    recs = []
-    for key, (blob, rows_seen) in rows:
-        st = family.deserialize(blob)
-        rec = [*key, rows_seen, *family.result(st)]
+    sample_schema = pq.read_schema(
+        sorted(_glob.glob(os.path.join(path, "*.parquet")))[0])
+    type_map = {"string": "string", "large_string": "string", "int64": "bigint",
+                "int32": "int", "double": "double", "float": "float",
+                "timestamp[us]": "timestamp", "date32[day]": "date"}
+    fields = []
+    for k in keys:
+        if k in derived:
+            op = derived[k][0]
+            fields.append(StructField(k, _parse_datatype_string(
+                "date" if op == "to_date" else "string")))
+        else:
+            fields.append(StructField(k, _parse_datatype_string(
+                type_map[str(sample_schema.field(k).type)])))
+    fields.append(StructField(ROWS_COL, LongType()))
+    fields += [StructField(n, _parse_datatype_string(t))
+               for n, t in family.result_fields]
+    if keep_sketch:
+        fields.append(StructField(SKETCH_COL, BinaryType()))
+
+    def to_row(kv):
+        key, (blob, rows_seen) = kv
+        rec = [*key, rows_seen, *family.result(family.deserialize(blob))]
         if keep_sketch:
             rec.append(blob)
-        recs.append(rec)
-    cols = [*keys_t, ROWS_COL, *res_names] + ([SKETCH_COL] if keep_sketch else [])
-    pdf = pd.DataFrame(recs, columns=cols)
-    return spark.createDataFrame(pdf) if len(pdf) else spark.createDataFrame([], schema=", ".join(
-        [f"{c} string" for c in cols]))
+        return tuple(v.item() if isinstance(v, np.generic) else v for v in rec)
+
+    return spark.createDataFrame(merged.map(to_row), StructType(fields))

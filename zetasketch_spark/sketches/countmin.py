@@ -66,9 +66,12 @@ class CountMinSketch:
         hashes = _hash_series(keys.astype(type(keys.iloc[0])) if len(keys) else keys)
         self._add_hashed(hashes, counts)
         self.total += int(counts.sum())
-        # maintain candidates from the batch's biggest keys
-        for k, c in vc.items():
-            ks = str(k)
+        # maintain candidates from the batch's biggest keys only — merging
+        # a bounded top slice preserves the Misra-Gries-style guarantee
+        # (any globally heavy key is locally heavy in some batch) without
+        # a per-key Python loop over the whole batch cardinality
+        top = vc.iloc[: self.max_candidates]
+        for ks, c in zip(top.index.astype(str), top.to_numpy(dtype=np.int64)):
             self.candidates[ks] = self.candidates.get(ks, 0) + int(c)
         self._prune()
 
