@@ -124,3 +124,71 @@ def test_batch_matches_scalar_random_lengths():
     got = fingerprint_bytes_batch(flat, offs, lengths)
     for i, b in enumerate(bufs):
         assert int(got[i]) == fingerprint_bytes(b)
+
+
+# --- FLOAT/DOUBLE hash recipes (proto/aggregator.proto:121-130) -------------
+
+FLOAT_GOLDEN_TSV = os.path.join(os.path.dirname(__file__), "..", "tools",
+                                "fpfloat_golden.tsv")
+
+
+def test_float_double_guava_goldens():
+    """tools/fpfloat_golden.tsv: Guava-generated fingerprints of the LE
+    IEEE754 bytes (GenFloatHashGolden.java) — the same library the
+    reference delegates hashing to (internal/hash/Hash.java:19)."""
+    from zetasketch_spark.hashing import (
+        fingerprint_double_array, fingerprint_float_array)
+
+    doubles, dexp, floats, fexp = [], [], [], []
+    with open(FLOAT_GOLDEN_TSV) as fh:
+        for line in fh:
+            kind, raw, h = line.rstrip("\n").split("\t")
+            if kind == "double":
+                doubles.append(float(raw))
+                dexp.append(int(h))
+            else:
+                floats.append(np.float32(raw))
+                fexp.append(int(h))
+    got_d = fingerprint_double_array(np.array(doubles, dtype=np.float64))
+    assert got_d.tolist() == dexp
+    got_f = fingerprint_float_array(np.array(floats, dtype=np.float32))
+    assert got_f.tolist() == fexp
+
+
+def test_float_double_hll_typed_adds():
+    from zetasketch_spark.hll import (
+        VALUE_TYPE_DOUBLE, VALUE_TYPE_FLOAT, HllSketch)
+
+    rng = np.random.default_rng(3)
+    vals = rng.standard_normal(5000)
+    sk = HllSketch(precision=14)
+    sk.add_doubles(vals)
+    sk.add_doubles(vals)  # duplicates must not change the estimate
+    est = sk.estimate()
+    assert abs(est / 5000 - 1) <= 3 * 1.04 / np.sqrt(2 ** 14)
+    assert sk.value_type == VALUE_TYPE_DOUBLE
+    with pytest.raises(ValueError):
+        sk.add_floats(vals.astype(np.float32))
+
+    fk = HllSketch(precision=14)
+    fk.add_floats(vals.astype(np.float32))
+    assert fk.value_type == VALUE_TYPE_FLOAT
+    # FLOAT and DOUBLE are distinct recipes: merging them must refuse
+    with pytest.raises(ValueError):
+        sk.merge(fk)
+
+
+def test_float_double_arrow_path_matches_series_path():
+    import pyarrow as pa
+
+    from zetasketch_spark.sketches.base import HllFamily
+
+    rng = np.random.default_rng(4)
+    vals = rng.standard_normal(2000)
+    fam = HllFamily(precision=13)
+    via_series = fam.make()
+    fam.update(via_series, pd.Series(vals))
+    via_arrow = fam.make()
+    prepared = fam.prepare_arrow(pa.array(vals, type=pa.float64()))
+    fam.update_prepared(via_arrow, prepared[np.arange(len(vals))])
+    assert fam.serialize(via_series) == fam.serialize(via_arrow)

@@ -189,7 +189,8 @@ def test_multimodal_plumbing(spark):
     feats = extract_features(media, deterministic_fake=True)
     rows = feats.collect()
     assert len(rows) == 48
-    assert all(r["feature_dim"] == 512 for r in rows)
+    assert all(r["feature_dim"] == 512 for r in rows if r["kind"] == "video")
+    assert all(r["feature_dim"] > 0 for r in rows)
     with pytest.raises(NotImplementedError):
         decode_image(b"xx", deterministic_fake=False)
     with pytest.raises(NotImplementedError):
@@ -220,3 +221,81 @@ def test_checkpoint_resume(spark, transcripts_path, tmp_path):
     assert m2["partitions_computed"] == 0
     assert m2["partitions_resumed"] == m1["n_partitions"]
     assert r1 == r2
+
+
+def test_embedding_near_dups_recall(spark):
+    """Planted near-duplicate vectors (cosine ~0.99) must all be found,
+    and nothing else at threshold 0.95 over background gaussians."""
+    from zetasketch_spark.operators.similarity import embedding_near_dups
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((200, 64))
+    planted = {(3, 200), (50, 201), (117, 202)}
+    rows = list(vecs)
+    for i, (src, _) in enumerate(sorted(planted)):
+        rows.append(vecs[src] + rng.standard_normal(64) * 0.05)
+    pdf = pd.DataFrame({
+        "vec_id": range(len(rows)),
+        "embedding": [np.asarray(v, dtype=np.float32).tolist() for v in rows],
+    })
+    df = spark.createDataFrame(pdf)
+    got = {(r["id_a"], r["id_b"])
+           for r in embedding_near_dups(df, threshold=0.95).collect()}
+    assert got == planted
+
+
+def test_planted_corpus_roundtrip(spark):
+    """The deterministic planting used by the ANN gate queries: every
+    planted vector is cosine >= 0.98 to its original and is its exact
+    rank-1 neighbor."""
+    import pyspark.sql.functions as F
+
+    from zetasketch_spark.operators.similarity import brute_force_topk
+    from zetasketch_spark.operators.verify import (
+        PLANT_N, PLANT_OFFSET, planted_corpus)
+
+    import os
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = planted_corpus(emb).cache()
+    queries = corpus.filter(F.col("vec_id") < PLANT_N)
+    top1 = brute_force_topk(corpus, queries, k=1)
+    rows = top1.collect()
+    assert len(rows) == PLANT_N
+    for r in rows:
+        assert r["neighbor_id"] == r["query_id"] + PLANT_OFFSET
+        assert r["cosine"] >= 0.98
+
+
+def test_multimodal_real_codecs(spark):
+    """Pure-numpy BMP/PPM/WAV decode: exact round-trips and exact expected
+    feature means over real encoded bytes."""
+    from zetasketch_spark.operators.multimodal import (
+        decode_audio, decode_image, encode_bmp, encode_ppm, encode_wav,
+        extract_features)
+    from zetasketch_spark.operators.multimodal import MEDIA_SCHEMA
+
+    rng = np.random.default_rng(21)
+    rgb = rng.integers(0, 256, size=(7, 5, 3), dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_ppm(rgb)), rgb.astype(np.float64))
+    assert np.array_equal(decode_image(encode_bmp(rgb)), rgb.astype(np.float64))
+
+    samples = np.round(np.sin(np.arange(400) * 0.05) * 0.9, 4)
+    wav = encode_wav(samples, rate=8000)
+    dec, rate = decode_audio(wav)
+    assert rate == 8000 and dec.shape == (400, 1)
+    assert np.abs(dec[:, 0] - samples).max() <= 1.0 / 32767 + 1e-12
+
+    exp_img_mean = round(float(rgb.astype(np.float64).mean()), 6)
+    exp_aud_mean = round(float(np.abs(np.round(samples * 32767) / 32767).mean()), 6)
+    media = spark.createDataFrame(
+        [(0, "image", "image/x-portable-pixmap", 5, 7, 0, encode_ppm(rgb)),
+         (1, "image", "image/bmp", 5, 7, 0, encode_bmp(rgb)),
+         (2, "audio", "audio/wav", 0, 0, 50, wav)],
+        MEDIA_SCHEMA)
+    rows = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert rows[0]["mean_val"] == exp_img_mean
+    assert rows[1]["mean_val"] == exp_img_mean
+    assert rows[0]["feature_dim"] == rows[1]["feature_dim"] == 7 * 5 * 3
+    assert abs(rows[2]["mean_val"] - exp_aud_mean) <= 1e-6
+    assert rows[2]["feature_dim"] == 400

@@ -115,6 +115,24 @@ def fingerprint_long_array(values: np.ndarray) -> np.ndarray:
     return res
 
 
+def fingerprint_double_array(values: np.ndarray) -> np.ndarray:
+    """fingerprint2011 of each float64's 8 little-endian IEEE754 bytes —
+    the DOUBLE hash recipe (`proto/aggregator.proto:126-130`,
+    DefaultOpsType.Id.DOUBLE = 10). The byte string equals the int64
+    bit-pattern's, so the 8-byte closed-form kernel applies directly.
+    Goldens: tools/fpfloat_golden.tsv (Guava-generated)."""
+    return fingerprint_long_array(
+        np.ascontiguousarray(values, dtype=np.float64).view(np.int64))
+
+
+def fingerprint_float_array(values: np.ndarray) -> np.ndarray:
+    """fingerprint2011 of each float32's 4 little-endian IEEE754 bytes —
+    the FLOAT hash recipe (`proto/aggregator.proto:121-125`,
+    DefaultOpsType.Id.FLOAT = 9)."""
+    return fingerprint_int_array(
+        np.ascontiguousarray(values, dtype=np.float32).view(np.int32))
+
+
 def fingerprint_int_array(values: np.ndarray) -> np.ndarray:
     """fingerprint2011 of each int32 as its 4 little-endian bytes.
 
@@ -373,6 +391,12 @@ def fingerprint_arrow_array(arr) -> tuple[np.ndarray, np.ndarray | None]:
         if ints.null_count:
             ints = ints.fill_null(0)
         return fingerprint_int_array(ints.to_numpy(zero_copy_only=False)), valid
+    if pa.types.is_float64(typ):
+        vals = arr.fill_null(0.0) if arr.null_count else arr
+        return fingerprint_double_array(vals.to_numpy(zero_copy_only=False)), valid
+    if pa.types.is_float32(typ):
+        vals = arr.fill_null(0.0) if arr.null_count else arr
+        return fingerprint_float_array(vals.to_numpy(zero_copy_only=False)), valid
     raise TypeError(f"unsupported arrow type for fingerprinting: {typ}")
 
 

@@ -43,6 +43,8 @@ from .hashing import (
 VALUE_TYPE_UNKNOWN = 0
 VALUE_TYPE_UINT32 = 7
 VALUE_TYPE_UINT64 = 8
+VALUE_TYPE_FLOAT = 9
+VALUE_TYPE_DOUBLE = 10
 VALUE_TYPE_BYTES_OR_UTF8_STRING = 11
 
 AGGREGATOR_TYPE_HLL = 112  # aggregator.proto:63
@@ -392,6 +394,22 @@ class HllSketch:
     def add_strings(self, values) -> None:
         self._check_type(VALUE_TYPE_BYTES_OR_UTF8_STRING)
         self.add_hashes(fingerprint_str_series(values))
+
+    def add_doubles(self, values) -> None:
+        """DOUBLE hash recipe: fingerprint2011 of the 8 LE IEEE754 bytes
+        (`proto/aggregator.proto:126-130`)."""
+        from zetasketch_spark.hashing import fingerprint_double_array
+
+        self._check_type(VALUE_TYPE_DOUBLE)
+        self.add_hashes(fingerprint_double_array(np.asarray(values, dtype=np.float64)))
+
+    def add_floats(self, values) -> None:
+        """FLOAT hash recipe: fingerprint2011 of the 4 LE IEEE754 bytes
+        (`proto/aggregator.proto:121-125`)."""
+        from zetasketch_spark.hashing import fingerprint_float_array
+
+        self._check_type(VALUE_TYPE_FLOAT)
+        self.add_hashes(fingerprint_float_array(np.asarray(values, dtype=np.float32)))
 
     def _check_type(self, vt: int) -> None:
         if self.value_type == VALUE_TYPE_UNKNOWN:

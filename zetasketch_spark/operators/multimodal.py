@@ -3,14 +3,22 @@ with typed metadata.
 
 The Spark-side shape is real and tested — schema, partition-preserving
 ``mapInPandas``, Arrow batch flow, feature extraction over binary payloads.
-The codec step is STUBBED (this container ships no image/audio libraries):
-``decode_image`` raises ``NotImplementedError`` unless
+Decode is REAL for headerful raster/PCM formats, implemented in pure numpy
+(this container ships no image/audio libraries):
+
+* **BMP** (24-bit uncompressed BITMAPINFOHEADER, bottom-up or top-down)
+* **PPM** (binary P6, maxval 255)
+* **WAV** (RIFF PCM16, mono or interleaved multi-channel)
+
+Exotic codecs (JPEG/PNG/MP4) still raise ``NotImplementedError`` unless
 ``deterministic_fake=True``, which derives a fake-but-deterministic
-"decoded" feature block from the payload bytes so the downstream plumbing
-(batching, shapes, joins) is exercised end-to-end.
+"decoded" block from the payload bytes so the downstream plumbing keeps
+working for those formats too.
 """
 
 from __future__ import annotations
+
+import struct
 
 import numpy as np
 import pandas as pd
@@ -30,36 +38,130 @@ MEDIA_SCHEMA = StructType([
 ])
 
 
-def synthesize_media(spark, n: int = 256, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table (binary payloads with metadata)."""
-    rng = np.random.default_rng(seed)
-    kinds = np.array(["image", "audio", "video"], dtype=object)
-    rows = []
-    for i in range(n):
-        kind = kinds[i % 3]
-        size = int(rng.integers(256, 4096))
-        payload = rng.integers(0, 256, size=size, dtype=np.uint8).tobytes()
-        rows.append((i, str(kind),
-                     {"image": "image/png", "audio": "audio/wav",
-                      "video": "video/mp4"}[str(kind)],
-                     int(rng.integers(16, 512)), int(rng.integers(16, 512)),
-                     int(rng.integers(100, 60000)), payload))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+# ---------------------------------------------------------------------------
+# encoders (deterministic test/synthesis payloads — also round-trip oracles)
+# ---------------------------------------------------------------------------
+
+def encode_ppm(rgb: np.ndarray) -> bytes:
+    """Binary P6 PPM from an (h, w, 3) uint8 array."""
+    h, w, _ = rgb.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(rgb, dtype=np.uint8).tobytes()
+
+
+def encode_bmp(rgb: np.ndarray) -> bytes:
+    """24-bit uncompressed BMP (BITMAPINFOHEADER, bottom-up rows, BGR,
+    4-byte row padding) from an (h, w, 3) uint8 array."""
+    h, w, _ = rgb.shape
+    stride = (w * 3 + 3) & ~3
+    img = np.zeros((h, stride), dtype=np.uint8)
+    img[:, : w * 3] = rgb[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    data = img.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(data), 0, 0, 14 + 40)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return header + info + data
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000, channels: int = 1) -> bytes:
+    """RIFF PCM16 WAV from float samples in [-1, 1] (interleaved if
+    multi-channel)."""
+    pcm = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    pcm16 = np.round(pcm * 32767.0).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2,
+                      channels * 2, 16)
+    chunks = (b"WAVE"
+              + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"data" + struct.pack("<I", len(pcm16)) + pcm16)
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+# ---------------------------------------------------------------------------
+# decoders (pure numpy)
+# ---------------------------------------------------------------------------
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    off, = struct.unpack_from("<I", payload, 10)
+    hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    bpp, = struct.unpack_from("<H", payload, 28)
+    comp, = struct.unpack_from("<I", payload, 30)
+    if hdr_size < 40 or bpp != 24 or comp != 0:
+        raise NotImplementedError(f"BMP variant unsupported (bpp={bpp}, comp={comp})")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    raw = np.frombuffer(payload, dtype=np.uint8, count=h * stride, offset=off)
+    rows = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].astype(np.float64)  # BGR -> RGB
+
+
+def _decode_ppm(payload: bytes) -> np.ndarray:
+    # header: "P6" <ws> width <ws> height <ws> maxval <single ws> data
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment line
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        end = pos
+        while not payload[end : end + 1].isspace():
+            end += 1
+        fields.append(int(payload[pos:end]))
+        pos = end
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise NotImplementedError(f"PPM maxval {maxval} unsupported")
+    raw = np.frombuffer(payload, dtype=np.uint8, count=h * w * 3, offset=pos)
+    return raw.reshape(h, w, 3).astype(np.float64)
 
 
 def decode_image(payload: bytes, deterministic_fake: bool = False) -> np.ndarray:
-    """STUB: real decode needs PIL/ffmpeg (absent in this container)."""
+    """Decode a BMP or binary-PPM payload to an (h, w, 3) float64 RGB
+    array — pure numpy, no image library. Other formats (JPEG/PNG/...)
+    need codecs absent from this container and raise unless
+    ``deterministic_fake`` is set."""
+    payload = bytes(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
     if not deterministic_fake:
         raise NotImplementedError(
-            "image decode requires PIL/libjpeg which are not available in "
-            "this environment; pass deterministic_fake=True for plumbing tests")
+            "only BMP/PPM decode in pure numpy; JPEG/PNG need libjpeg/PIL "
+            "(absent here) — pass deterministic_fake=True for plumbing tests")
     h = np.frombuffer(payload[:64].ljust(64, b"\0"), dtype=np.uint8)
     return np.tile(h, (8, 1)).astype(np.float64)  # fake 8x64 'pixel' block
 
 
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a RIFF PCM16 WAV payload to ``(samples float64 in [-1, 1]
+    shaped (n, channels), sample_rate)`` — pure numpy."""
+    payload = bytes(payload)
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError("only RIFF/WAVE audio decode is supported")
+    pos, rate, channels, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        size, = struct.unpack_from("<I", payload, pos + 4)
+        body = pos + 8
+        if tag == b"fmt ":
+            fmt_code, channels, rate = struct.unpack_from("<HHI", payload, body)
+            bits, = struct.unpack_from("<H", payload, body + 14)
+            if fmt_code != 1 or bits != 16:
+                raise NotImplementedError(f"WAV fmt={fmt_code}/bits={bits} unsupported")
+        elif tag == b"data":
+            data = payload[body : body + size]
+        pos = body + size + (size & 1)
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    pcm = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32767.0
+    return pcm.reshape(-1, channels), rate
+
+
 def resize_image(block: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
-    """Nearest-neighbor resize of a decoded block (the real thing would be
-    PIL/opencv; the geometry/plumbing here is what the pipeline tests)."""
+    """Nearest-neighbor resize of a decoded block (any trailing dims)."""
     h, w = block.shape[:2]
     ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
     xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
@@ -68,8 +170,8 @@ def resize_image(block: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 
 def sample_frames(payload: bytes, duration_ms: int, every_ms: int = 1000,
                   deterministic_fake: bool = False) -> list[np.ndarray]:
-    """STUB: video frame sampling. Real decode needs ffmpeg (absent);
-    the deterministic fake derives one block per sampled timestamp so the
+    """STUB for video: real frame extraction needs ffmpeg (absent); the
+    deterministic fake derives one block per sampled timestamp so the
     batch shapes downstream are real."""
     if not deterministic_fake:
         raise NotImplementedError(
@@ -78,6 +180,39 @@ def sample_frames(payload: bytes, duration_ms: int, every_ms: int = 1000,
     n = max(1, duration_ms // every_ms)
     return [decode_image(payload[i:] + payload[:i], deterministic_fake=True)
             for i in range(min(n, 8))]
+
+
+# ---------------------------------------------------------------------------
+# synthesis + feature extraction
+# ---------------------------------------------------------------------------
+
+def synthesize_media(spark, n: int = 256, seed: int = 42) -> DataFrame:
+    """Deterministic media table with REAL payloads: PPM/BMP images and
+    PCM16 WAV audio (decodable above); video payloads stay opaque bytes."""
+    rng = np.random.default_rng(seed)
+    kinds = np.array(["image", "audio", "video"], dtype=object)
+    rows = []
+    for i in range(n):
+        kind = str(kinds[i % 3])
+        if kind == "image":
+            h, w = int(rng.integers(4, 32)), int(rng.integers(4, 32))
+            rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payload = encode_bmp(rgb) if i % 2 else encode_ppm(rgb)
+            mime = "image/bmp" if i % 2 else "image/x-portable-pixmap"
+            dur = 0
+        elif kind == "audio":
+            dur = int(rng.integers(100, 2000))
+            t = np.arange(int(16000 * dur / 1000)) / 16000.0
+            payload = encode_wav(0.5 * np.sin(2 * np.pi * rng.integers(80, 2000) * t))
+            mime, h, w = "audio/wav", 0, 0
+        else:
+            size = int(rng.integers(256, 4096))
+            payload = rng.integers(0, 256, size=size, dtype=np.uint8).tobytes()
+            mime, dur = "video/mp4", int(rng.integers(100, 60000))
+            h, w = int(rng.integers(16, 512)), int(rng.integers(16, 512))
+        rows.append((i, kind, mime, w if kind == "image" else h,
+                     h if kind == "image" else w, dur, payload))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 FEATURE_SCHEMA = StructType([
@@ -91,18 +226,29 @@ FEATURE_SCHEMA = StructType([
 
 def extract_features(df: DataFrame, deterministic_fake: bool = True) -> DataFrame:
     """Partition-parallel feature extraction over binary payloads via
-    ``mapInPandas`` (the real Arrow batch shape a decode stage would use)."""
+    ``mapInPandas``. Decode is inherently per-item, but iteration is over
+    plain arrays (no ``iterrows`` row materialization); images/audio use
+    the real numpy decoders, video the deterministic fake."""
 
     def fn(batches):
         for pdf in batches:
             feats = []
-            for _, row in pdf.iterrows():
-                block = decode_image(bytes(row["payload"]),
-                                     deterministic_fake=deterministic_fake)
-                feats.append((row["media_id"], row["kind"],
-                              len(row["payload"]),
-                              float(np.round(block.mean(), 6)),
-                              int(block.size)))
+            for mid, kind, payload in zip(
+                    pdf["media_id"].to_numpy(), pdf["kind"].to_numpy(),
+                    pdf["payload"].to_numpy()):
+                payload = bytes(payload)
+                if kind == "audio":
+                    samples, _ = decode_audio(payload)
+                    mean, dim = float(np.abs(samples).mean()), int(samples.size)
+                elif kind == "image":
+                    block = decode_image(payload,
+                                         deterministic_fake=deterministic_fake)
+                    mean, dim = float(block.mean()), int(block.size)
+                else:
+                    block = decode_image(payload, deterministic_fake=True)
+                    mean, dim = float(block.mean()), int(block.size)
+                feats.append((int(mid), kind, len(payload),
+                              float(np.round(mean, 6)), dim))
             yield pd.DataFrame(feats, columns=[f.name for f in FEATURE_SCHEMA.fields])
 
     return df.mapInPandas(fn, FEATURE_SCHEMA)

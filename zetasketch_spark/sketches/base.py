@@ -120,6 +120,10 @@ class HllFamily(SketchFamily):
             state.add_longs(values.to_numpy(dtype=np.int64))
         elif dtype == np.int32 or str(dtype) == "Int32":
             state.add_ints(values.to_numpy(dtype=np.int32))
+        elif dtype == np.float64 or str(dtype) == "Float64":
+            state.add_doubles(values.to_numpy(dtype=np.float64))
+        elif dtype == np.float32 or str(dtype) == "Float32":
+            state.add_floats(values.to_numpy(dtype=np.float32))
         else:
             state.add_strings(values)
         return state
@@ -134,6 +138,10 @@ class HllFamily(SketchFamily):
             vt = 8  # UINT64
         elif pa.types.is_int32(typ):
             vt = 7  # UINT32
+        elif pa.types.is_float32(typ):
+            vt = 9  # FLOAT
+        elif pa.types.is_float64(typ):
+            vt = 10  # DOUBLE
         else:
             vt = 11  # BYTES_OR_UTF8_STRING
         self._arrow_value_type = vt
