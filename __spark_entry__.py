@@ -530,6 +530,17 @@ def q_simhash_near_dups(spark, sf_dir):
     return simhash_verified(d, max_hamming=3, gt_threshold=0.5)
 
 
+def q_docs_dup_clusters(spark, sf_dir):
+    """Connected components over near-dup pairs (iterative min-label
+    propagation): an exact graph computation, oracled by a DuckDB
+    recursive-CTE transitive closure over the brute-force pair set."""
+    from zetasketch_spark.operators.dedup import dup_clusters, minhash_near_dups
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_dups(d, threshold=0.5)
+    return dup_clusters(pairs)
+
+
 def q_simhash_near_dups_pure(spark, sf_dir):
     from zetasketch_spark.operators.dedup import simhash_near_dups
 
@@ -705,6 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "docs_winnow_fingerprints": q_docs_winnow_fingerprints,
         "hll_sql_surface": q_hll_sql_surface,
+        "docs_dup_clusters": q_docs_dup_clusters,
     }
 
 
@@ -1070,5 +1082,19 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(a.v, b.v), 4) AS cosine
             FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.95
+        """,
+        # connected components: recursive transitive closure, label = min
+        # reachable node (matches dup_clusters' min-label propagation)
+        "docs_dup_clusters": _SHINGLE_PAIRS.replace(
+            "WITH w AS", "WITH RECURSIVE w AS") + """
+            , np AS (SELECT id_a, id_b FROM pairs WHERE round(j, 4) >= 0.5),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM np
+                      UNION SELECT id_b, id_a FROM np),
+            reach(id, r) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+            )
+            SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
         """,
     }

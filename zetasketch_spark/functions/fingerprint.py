@@ -4,8 +4,11 @@ keep the minimum of each window. Any sufficiently long shared passage
 between two documents is guaranteed to share fingerprints, which makes the
 selected hash set a compact plagiarism / near-dup signal.
 
-Vectorized: one fingerprint2011 pass over the k-grams + a
-``sliding_window_view`` min-reduce.
+Fully batch-vectorized: positional gram hashes come from
+``hashing.kgram_window_hashes`` (two fingerprint passes per batch,
+zero-copy gram windows), the window minima from one strided min-reduce
+over the whole batch, and per-doc dedupe from one lexsort — no
+per-document Python loop.
 """
 
 from __future__ import annotations
@@ -13,29 +16,55 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from zetasketch_spark.hashing import fingerprint_str_series
+from zetasketch_spark.hashing import kgram_window_hashes
 
 
-def kgram_hashes(text: str, k: int = 5) -> np.ndarray:
-    words = (text or "").split()
-    if len(words) < k:
-        grams = [" ".join(words)] if words else []
-    else:
-        grams = [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
-    if not grams:
-        return np.empty(0, dtype=np.uint64)
-    return fingerprint_str_series(pd.Series(grams))
+def winnow_fingerprints_batch(texts, k: int = 5,
+                              window: int = 4) -> list[np.ndarray]:
+    """Per-doc sorted unique winnowed fingerprints for a batch of texts."""
+    h, doc_of, n_docs = kgram_window_hashes(texts, k)
+    empty = np.empty(0, dtype=np.uint64)
+    if len(h) == 0:
+        return [empty] * n_docs
+    ng = np.bincount(doc_of, minlength=n_docs)
+    doc_start = np.cumsum(ng) - ng
+
+    # windows per doc: ng-window+1 full windows, or one whole-doc window
+    # when 0 < ng <= window (Schleimer's boundary case)
+    m = np.where(ng > window, ng - window + 1, np.where(ng > 0, 1, 0))
+    tot = int(m.sum())
+    dof = np.repeat(np.arange(n_docs, dtype=np.int64), m)
+    within = np.arange(tot, dtype=np.int64) - np.repeat(np.cumsum(m) - m, m)
+    flat_start = within + np.repeat(doc_start, m)
+
+    mins = np.empty(tot, dtype=np.uint64)
+    full = ng[dof] > window
+    if full.any():
+        view = np.lib.stride_tricks.sliding_window_view(h, window)
+        mins[full] = view[flat_start[full]].min(axis=1)
+    if (~full).any():
+        # whole-doc minima via one paired reduceat: segments [s_i, e_i)
+        sdocs = dof[~full]
+        s = doc_start[sdocs]
+        e = s + ng[sdocs]
+        pairs = np.empty(2 * len(s), dtype=np.int64)
+        pairs[0::2], pairs[1::2] = s, e
+        if pairs[-1] == len(h):  # reduceat indices must stay < len
+            pairs = pairs[:-1]
+        mins[~full] = np.minimum.reduceat(h, pairs)[0::2]
+
+    order = np.lexsort((mins, dof))
+    hs, ds = mins[order], dof[order]
+    keep = np.ones(len(hs), dtype=bool)
+    keep[1:] = (ds[1:] != ds[:-1]) | (hs[1:] != hs[:-1])
+    hu, du = hs[keep], ds[keep]
+    per_doc = np.bincount(du, minlength=n_docs)
+    return np.split(hu, np.cumsum(per_doc)[:-1])
 
 
 def winnow_fingerprints(text: str, k: int = 5, window: int = 4) -> np.ndarray:
-    """Selected fingerprint hashes (sorted unique uint64)."""
-    hs = kgram_hashes(text, k=k)
-    if len(hs) == 0:
-        return hs
-    if len(hs) <= window:
-        return np.unique(hs.min(keepdims=True))
-    win = np.lib.stride_tricks.sliding_window_view(hs, window)
-    return np.unique(win.min(axis=1))
+    """Selected fingerprint hashes of one document (sorted unique)."""
+    return winnow_fingerprints_batch([text], k=k, window=window)[0]
 
 
 def winnow_fingerprints_udf(k: int = 5, window: int = 4):
@@ -44,9 +73,7 @@ def winnow_fingerprints_udf(k: int = 5, window: int = 4):
 
     @pandas_udf("array<long>")
     def fp_udf(texts: pd.Series) -> pd.Series:
-        return pd.Series([
-            winnow_fingerprints(t, k=k, window=window).view(np.int64).tolist()
-            for t in texts
-        ])
+        fps = winnow_fingerprints_batch(texts, k=k, window=window)
+        return pd.Series([f.view(np.int64).tolist() for f in fps])
 
     return fp_udf

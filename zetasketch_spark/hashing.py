@@ -115,6 +115,36 @@ def fingerprint_long_array(values: np.ndarray) -> np.ndarray:
     return res
 
 
+def kgram_window_hashes(texts, k: int) -> tuple[np.ndarray, np.ndarray, int]:
+    """Positional word k-gram fingerprints for a whole batch of texts.
+
+    Returns ``(hashes uint64[T], doc_of int64[T], n_docs)`` with each
+    document's grams contiguous and in positional order. A gram hash is
+    fingerprint2011 over the k consecutive word fingerprints' bytes — the
+    word hashes are already contiguous in one buffer, so every gram is a
+    zero-copy (offset, length) window and the batch needs exactly two
+    fingerprint passes total (words, then grams). Documents with
+    ``0 < words < k`` contribute one gram over all their words.
+    """
+    import pandas as pd
+
+    word_lists = [(t or "").split() for t in texts]
+    n_docs = len(word_lists)
+    counts = np.array([len(w) for w in word_lists], dtype=np.int64)
+    flat = [w for ws in word_lists for w in ws]
+    if not flat:
+        return (np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64), n_docs)
+    wh = fingerprint_str_series(pd.Series(flat))
+    starts = np.cumsum(counts) - counts
+    m = np.where(counts >= k, counts - k + 1, np.where(counts > 0, 1, 0))
+    tot = int(m.sum())
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), m)
+    within = np.arange(tot, dtype=np.int64) - np.repeat(np.cumsum(m) - m, m)
+    off = (within + np.repeat(starts, m)) * 8
+    lens = np.minimum(counts[doc_of], k) * 8
+    return fingerprint_bytes_batch(wh.view(np.uint8), off, lens), doc_of, n_docs
+
+
 def fingerprint_double_array(values: np.ndarray) -> np.ndarray:
     """fingerprint2011 of each float64's 8 little-endian IEEE754 bytes —
     the DOUBLE hash recipe (`proto/aggregator.proto:126-130`,

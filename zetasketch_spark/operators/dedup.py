@@ -57,43 +57,15 @@ def normalized_dup_groups(df: DataFrame, text_col: str = "text",
 def _shingle_hashes(texts: pd.Series, k: int = 5) -> list[np.ndarray]:
     """Per-doc sorted unique uint64 hashes of word k-shingles.
 
-    Fully vectorized ACROSS the batch: one fingerprint pass over all words,
-    then ONE ``fingerprint_bytes_batch`` call for every shingle of every
-    document — a shingle is the k consecutive word hashes' bytes, which are
-    already contiguous in the word-hash buffer, so the windows are pure
-    (offset, length) views with zero copying. Per-doc dedupe is a single
-    lexsort over (doc, hash). No per-document Python loop, no shingle
-    strings ever materialized."""
-    from zetasketch_spark.hashing import fingerprint_bytes_batch
+    Fully vectorized ACROSS the batch (``hashing.kgram_window_hashes``:
+    two fingerprint passes total, zero-copy gram windows); per-doc dedupe
+    is a single lexsort over (doc, hash). No per-document Python loop, no
+    shingle strings ever materialized."""
+    from zetasketch_spark.hashing import kgram_window_hashes
 
-    word_lists = [(t or "").split() for t in texts]
-    n_docs = len(word_lists)
-    counts = np.array([len(w) for w in word_lists], dtype=np.int64)
-    flat = [w for ws in word_lists for w in ws]
-    if not flat:
+    h, doc_of, n_docs = kgram_window_hashes(texts, k)
+    if len(h) == 0:
         return [np.empty(0, dtype=np.uint64)] * n_docs
-    wh = fingerprint_str_series(pd.Series(flat))
-    ends = np.cumsum(counts)
-    starts = ends - counts
-
-    # full-width windows: doc with c >= k words has c-k+1 shingles starting
-    # at word offsets s..s+c-k; short docs (0 < c < k) have one shingle of
-    # all c words. Both are just (byte offset, byte length) into wh.
-    m = np.where(counts >= k, counts - k + 1, 0)
-    tot = int(m.sum())
-    doc_of_full = np.repeat(np.arange(n_docs, dtype=np.int64), m)
-    within = np.arange(tot, dtype=np.int64) - np.repeat(np.cumsum(m) - m, m)
-    off_full = (within + np.repeat(starts, m)) * 8
-    len_full = np.full(tot, k * 8, dtype=np.int64)
-
-    short = np.flatnonzero((counts > 0) & (counts < k))
-    off = np.concatenate([off_full, starts[short] * 8])
-    lens = np.concatenate([len_full, counts[short] * 8])
-    doc_of = np.concatenate([doc_of_full, short])
-    if len(off) == 0:
-        return [np.empty(0, dtype=np.uint64)] * n_docs
-
-    h = fingerprint_bytes_batch(wh.view(np.uint8), off, lens)
 
     order = np.lexsort((h, doc_of))
     hs, ds = h[order], doc_of[order]
