@@ -112,3 +112,56 @@ def test_sql_registration(spark, transcripts_path):
     """).collect()
     assert len(out) == 3
     assert all(r["approx"] > 0 and r["n_values"] > 0 for r in out)
+
+
+def test_custom_value_type_registry():
+    """Custom value types (> 1000, proto/custom-value-type.proto): the
+    aggregator records the id, enforces merge compatibility on it, and
+    round-trips it through serialization."""
+    import numpy as np
+    import pytest
+
+    from zetasketch_spark.hll import HllSketch
+
+    rng = np.random.default_rng(12)
+    h = rng.integers(0, 2**63, size=1000, dtype=np.uint64)
+    sk = HllSketch(precision=13)
+    with pytest.raises(ValueError):
+        sk.add_custom(h, type_id=11)  # standard ids are not custom
+    sk.add_custom(h, type_id=1188553293)
+    rt = HllSketch.deserialize(sk.serialize())
+    assert rt.value_type == 1188553293
+    other = HllSketch(precision=13)
+    other.add_custom(h[:10], type_id=1007)
+    with pytest.raises(ValueError):
+        rt.merge(other)  # different custom ids must refuse to merge
+    ok = HllSketch(precision=13)
+    ok.add_custom(h[:500], type_id=1188553293)
+    rt.merge(ok)
+    assert rt.estimate() == sk.estimate()
+
+
+def test_sketch_column_annotations_roundtrip(spark, transcripts_path, tmp_path):
+    """Column annotations (proto/annotation.proto parity via Spark column
+    metadata) survive a parquet round trip and are discoverable."""
+    import pyspark.sql.functions as F
+
+    from zetasketch_spark.functions.annotations import (
+        HYPERLOGLOG_PLUS_UNIQUE, annotate_sketch_column, sketch_columns)
+    from zetasketch_spark.functions.sketch_udfs import hll_init_agg
+    from zetasketch_spark.sources.transcripts import load_transcripts
+
+    df = load_transcripts(spark, transcripts_path)
+    sk = df.groupBy("role").agg(hll_init_agg("conv_id", 13).alias("convs_hll"))
+    sk = annotate_sketch_column(sk, "convs_hll", value_type=11, precision=13)
+    found = sketch_columns(sk)
+    assert found == {"convs_hll": {"type": HYPERLOGLOG_PLUS_UNIQUE,
+                                   "value_type": 11, "precision": 13}}
+    out = str(tmp_path / "annotated")
+    sk.write.parquet(out)
+    back = spark.read.parquet(out)
+    assert sketch_columns(back) == found
+    # the annotated states are still live sketches
+    from zetasketch_spark.functions.sketch_udfs import hll_estimate
+    n = back.select(hll_estimate(F.col("convs_hll")).alias("u")).collect()
+    assert all(r["u"] > 0 for r in n)

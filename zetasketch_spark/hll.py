@@ -395,6 +395,20 @@ class HllSketch:
         self._check_type(VALUE_TYPE_BYTES_OR_UTF8_STRING)
         self.add_hashes(fingerprint_str_series(values))
 
+    def add_custom(self, hashes: np.ndarray, type_id: int) -> None:
+        """Add pre-hashed values under a CUSTOM value type: an integer id
+        > 1000 from the custom-type registry
+        (`proto/custom-value-type.proto:26-40`, `ValueType.java:58-60`).
+        The hash recipe belongs to the type's owner — the aggregator only
+        records the id and enforces merge-compatibility on it, exactly as
+        the reference does for unknown ids."""
+        if type_id <= 1000:
+            raise ValueError(
+                f"custom value types must be > 1000 (got {type_id}); "
+                "1..11 are the DefaultOpsType standard types")
+        self._check_type(type_id)
+        self.add_hashes(np.asarray(hashes, dtype=np.uint64))
+
     def add_doubles(self, values) -> None:
         """DOUBLE hash recipe: fingerprint2011 of the 8 LE IEEE754 bytes
         (`proto/aggregator.proto:126-130`)."""
