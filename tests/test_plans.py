@@ -72,3 +72,39 @@ def test_ann_bruteforce_is_jvm_side(spark):
     plan = physical_plan(entry.q_ann_cosine_topk(spark, SF_DIR))
     assert "BatchEvalPython" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_rank_check_broadcasts_estimates(spark):
+    """The quantile verification join must broadcast the tiny estimate
+    table — the data side is never shuffled for the check."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from zetasketch_spark.operators.verify import rank_check
+
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    est = spark.createDataFrame(pd.DataFrame({
+        "event_type": ["click", "view"], "q50": [0.5, 0.6]}))
+    out = rank_check(e, ["event_type"], "value", est, {"q50": 0.5},
+                     eps=0.05, ok_col="ok")
+    assert has_broadcast_join(out)
+    # and the scan reads only what the check needs
+    scans = read_schema_columns(out)
+    assert scans and all(set(c) <= {"event_type", "value"} for c in scans)
+
+
+def test_verify_jaccard_is_jvm_side_on_pairs(spark):
+    """After the shingle sets exist, the per-pair Jaccard must be pure
+    Catalyst (array_intersect) — no Python stage in the pair loop."""
+    import pandas as pd
+
+    from zetasketch_spark.operators.dedup import shingle_sets, verify_jaccard
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2], "text": ["a b c d e f", "a b c d e g", "x y z w v u"]}))
+    pairs = spark.createDataFrame(pd.DataFrame({"id_a": [0], "id_b": [1]}))
+    out = verify_jaccard(pairs, docs, threshold=0.1)
+    plan = physical_plan(out)
+    # the localCheckpoint materializes the (python) shingle stage up front;
+    # the remaining pair plan must contain no Arrow/python eval at all
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
