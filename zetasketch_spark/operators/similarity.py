@@ -82,11 +82,19 @@ def signbit_buckets(df: DataFrame, vec_col: str = "embedding", id_col: str = "ve
 
 def train_ivf_centroids(corpus: DataFrame, vec_col: str = "embedding",
                         n_centroids: int = 16, sample: int = 4096,
-                        iters: int = 10, seed: int = 7) -> np.ndarray:
+                        iters: int = 10, seed: int = 7,
+                        id_col: str | None = "vec_id") -> np.ndarray:
     """Mini k-means on a driver-side sample (the IVF coarse quantizer).
     At 100 TB you train on a ~10^5-row sample — the quantizer is tiny and
-    broadcast; only assignment is distributed."""
-    rows = corpus.select(vec_col).limit(sample).collect()
+    broadcast; only assignment is distributed.
+
+    The sample is hash-ordered (TakeOrderedAndProject: per-partition top-k,
+    no full sort and no shuffle of the corpus), so it is deterministic AND
+    unbiased across partitions — ``limit(n)`` alone would train the
+    quantizer on the head of one input file."""
+    sel = corpus.select(vec_col) if id_col is None else (
+        corpus.orderBy(F.xxhash64(F.col(id_col))).select(vec_col))
+    rows = sel.limit(sample).collect()
     x = np.vstack([np.asarray(r[0], dtype=np.float64) for r in rows])
     x = x / np.linalg.norm(x, axis=1, keepdims=True)
     rng = np.random.default_rng(seed)
