@@ -52,3 +52,42 @@ def test_fastscan_derived_day_key(spark, transcripts_path):
     df = load_transcripts(spark, transcripts_path)
     counts = dict(df.groupBy("role").count().collect())
     assert rows == counts
+
+
+def test_fastscan_partitioned_layout_and_pruning(spark, transcripts_path, tmp_path):
+    """The RDD fabric reads Hive/Iceberg day-partitioned layouts natively:
+    partition columns come from the path, and partition_filter prunes
+    whole files at planning time (zero I/O) — results must equal the
+    DataFrame path over the filtered data."""
+    import pyspark.sql.functions as F
+
+    from zetasketch_spark.operators.agg import hll_count_distinct
+    from zetasketch_spark.operators.fastscan import plan_splits, sketch_agg_rdd
+    from zetasketch_spark.sketches.base import HllFamily
+    from zetasketch_spark.sources.tables import TableIO, with_day
+    from zetasketch_spark.sources.transcripts import load_transcripts
+
+    df = with_day(load_transcripts(spark, transcripts_path))
+    io = TableIO(spark, str(tmp_path), use_iceberg=False)
+    io.write(df, "t_by_day", partition_by=["day"], mode="overwrite")
+    root = str(tmp_path / "t_by_day")
+
+    days = sorted(r["day"] for r in df.select("day").distinct().collect())
+    pick = str(days[len(days) // 2])
+
+    # planning-time pruning drops other days' files entirely
+    all_splits = plan_splits(root)
+    pruned = plan_splits(root, partition_filter={"day": pick})
+    assert 0 < len(pruned) < len(all_splits)
+    assert all(f"day={pick}" in f for f, _ in pruned)
+
+    out = sketch_agg_rdd(spark, root, ["role", "day"], "conv_id",
+                         HllFamily(precision=13),
+                         partition_filter={"day": pick})
+    got = {(r["role"], r["day"]): (r["estimate"], r["rows_seen"])
+           for r in out.collect()}
+    ref = hll_count_distinct(df.filter(F.col("day") == pick), ["role"],
+                             "conv_id", precision=13)
+    want = {(r["role"], pick): (r["approx_distinct"], r["rows_seen"])
+            for r in ref.collect()}
+    assert got == want

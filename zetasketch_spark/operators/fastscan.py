@@ -41,14 +41,41 @@ from zetasketch_spark.operators.agg import (
 from zetasketch_spark.sketches.base import SketchFamily
 
 
-def plan_splits(path: str, target_bytes: int = 96 << 20) -> list[tuple[str, list[int]]]:
+def partition_values(f: str, root: str) -> dict[str, str]:
+    """Hive/Iceberg-style partition values from ``key=value`` path
+    segments between ``root`` and the file."""
+    rel = os.path.relpath(f, root)
+    out: dict[str, str] = {}
+    for seg in rel.split(os.sep)[:-1]:
+        if "=" in seg:
+            k, v = seg.split("=", 1)
+            out[k] = v
+    return out
+
+
+def plan_splits(path: str, target_bytes: int = 96 << 20,
+                partition_filter: dict | None = None,
+                ) -> list[tuple[str, list[int]]]:
     """Row-group-aligned splits bin-packed to ~target_bytes, like
-    FileSourceScan's openCost/maxPartitionBytes planning."""
+    FileSourceScan's openCost/maxPartitionBytes planning. Handles flat
+    AND Hive/Iceberg-partitioned (``key=value`` directory) layouts;
+    ``partition_filter={col: value-or-iterable}`` drops whole files at
+    planning time — partition pruning with zero I/O, the parquet twin of
+    Iceberg's partition-spec scan planning."""
     import pyarrow.parquet as pq
 
-    files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+    files = sorted(_glob.glob(os.path.join(path, "*.parquet"))) or \
+        sorted(_glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+    norm = {}
+    for k, v in (partition_filter or {}).items():
+        vals = [v] if isinstance(v, (str, int)) else list(v)
+        norm[k] = {str(x) for x in vals}
     splits: list[tuple[str, list[int]]] = []
     for f in files:
+        if norm:
+            pv = partition_values(f, path)
+            if any(k in pv and pv[k] not in want for k, want in norm.items()):
+                continue
         md = pq.ParquetFile(f).metadata
         cur: list[int] = []
         cur_bytes = 0
@@ -64,14 +91,18 @@ def plan_splits(path: str, target_bytes: int = 96 << 20) -> list[tuple[str, list
     return splits
 
 
-def _derive_key_arrays(tbl, keys, derived: dict):
-    """Returns dict key -> pandas-able arrow array for grouping."""
+def _derive_key_arrays(tbl, keys, derived: dict, part_values: dict | None = None):
+    """Returns dict key -> pandas-able arrow array for grouping. Keys
+    naming partition columns come from the path (constant per file)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
     out = {}
     for k in keys:
-        if k in derived:
+        if part_values and k in part_values and k not in derived \
+                and k not in tbl.column_names:
+            out[k] = pa.array([part_values[k]] * tbl.num_rows)
+        elif k in derived:
             op, src = derived[k]
             if op == "to_date":
                 out[k] = pc.cast(pc.floor_temporal(tbl[src], unit="day"), pa.date32())
@@ -188,7 +219,8 @@ def sketch_agg_fastscan(spark, path, keys, col, family,
 def sketch_agg_rdd(spark, path, keys, col, family,
                    derived_keys=None, target_split_bytes: int = 96 << 20,
                    reduce_partitions: int | None = None,
-                   keep_sketch: bool = False):
+                   keep_sketch: bool = False,
+                   partition_filter: dict | None = None):
     """Flagship execution fabric: parquet-split scan + ``reduceByKey`` tree
     merge, entirely in the RDD runner.
 
@@ -202,10 +234,18 @@ def sketch_agg_rdd(spark, path, keys, col, family,
     asserted in tests (same cores, same bytes, same estimates).
 
     Returns a Spark DataFrame of ``keys + (rows_seen, estimate fields)``.
+
+    Partitioned (Hive/Iceberg ``key=value`` directory) layouts are read
+    natively: ``partition_filter`` prunes whole files at planning time
+    (zero I/O), and group keys naming partition columns are materialized
+    from the path instead of the file.
     """
     derived = derived_keys or {}
-    splits = plan_splits(path, target_split_bytes)
-    read_cols = sorted({col, *[k for k in keys if k not in derived],
+    splits = plan_splits(path, target_split_bytes, partition_filter)
+    part_cols = set(partition_values(splits[0][0], path)) if splits else set()
+    part_keys = {k for k in keys if k in part_cols and k not in derived}
+    read_cols = sorted({col, *[k for k in keys
+                               if k not in derived and k not in part_keys],
                         *[src for (_, src) in derived.values()]})
     sc = spark.sparkContext
     # several splits per task: one accumulated state per (task, key) crosses
@@ -213,7 +253,9 @@ def sketch_agg_rdd(spark, path, keys, col, family,
     # shrinks by the splits-per-task factor
     cpus = sc.defaultParallelism
     n_tasks = max(1, min(len(splits), 2 * cpus))
-    rdd = sc.parallelize(list(splits), n_tasks)
+    items = [(f, rgs, partition_values(f, path) if part_keys else None)
+             for f, rgs in splits]
+    rdd = sc.parallelize(items, n_tasks)
     keys_t = tuple(keys)
 
     def run_split(it):
@@ -222,7 +264,7 @@ def sketch_agg_rdd(spark, path, keys, col, family,
 
         acc: dict = {}
         rows: dict = {}
-        for f, rgs in it:
+        for f, rgs, pv in it:
             pf = pq.ParquetFile(f)
             tbl = pf.read_row_groups(rgs, columns=read_cols, use_threads=False)
             tbl = tbl.combine_chunks()
@@ -231,7 +273,7 @@ def sketch_agg_rdd(spark, path, keys, col, family,
                 val = val.chunk(0) if val.num_chunks else pa.array([], type=val.type)
             prepared = family.prepare_arrow(val)
             if keys_t:
-                karrs = _derive_key_arrays(tbl, keys_t, derived)
+                karrs = _derive_key_arrays(tbl, keys_t, derived, pv)
                 kpdf = pa.table(karrs).to_pandas()
                 groups = kpdf.groupby(list(keys_t), sort=False, dropna=False).indices
             else:
@@ -265,8 +307,7 @@ def sketch_agg_rdd(spark, path, keys, col, family,
     import pyarrow.parquet as pq
     from pyspark.sql.types import _parse_datatype_string
 
-    sample_schema = pq.read_schema(
-        sorted(_glob.glob(os.path.join(path, "*.parquet")))[0])
+    sample_schema = pq.read_schema(splits[0][0]) if splits else None
     type_map = {"string": "string", "large_string": "string", "int64": "bigint",
                 "int32": "int", "double": "double", "float": "float",
                 "timestamp[us]": "timestamp", "date32[day]": "date"}
@@ -276,9 +317,12 @@ def sketch_agg_rdd(spark, path, keys, col, family,
             op = derived[k][0]
             fields.append(StructField(k, _parse_datatype_string(
                 "date" if op == "to_date" else "string")))
+        elif k in part_keys:
+            fields.append(StructField(k, _parse_datatype_string("string")))
         else:
             fields.append(StructField(k, _parse_datatype_string(
-                type_map[str(sample_schema.field(k).type)])))
+                type_map[str(sample_schema.field(k).type)]
+                if sample_schema is not None else "string")))
     fields.append(StructField(ROWS_COL, LongType()))
     fields += [StructField(n, _parse_datatype_string(t))
                for n, t in family.result_fields]
