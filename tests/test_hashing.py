@@ -192,3 +192,20 @@ def test_float_double_arrow_path_matches_series_path():
     prepared = fam.prepare_arrow(pa.array(vals, type=pa.float64()))
     fam.update_prepared(via_arrow, prepared[np.arange(len(vals))])
     assert fam.serialize(via_series) == fam.serialize(via_arrow)
+
+
+def test_dictionary_array_hashes_match_plain():
+    """Dictionary-encoded columns (parquet's encoding for repetitive
+    strings) must hash identically to their decoded form, with nulls
+    masked the same way."""
+    import pyarrow as pa
+
+    from zetasketch_spark.hashing import fingerprint_arrow_array
+
+    vals = ["alpha", "beta", "gamma", None, "alpha", "beta", "alpha"]
+    plain = pa.array(vals, type=pa.string())
+    dictarr = plain.dictionary_encode()
+    hp, vp = fingerprint_arrow_array(plain)
+    hd, vd = fingerprint_arrow_array(dictarr)
+    assert (vp == vd).all()
+    assert (hp[vp] == hd[vd]).all()

@@ -427,6 +427,16 @@ def fingerprint_arrow_array(arr) -> tuple[np.ndarray, np.ndarray | None]:
     if pa.types.is_float32(typ):
         vals = arr.fill_null(0.0) if arr.null_count else arr
         return fingerprint_float_array(vals.to_numpy(zero_copy_only=False)), valid
+    if pa.types.is_dictionary(typ):
+        # dictionary-encoded columns (parquet's default for repetitive
+        # strings): hash each dictionary VALUE once, then gather by index —
+        # for low-cardinality columns this removes almost all hash work
+        dict_hashes, _ = fingerprint_arrow_array(arr.dictionary)
+        indices = arr.indices
+        if indices.null_count:
+            indices = indices.fill_null(0)
+        idx = indices.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        return dict_hashes[idx], valid
     raise TypeError(f"unsupported arrow type for fingerprinting: {typ}")
 
 
