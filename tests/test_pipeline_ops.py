@@ -299,3 +299,30 @@ def test_multimodal_real_codecs(spark):
     assert rows[0]["feature_dim"] == rows[1]["feature_dim"] == 7 * 5 * 3
     assert abs(rows[2]["mean_val"] - exp_aud_mean) <= 1e-6
     assert rows[2]["feature_dim"] == 400
+
+
+def test_minhash_signature_estimates_jaccard(spark):
+    """MinHash property: the fraction of agreeing signature slots is an
+    unbiased estimator of the exact shingle Jaccard (within sampling noise
+    at num_perm=128)."""
+    from zetasketch_spark.operators.dedup import (
+        _shingle_hashes, minhash_signatures)
+
+    rng = np.random.default_rng(13)
+    base = list(rng.choice(WORDS, size=120))
+    texts = [" ".join(base)]
+    for frac in (0.1, 0.3, 0.6):
+        mut = base.copy()
+        for i in rng.choice(120, size=int(120 * frac), replace=False):
+            mut[i] = f"sub{i}"
+        texts.append(" ".join(mut))
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    df = spark.createDataFrame(pdf)
+    sigs = {r["doc_id"]: np.array(r["signature"])
+            for r in minhash_signatures(df, num_perm=128).collect()}
+    sets = _shingle_hashes(pd.Series(texts))
+    for j in range(1, len(texts)):
+        inter = len(np.intersect1d(sets[0], sets[j], assume_unique=True))
+        exact = inter / (len(sets[0]) + len(sets[j]) - inter)
+        est = float((sigs[0] == sigs[j]).mean())
+        assert abs(est - exact) <= 0.13, (j, exact, est)  # ~3σ at n=128
