@@ -107,6 +107,15 @@ def main():
     timings["transcripts_hll_role_day"] = round(best, 3)
     turns_per_sec = int(n_turns / best)
 
+    # north-star secondary metric: approx distinct of the full turn text
+    best_txt = None
+    for _ in range(2):
+        t0 = time.time()
+        sketch_agg_rdd(spark, tdir, ["role"], "text", fam).count()
+        tsec = time.time() - t0
+        best_txt = tsec if best_txt is None else min(best_txt, tsec)
+    timings["transcripts_hll_text"] = round(best_txt, 3)
+
 
     for name in HEADLINE:
         t0 = time.time()

@@ -24,6 +24,8 @@ Spark hot path uses the ``fingerprint_*_array`` batch entry points
 
 from __future__ import annotations
 
+import sys
+
 import numpy as np
 
 U64 = np.uint64
@@ -187,8 +189,18 @@ def fingerprint_int_array(values: np.ndarray) -> np.ndarray:
 # off a pandas/Arrow column.
 # ---------------------------------------------------------------------------
 
+_LITTLE_ENDIAN = sys.byteorder == "little"
+
+
 def _load64_gather(buf: np.ndarray, pos: np.ndarray) -> np.ndarray:
-    """Unaligned little-endian 64-bit loads at ``pos`` (vectorized gather)."""
+    """Unaligned little-endian 64-bit loads at ``pos`` (vectorized gather).
+
+    One row-gather off an 8-byte sliding view + a uint64 reinterpret —
+    8x fewer gathers than per-byte assembly (callers guarantee
+    ``pos + 8 <= len(buf)`` via the pad in ``fingerprint_bytes_batch``)."""
+    if _LITTLE_ENDIAN:
+        sw = np.lib.stride_tricks.sliding_window_view(buf, 8)
+        return np.ascontiguousarray(sw[pos]).view(np.uint64).ravel()
     b = buf[pos[:, None] + np.arange(8)].astype(np.uint64)
     out = b[:, 0]
     for k in range(1, 8):
@@ -198,6 +210,11 @@ def _load64_gather(buf: np.ndarray, pos: np.ndarray) -> np.ndarray:
 
 def _load64_safely(buf: np.ndarray, pos: np.ndarray, nbytes: np.ndarray) -> np.ndarray:
     """LE load of ``nbytes[i]`` (< 8) bytes at pos[i], zero-padded high."""
+    if _LITTLE_ENDIAN:
+        # over-read 8 bytes (pad guarantees in-bounds), mask the tail
+        full = _load64_gather(buf, pos)
+        mask = (U64(1) << (nbytes.astype(np.uint64) * U64(8))) - U64(1)
+        return full & mask
     out = np.zeros(len(pos), dtype=np.uint64)
     for k in range(8):
         m = nbytes > k
@@ -260,6 +277,10 @@ def _weak32_batch(buf, off, seed_a, seed_b):
     p2 = _load64_gather(buf, off + 8)
     p3 = _load64_gather(buf, off + 16)
     p4 = _load64_gather(buf, off + 24)
+    return _weak32_words(p1, p2, p3, p4, seed_a, seed_b)
+
+
+def _weak32_words(p1, p2, p3, p4, seed_a, seed_b):
     a = seed_a + p1
     b = _rotr(seed_b + a + p4, 51)
     c = a
@@ -270,8 +291,16 @@ def _weak32_batch(buf, off, seed_a, seed_b):
 
 
 def _full_fingerprint_batch(buf, off, length):
-    """fullFingerprint (> 64 bytes), vectorized with an active-row mask on
-    the 64-byte chunk loop (iterations = max chunks in the batch)."""
+    """fullFingerprint (> 64 bytes), vectorized across rows.
+
+    Rows are processed in descending-length order so the active set of
+    the 64-byte chunk loop is always a PREFIX: per-round state updates
+    are contiguous slice views instead of boolean-mask gathers/copies —
+    on long-text batches this is the difference between O(rounds·n)
+    masked traffic and O(total_bytes) work."""
+    order = np.argsort(-length, kind="stable")
+    off = off[order]
+    length = length[order]
     ln64 = length.astype(np.uint64)
     x = _load64_gather(buf, off)
     y = _load64_gather(buf, off + length - 16) ^ K1
@@ -281,31 +310,43 @@ def _full_fingerprint_batch(buf, off, length):
     z = z + _shift_mix(v1) * K1
     x = _rotr(z + x, 39) * K1
     y = _rotr(y, 33) * K1
-    rem = (length - 1) & ~np.int64(63)
+    rem = (length - 1) & ~np.int64(63)  # sorted desc, like length
     pos = off.copy()
-    while True:
-        m = rem > 0
-        if not m.any():
-            break
-        pm = pos[m]
-        x_m = _rotr(x[m] + y[m] + v0[m] + _load64_gather(buf, pm + 16), 37) * K1
-        y_m = _rotr(y[m] + v1[m] + _load64_gather(buf, pm + 48), 42) * K1
-        x_m = x_m ^ w1[m]
-        y_m = y_m ^ v0[m]
-        z_m = _rotr(z[m] ^ w0[m], 33)
-        nv0, nv1 = _weak32_batch(buf, pm, v1[m] * K1, x_m + w0[m])
-        nw0, nw1 = _weak32_batch(buf, pm + 32, z_m + w1[m], y_m)
+    k = int(np.searchsorted(-rem, 0, side="left"))  # rows with rem > 0
+    sw64 = (np.lib.stride_tricks.sliding_window_view(buf, 64)
+            if k and _LITTLE_ENDIAN else None)
+    while k > 0:
+        pm = pos[:k]
+        if sw64 is not None:
+            # ONE 64-byte gather per row serves all 10 word loads of the round
+            blk = sw64[pm].view(np.uint64)  # (k, 8) little-endian words
+            words = [blk[:, i] for i in range(8)]
+        else:
+            words = [_load64_gather(buf, pm + 8 * i) for i in range(8)]
+        x_m = _rotr(x[:k] + y[:k] + v0[:k] + words[2], 37) * K1
+        y_m = _rotr(y[:k] + v1[:k] + words[6], 42) * K1
+        x_m = x_m ^ w1[:k]
+        y_m = y_m ^ v0[:k]
+        z_m = _rotr(z[:k] ^ w0[:k], 33)
+        nv0, nv1 = _weak32_words(words[0], words[1], words[2], words[3],
+                                 v1[:k] * K1, x_m + w0[:k])
+        nw0, nw1 = _weak32_words(words[4], words[5], words[6], words[7],
+                                 z_m + w1[:k], y_m)
         # swap(z, x)
-        x[m], z[m] = z_m, x_m
-        y[m] = y_m
-        v0[m], v1[m] = nv0, nv1
-        w0[m], w1[m] = nw0, nw1
-        pos[m] += 64
-        rem[m] -= 64
-    return _hash128to64(
+        x[:k], z[:k] = z_m, x_m
+        y[:k] = y_m
+        v0[:k], v1[:k] = nv0, nv1
+        w0[:k], w1[:k] = nw0, nw1
+        pos[:k] += 64
+        rem[:k] -= 64
+        k = int(np.searchsorted(-rem[:k], 0, side="left"))
+    res = _hash128to64(
         _hash128to64(v0, w0) + _shift_mix(y) * K1 + z,
         _hash128to64(v1, w1) + x,
     )
+    out = np.empty_like(res)
+    out[order] = res
+    return out
 
 
 def fingerprint_bytes_batch(buf: np.ndarray, off: np.ndarray, length: np.ndarray) -> np.ndarray:
