@@ -428,3 +428,30 @@ def test_serialize_roundtrip_normal_mode():
     rt = HllSketch.deserialize(data)
     assert rt.serialize() == data
     assert rt.estimate() == sk.estimate()
+
+
+def test_deserialize_skips_unknown_fields():
+    """Forward compatibility (`StateTest.java:333-350`): unknown proto
+    fields of any wire type are skipped, fields around them still parse."""
+    def varint(v):
+        out = bytearray()
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            if v:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                return bytes(out)
+
+    sk = HllSketch(precision=12)
+    sk.add_longs(np.arange(500, dtype=np.int64))
+    data = bytearray(sk.serialize())
+    data += varint((999 << 3) | 2) + varint(6) + b"foobar"  # unknown bytes
+    data += varint((998 << 3) | 0) + varint(12345)          # unknown varint
+    data += varint((997 << 3) | 1) + b"\x01\x02\x03\x04\x05\x06\x07\x08"
+    data += varint((996 << 3) | 5) + b"\x01\x02\x03\x04"    # fixed32
+    rt = HllSketch.deserialize(bytes(data))
+    assert rt.estimate() == sk.estimate()
+    assert rt.num_values == sk.num_values
+    assert rt.serialize() == sk.serialize()
