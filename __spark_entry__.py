@@ -550,9 +550,14 @@ def q_simhash_near_dups_pure(spark, sf_dir):
 
 def q_docs_winnow_fingerprints(spark, sf_dir):
     """Winnowing fingerprints with the Schleimer guarantee as booleans:
-    ceil(W/window) ≤ |fingerprints| ≤ #k-grams (W = #windows)."""
+    1 ≤ |fps| ≤ #distinct-k-grams always, and when all grams are distinct
+    additionally |fps| ≥ ceil(W/window) (the selection-density theorem —
+    with repeated grams selected positions can collapse to fewer unique
+    hashes, so the density bound is conditioned on distinctness, which
+    both engines compute exactly)."""
     from zetasketch_spark.functions.fingerprint import winnow_fingerprints_udf
     from zetasketch_spark.functions.text import token_count
+    from zetasketch_spark.operators.dedup import shingle_sets
 
     d = _t(spark, sf_dir, "documents")
     fp = winnow_fingerprints_udf(k=5, window=4)
@@ -560,9 +565,17 @@ def q_docs_winnow_fingerprints(spark, sf_dir):
     n_grams = F.when(nw >= 5, nw - 4).when(nw > 0, F.lit(1)).otherwise(F.lit(0))
     wnd = F.when(n_grams > 4, n_grams - 3).otherwise(F.least(n_grams, F.lit(1)))
     n_fp = F.size(fp(F.col("text")))
-    bounds_ok = F.when(n_grams == 0, n_fp == 0).otherwise(
-        (n_fp >= F.ceil(wnd / F.lit(4.0))) & (n_fp <= n_grams))
-    return d.select("doc_id", nw.alias("n_words"), bounds_ok.alias("bounds_ok"))
+    distinct = shingle_sets(d, shingle_k=5).select(
+        "doc_id", F.size("shingles").alias("n_distinct_grams"))
+    base = d.select("doc_id", nw.alias("n_words"),
+                    n_grams.alias("_ng"), wnd.alias("_w"),
+                    n_fp.alias("_f")).join(distinct, "doc_id")
+    bounds_ok = F.when(F.col("_ng") == 0, F.col("_f") == 0).otherwise(
+        (F.col("_f") >= 1) & (F.col("_f") <= F.col("n_distinct_grams"))
+        & ((F.col("n_distinct_grams") < F.col("_ng"))
+           | (F.col("_f") >= F.ceil(F.col("_w") / F.lit(4.0)))))
+    return base.select("doc_id", "n_words", "n_distinct_grams",
+                       bounds_ok.alias("bounds_ok"))
 
 
 def q_docs_winnow_fingerprints_pure(spark, sf_dir):
@@ -1043,9 +1056,18 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs WHERE round(j, 4) >= 0.5
         """,
         "docs_winnow_fingerprints": """
-            SELECT doc_id, len(string_split(text, ' ')) AS n_words,
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS ws,
+                     len(string_split(text, ' ')) AS n
+              FROM documents
+            )
+            SELECT doc_id, n AS n_words,
+                   len(list_distinct(list_transform(
+                       range(1, greatest(n - least(5, n) + 1, 0) + 1),
+                       i -> array_to_string(ws[i:i+least(5,n)-1], chr(31)))))
+                     AS n_distinct_grams,
                    true AS bounds_ok
-            FROM documents
+            FROM w
         """,
         "ann_lsh_topk": _PLANTED + """
             , q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < 20),

@@ -71,11 +71,16 @@ def main():
     spark.range(10000, numPartitions=cpus).select(
         F.sum(_warm(F.col("id")))).collect()
     # touch the input tables once (untimed) so per-query numbers measure
-    # compute, not first-read page-cache misses
-    for t in ("documents", "embeddings", "events", "lineitem", "orders"):
-        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
-    spark.read.parquet(f"{sf_dir}/documents.parquet") \
-        .select(F.sum(F.length("text"))).collect()
+    # compute, not first-read page-cache misses (count() alone is answered
+    # from parquet metadata — hash every column to force real data reads)
+    for t in ("documents", "embeddings", "events", "lineitem", "orders",
+              "customer"):
+        tdf = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        cols = [F.xxhash64(c) for c in tdf.columns
+                if not str(tdf.schema[c].dataType).startswith("ArrayType")]
+        tdf.select(F.sum(sum(cols[1:], cols[0]))).collect()
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select(F.sum(F.size("embedding"))).collect()
 
     # bench the pure operator versions: the gate versions carry an exact
     # twin computation (their verification payload), which would measure
@@ -129,8 +134,9 @@ def main():
     # the newest BENCH_r*.json and surface anything >1.5x slower
     regressions: dict[str, dict[str, float]] = {}
     repo = os.path.dirname(os.path.abspath(__file__))
-    prior = sorted(f for f in os.listdir(repo)
-                   if re.fullmatch(r"BENCH_r\d+\.json", f))
+    prior = sorted((f for f in os.listdir(repo)
+                    if re.fullmatch(r"BENCH_r\d+\.json", f)),
+                   key=lambda f: int(re.search(r"\d+", f).group()))
     if prior:
         try:
             with open(os.path.join(repo, prior[-1])) as fh:

@@ -91,3 +91,14 @@ def test_fastscan_partitioned_layout_and_pruning(spark, transcripts_path, tmp_pa
     want = {(r["role"], pick): (r["approx_distinct"], r["rows_seen"])
             for r in ref.collect()}
     assert got == want
+
+
+def test_partition_filter_typo_raises(spark, transcripts_path, tmp_path):
+    """A partition_filter key that is not a partition column must raise —
+    a silent no-op would aggregate everything while claiming pruning."""
+    import pytest
+
+    from zetasketch_spark.operators.fastscan import plan_splits
+
+    with pytest.raises(ValueError, match="not partition columns"):
+        plan_splits(transcripts_path, partition_filter={"day": "2024-01-01"})

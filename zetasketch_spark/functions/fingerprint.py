@@ -16,7 +16,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from zetasketch_spark.hashing import kgram_window_hashes
+from zetasketch_spark.hashing import kgram_window_hashes, unique_per_doc
 
 
 def winnow_fingerprints_batch(texts, k: int = 5,
@@ -53,13 +53,7 @@ def winnow_fingerprints_batch(texts, k: int = 5,
             pairs = pairs[:-1]
         mins[~full] = np.minimum.reduceat(h, pairs)[0::2]
 
-    order = np.lexsort((mins, dof))
-    hs, ds = mins[order], dof[order]
-    keep = np.ones(len(hs), dtype=bool)
-    keep[1:] = (ds[1:] != ds[:-1]) | (hs[1:] != hs[:-1])
-    hu, du = hs[keep], ds[keep]
-    per_doc = np.bincount(du, minlength=n_docs)
-    return np.split(hu, np.cumsum(per_doc)[:-1])
+    return unique_per_doc(mins, dof, n_docs)
 
 
 def winnow_fingerprints(text: str, k: int = 5, window: int = 4) -> np.ndarray:

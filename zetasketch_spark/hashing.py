@@ -147,6 +147,19 @@ def kgram_window_hashes(texts, k: int) -> tuple[np.ndarray, np.ndarray, int]:
     return fingerprint_bytes_batch(wh.view(np.uint8), off, lens), doc_of, n_docs
 
 
+def unique_per_doc(h: np.ndarray, doc_of: np.ndarray,
+                   n_docs: int) -> list[np.ndarray]:
+    """Sorted unique hashes per document from flat ``(hash, doc)`` pairs:
+    one lexsort + adjacent-dedupe + split (views) for the whole batch."""
+    order = np.lexsort((h, doc_of))
+    hs, ds = h[order], doc_of[order]
+    keep = np.ones(len(hs), dtype=bool)
+    keep[1:] = (ds[1:] != ds[:-1]) | (hs[1:] != hs[:-1])
+    hu, du = hs[keep], ds[keep]
+    per_doc = np.bincount(du, minlength=n_docs)
+    return np.split(hu, np.cumsum(per_doc)[:-1])
+
+
 def fingerprint_double_array(values: np.ndarray) -> np.ndarray:
     """fingerprint2011 of each float64's 8 little-endian IEEE754 bytes —
     the DOUBLE hash recipe (`proto/aggregator.proto:126-130`,
@@ -472,6 +485,8 @@ def fingerprint_arrow_array(arr) -> tuple[np.ndarray, np.ndarray | None]:
         # dictionary-encoded columns (parquet's default for repetitive
         # strings): hash each dictionary VALUE once, then gather by index —
         # for low-cardinality columns this removes almost all hash work
+        if len(arr.dictionary) == 0:  # all-null column: nothing to hash
+            return np.zeros(n, dtype=np.uint64), valid
         dict_hashes, _ = fingerprint_arrow_array(arr.dictionary)
         indices = arr.indices
         if indices.null_count:

@@ -61,19 +61,12 @@ def _shingle_hashes(texts: pd.Series, k: int = 5) -> list[np.ndarray]:
     two fingerprint passes total, zero-copy gram windows); per-doc dedupe
     is a single lexsort over (doc, hash). No per-document Python loop, no
     shingle strings ever materialized."""
-    from zetasketch_spark.hashing import kgram_window_hashes
+    from zetasketch_spark.hashing import kgram_window_hashes, unique_per_doc
 
     h, doc_of, n_docs = kgram_window_hashes(texts, k)
     if len(h) == 0:
         return [np.empty(0, dtype=np.uint64)] * n_docs
-
-    order = np.lexsort((h, doc_of))
-    hs, ds = h[order], doc_of[order]
-    keep = np.ones(len(hs), dtype=bool)
-    keep[1:] = (ds[1:] != ds[:-1]) | (hs[1:] != hs[:-1])
-    hu, du = hs[keep], ds[keep]
-    per_doc = np.bincount(du, minlength=n_docs)
-    return np.split(hu, np.cumsum(per_doc)[:-1])
+    return unique_per_doc(h, doc_of, n_docs)
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",

@@ -68,13 +68,22 @@ def plan_splits(path: str, target_bytes: int = 96 << 20,
         sorted(_glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
     norm = {}
     for k, v in (partition_filter or {}).items():
-        vals = [v] if isinstance(v, (str, int)) else list(v)
+        vals = list(v) if isinstance(v, (list, tuple, set, frozenset)) else [v]
         norm[k] = {str(x) for x in vals}
+    if norm and files:
+        # a filter key absent from the layout would silently aggregate
+        # everything while the caller believes it was pruned
+        present = set(partition_values(files[0], path))
+        missing = set(norm) - present
+        if missing:
+            raise ValueError(
+                f"partition_filter keys {sorted(missing)} are not partition "
+                f"columns of {path} (found: {sorted(present) or 'none — flat layout'})")
     splits: list[tuple[str, list[int]]] = []
     for f in files:
         if norm:
             pv = partition_values(f, path)
-            if any(k in pv and pv[k] not in want for k, want in norm.items()):
+            if any(pv.get(k) not in want for k, want in norm.items()):
                 continue
         md = pq.ParquetFile(f).metadata
         cur: list[int] = []
@@ -309,31 +318,54 @@ def sketch_agg_rdd(spark, path, keys, col, family,
 
     sample_schema = pq.read_schema(splits[0][0]) if splits else None
     type_map = {"string": "string", "large_string": "string", "int64": "bigint",
-                "int32": "int", "double": "double", "float": "float",
-                "timestamp[us]": "timestamp", "date32[day]": "date"}
-    fields = []
-    for k in keys:
+                "int32": "int", "int16": "int", "int8": "int", "bool": "boolean",
+                "double": "double", "float": "float",
+                "timestamp[us]": "timestamp", "timestamp[ns]": "timestamp",
+                "timestamp[ms]": "timestamp", "date32[day]": "date"}
+
+    def _key_type(k: str) -> str:
         if k in derived:
-            op = derived[k][0]
-            fields.append(StructField(k, _parse_datatype_string(
-                "date" if op == "to_date" else "string")))
-        elif k in part_keys:
-            fields.append(StructField(k, _parse_datatype_string("string")))
-        else:
-            fields.append(StructField(k, _parse_datatype_string(
-                type_map[str(sample_schema.field(k).type)]
-                if sample_schema is not None else "string")))
+            return "date" if derived[k][0] == "to_date" else "string"
+        if k in part_keys:
+            return "string"
+        if sample_schema is None:
+            return "string"
+        # unmapped exotic types fall back to their string form rather than
+        # failing at planning time
+        return type_map.get(str(sample_schema.field(k).type), "string")
+
+    key_types = [_key_type(k) for k in keys]
+    fields = [StructField(k, _parse_datatype_string(t))
+              for k, t in zip(keys, key_types)]
     fields.append(StructField(ROWS_COL, LongType()))
     fields += [StructField(n, _parse_datatype_string(t))
                for n, t in family.result_fields]
     if keep_sketch:
         fields.append(StructField(SKETCH_COL, BinaryType()))
 
+    def _coerce(v, t):
+        # pandas surfaces nullable int keys as floats with NaN — restore
+        # the declared type (None for NaN) so the explicit schema accepts it
+        import math
+
+        if isinstance(v, np.generic):
+            v = v.item()
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            return None
+        if t in ("bigint", "int") and isinstance(v, float):
+            return int(v)
+        if t == "string" and not isinstance(v, str):
+            return str(v)
+        return v
+
     def to_row(kv):
         key, (blob, rows_seen) = kv
-        rec = [*key, rows_seen, *family.result(family.deserialize(blob))]
+        rec = [_coerce(v, t) for v, t in zip(key, key_types)]
+        rec.append(int(rows_seen))
+        rec += [x.item() if isinstance(x, np.generic) else x
+                for x in family.result(family.deserialize(blob))]
         if keep_sketch:
             rec.append(blob)
-        return tuple(v.item() if isinstance(v, np.generic) else v for v in rec)
+        return tuple(rec)
 
     return spark.createDataFrame(merged.map(to_row), StructType(fields))

@@ -97,16 +97,21 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
 
 def _decode_ppm(payload: bytes) -> np.ndarray:
     # header: "P6" <ws> width <ws> height <ws> maxval <single ws> data
-    pos, fields = 2, []
+    pos, fields, n = 2, [], len(payload)
     while len(fields) < 3:
-        while payload[pos : pos + 1].isspace():
+        while pos < n and payload[pos : pos + 1].isspace():
             pos += 1
         if payload[pos : pos + 1] == b"#":  # comment line
-            pos = payload.index(b"\n", pos) + 1
+            nl = payload.find(b"\n", pos)
+            if nl < 0:
+                raise ValueError("truncated PPM header")
+            pos = nl + 1
             continue
         end = pos
-        while not payload[end : end + 1].isspace():
+        while end < n and not payload[end : end + 1].isspace():
             end += 1
+        if end == pos or end >= n:
+            raise ValueError("truncated PPM header")
         fields.append(int(payload[pos:end]))
         pos = end
     pos += 1  # the single whitespace after maxval
@@ -123,10 +128,16 @@ def decode_image(payload: bytes, deterministic_fake: bool = False) -> np.ndarray
     need codecs absent from this container and raise unless
     ``deterministic_fake`` is set."""
     payload = bytes(payload)
-    if payload[:2] == b"BM":
-        return _decode_bmp(payload)
-    if payload[:2] == b"P6":
-        return _decode_ppm(payload)
+    try:
+        if payload[:2] == b"BM":
+            return _decode_bmp(payload)
+        if payload[:2] == b"P6":
+            return _decode_ppm(payload)
+    except (ValueError, struct.error, NotImplementedError):
+        # malformed header: arbitrary bytes can start with a magic pair —
+        # fall through to the fake path (or raise) instead of crashing
+        if not deterministic_fake:
+            raise
     if not deterministic_fake:
         raise NotImplementedError(
             "only BMP/PPM decode in pure numpy; JPEG/PNG need libjpeg/PIL "

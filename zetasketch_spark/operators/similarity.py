@@ -136,7 +136,8 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     cosine re-rank on the candidates. The corpus assignment is the only
     full pass; the probe join touches ~nprobe/n_centroids of the corpus."""
     if centroids is None:
-        centroids = train_ivf_centroids(corpus, vec_col, n_centroids)
+        centroids = train_ivf_centroids(corpus, vec_col, n_centroids,
+                                        id_col=id_col)
     cb = _ivf_assign(corpus, centroids, "neighbor_id", id_col, vec_col, nprobe=1)
     qb = _ivf_assign(queries, centroids, "query_id", id_col, vec_col, nprobe=nprobe)
     cand = (
