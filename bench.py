@@ -76,9 +76,9 @@ def main():
     for t in ("documents", "embeddings", "events", "lineitem", "orders",
               "customer"):
         tdf = spark.read.parquet(f"{sf_dir}/{t}.parquet")
-        cols = [F.xxhash64(c) for c in tdf.columns
+        cols = [c for c in tdf.columns
                 if not str(tdf.schema[c].dataType).startswith("ArrayType")]
-        tdf.select(F.sum(sum(cols[1:], cols[0]))).collect()
+        tdf.select(F.count(F.xxhash64(*cols))).collect()
     spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
         .select(F.sum(F.size("embedding"))).collect()
 
