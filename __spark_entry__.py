@@ -530,6 +530,16 @@ def q_simhash_near_dups(spark, sf_dir):
     return simhash_verified(d, max_hamming=3, gt_threshold=0.5)
 
 
+def q_events_topk_rerank(spark, sf_dir):
+    """Distributed EXACT top-k: Count-Min-bounded candidates + exact
+    re-rank (operators/topk.py) — output is exact, so DuckDB's plain
+    top-10 is a direct oracle."""
+    from zetasketch_spark.operators.topk import topk_exact_rerank
+
+    e = _t(spark, sf_dir, "events")
+    return topk_exact_rerank(e, "user_id", k=10)
+
+
 def q_docs_dup_clusters(spark, sf_dir):
     """Connected components over near-dup pairs (iterative min-label
     propagation): an exact graph computation, oracled by a DuckDB
@@ -730,6 +740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_winnow_fingerprints": q_docs_winnow_fingerprints,
         "hll_sql_surface": q_hll_sql_surface,
         "docs_dup_clusters": q_docs_dup_clusters,
+        "events_topk_rerank": q_events_topk_rerank,
     }
 
 
@@ -1118,5 +1129,15 @@ def oracle_sql() -> dict[str, str]:
               SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
             )
             SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+        """,
+        "events_topk_rerank": """
+            WITH c AS (
+              SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS exact_count
+              FROM events GROUP BY 1
+            )
+            SELECT key, exact_count,
+                   row_number() OVER (ORDER BY exact_count DESC, key) AS rank
+            FROM c
+            QUALIFY rank <= 10
         """,
     }

@@ -200,3 +200,24 @@ def test_bloom_serde_roundtrip():
     bf.add_series(pd.Series(["a", "b"]))
     rt = BloomFilter.deserialize(bf.serialize())
     assert np.array_equal(rt.words, bf.words) and rt.n_added == 2
+
+
+def test_topk_exact_rerank_matches_groupby(spark, transcripts_path):
+    """Sketch-guided exact top-k == plain exact top-k, under real skew."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from zetasketch_spark.operators.topk import topk_exact_rerank
+    from zetasketch_spark.sources.transcripts import load_transcripts
+
+    df = load_transcripts(spark, transcripts_path).filter(
+        F.col("tool").isNotNull())
+    got = [(r["key"], r["exact_count"], r["rank"])
+           for r in topk_exact_rerank(df, "tool", k=8).collect()]
+    w = Window.orderBy(F.col("exact_count").desc(), F.col("key"))
+    want = [(r["key"], r["exact_count"], r["rank"]) for r in (
+        df.select(F.col("tool").cast("string").alias("key"))
+        .groupBy("key").agg(F.count("*").alias("exact_count"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 8)).collect()]
+    assert got == want

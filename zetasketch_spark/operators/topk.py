@@ -1,0 +1,62 @@
+"""Distributed exact top-k by frequency: sketch-guided candidates, exact
+re-rank.
+
+The production-grade heavy-hitters shape at 100 TB:
+
+1. **candidate generation** — Count-Min partials with bounded candidate
+   sets per partition, merged associatively (only sketch states shuffle;
+   the Misra-Gries-style union keeps any key with share >
+   1/(max_candidates+1), so every possible top-k member survives when
+   k ≪ max_candidates).
+2. **exact re-rank** — the merged candidate set (≤ max_candidates keys) is
+   broadcast back as a semi-join filter and the survivors are counted
+   EXACTLY in one aggregation over the data. Shuffle volume: candidate
+   keys only.
+
+The result is exact (not an estimate) whenever the true top-k all clear
+the candidate-survival bar — which the CM estimate bound lets you check:
+if the k-th exact candidate count exceeds the CM upper bound of any
+non-candidate (≤ εN), the ranking is provably complete.
+
+Same contract the reference's Aggregator pattern implies for distributed
+use (`Aggregator.java:31-106`): partial state per worker, associative
+merge, small serialized states across the wire.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def topk_exact_rerank(df: DataFrame, col: str, k: int = 10,
+                      width: int = 4096, depth: int = 5,
+                      max_candidates: int = 512) -> DataFrame:
+    """Exact top-k ``(key, exact_count, rank)`` (count desc, key asc
+    tiebreak), computed with sketch-bounded shuffle.
+
+    Keys are compared in string form (the CM candidate domain)."""
+    from zetasketch_spark.operators.agg import sketch_merge, sketch_partial
+    from zetasketch_spark.sketches.countmin import CountMinFamily
+
+    fam = CountMinFamily(width=width, depth=depth,
+                         max_candidates=max_candidates)
+    keyed = df.select(F.col(col).cast("string").alias("key"))
+    partials = sketch_partial(keyed, [], "key", fam)
+    merged = sketch_merge(partials, [], fam)
+    [row] = merged.collect()  # ONE global sketch — tiny by construction
+    cm = fam.deserialize(bytes(row["sketch"]))
+    candidates = list(cm.candidates.keys())
+
+    spark = df.sparkSession
+    cand_df = spark.createDataFrame([(c,) for c in candidates], "key string")
+    exact = (
+        keyed.join(F.broadcast(cand_df), "key", "left_semi")
+        .groupBy("key")
+        .agg(F.count("*").alias("exact_count"))
+    )
+    w = Window.orderBy(F.col("exact_count").desc(), F.col("key"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
