@@ -160,3 +160,33 @@ def test_streaming_windowed_with_watermark(spark, tmp_path):
     assert set(got) == set(want)
     for k, n in want.items():
         assert abs(got[k] / n - 1) <= 0.1, (k, got[k], n)
+
+
+def test_streaming_bloom_dedup_first_occurrence(spark, tmp_path):
+    """Sharded-Bloom streaming dedup: across micro-batches each conv_id is
+    emitted exactly once, and at this scale (Bloom far under capacity) no
+    genuinely-new key is dropped."""
+    from zetasketch_spark.sources.transcripts import write_transcripts_parquet
+    from zetasketch_spark.streaming.agg import streaming_bloom_dedup
+
+    path = str(tmp_path / "dedup_src")
+    write_transcripts_parquet(path, n_turns=30_000, seed=11, rows_per_file=10_000)
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+        .select("conv_id", "turn_idx", "role")
+    )
+    out = streaming_bloom_dedup(stream, "conv_id", n_shards=8, m=1 << 18)
+    q = (
+        out.writeStream.outputMode("update").format("memory")
+        .queryName("dedup_stream").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select conv_id from dedup_stream").collect()
+    seen = [r["conv_id"] for r in got]
+    assert len(seen) == len(set(seen)), "a key was emitted twice"
+    n_true = spark.read.parquet(path).select("conv_id").distinct().count()
+    # Bloom fpr at this load is ~0 — all true keys must surface
+    assert len(seen) == n_true

@@ -112,3 +112,62 @@ def streaming_windowed_sketch_agg(
     )
     return streaming_sketch_agg(
         bucketed, ["window_start", *keys], col, family)
+
+
+def streaming_bloom_dedup(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int = 32,
+    m: int = 1 << 20,
+    k: int = 7,
+    timeout_minutes: int | None = None,
+) -> DataFrame:
+    """Streaming first-occurrence dedup with bounded state.
+
+    Keys are hashed to one of ``n_shards`` state groups (so dedup is
+    global AND the state work parallelizes); each shard's state is a Bloom
+    filter of every key it has seen. A row passes iff its key is not in
+    the shard's Bloom — exactly-once emission for true keys, with the
+    Bloom trade-off that ~fpr of genuinely-new keys are wrongly dropped
+    (never duplicated). At 10^12-turn scale this is the only bounded-state
+    dedup: exact per-key state grows with distinct keys, Bloom state is
+    ``n_shards * m/8`` bytes forever.
+
+    Emits the deduplicated rows (original schema).
+    """
+    import pyspark.sql.functions as F
+
+    from zetasketch_spark.sketches.bloom import BloomFilter
+
+    in_cols = df.columns
+    out_schema = df.schema
+    state_schema = StructType([StructField("blob", BinaryType())])
+    sharded = df.withColumn(
+        "_shard", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards)))
+
+    def dedup_fn(key: Tuple, batches: Iterator[pd.DataFrame],
+                 state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            bf = BloomFilter.deserialize(bytes(state.get[0]))
+        else:
+            bf = BloomFilter(m=m, k=k)
+        for pdf in batches:
+            pdf = pdf.drop_duplicates(subset=[key_col], keep="first")
+            fresh = pdf[~bf.contains_series(pdf[key_col])]
+            if len(fresh):
+                bf.add_series(fresh[key_col])
+                yield fresh[in_cols]
+        state.update((bf.serialize(),))
+        if timeout_minutes:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout
+               if timeout_minutes else GroupStateTimeout.NoTimeout)
+    return (
+        sharded.groupBy("_shard")
+        .applyInPandasWithState(dedup_fn, out_schema, state_schema,
+                                "update", timeout)
+    )
