@@ -530,6 +530,40 @@ def q_simhash_near_dups(spark, sf_dir):
     return simhash_verified(d, max_hamming=3, gt_threshold=0.5)
 
 
+def q_hll_set_ops(spark, sf_dir):
+    """HLL set operations (functions/setops.py): union via lossless merge,
+    intersection via inclusion-exclusion; both checked against exact
+    counts within the propagated envelope (3·1.04/√2^p · |A∪B| for the
+    intersection — the inherent inclusion-exclusion error)."""
+    import math
+
+    import pandas as pd
+
+    from zetasketch_spark.functions.setops import (
+        hll_intersection_estimate, hll_union_estimate)
+    from zetasketch_spark.functions.sketch_udfs import hll_init_agg
+
+    e = _t(spark, sf_dir, "events")
+    two = e.filter(F.col("event_type").isin("click", "purchase"))
+    sk = {r["event_type"]: bytes(r["sk"]) for r in
+          two.groupBy("event_type").agg(
+              hll_init_agg("user_id", 14).alias("sk")).collect()}
+    union_est = hll_union_estimate(sk["click"], sk["purchase"])
+    inter_est = hll_intersection_estimate(sk["click"], sk["purchase"])
+
+    clicks = e.filter(F.col("event_type") == "click").select("user_id")
+    buys = e.filter(F.col("event_type") == "purchase").select("user_id")
+    exact_union = clicks.union(buys).distinct().count()
+    exact_inter = clicks.intersect(buys).count()
+    env = 1.04 / math.sqrt(2 ** 14)
+    union_ok = abs(union_est / max(exact_union, 1) - 1.0) <= env
+    inter_ok = abs(inter_est - exact_inter) <= max(3 * env * exact_union, 1.0)
+    return spark.createDataFrame(pd.DataFrame(
+        [[exact_union, exact_inter, bool(union_ok), bool(inter_ok)]],
+        columns=["exact_union", "exact_intersection",
+                 "union_within_envelope", "intersection_within_envelope"]))
+
+
 def q_events_topk_rerank(spark, sf_dir):
     """Distributed EXACT top-k: Count-Min-bounded candidates + exact
     re-rank (operators/topk.py) — output is exact, so DuckDB's plain
@@ -741,6 +775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_sql_surface": q_hll_sql_surface,
         "docs_dup_clusters": q_docs_dup_clusters,
         "events_topk_rerank": q_events_topk_rerank,
+        "hll_set_ops": q_hll_set_ops,
     }
 
 
@@ -1139,5 +1174,15 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (ORDER BY exact_count DESC, key) AS rank
             FROM c
             QUALIFY rank <= 10
+        """,
+        "hll_set_ops": """
+            WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+                 p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+            SELECT (SELECT count(*) FROM (SELECT user_id FROM c UNION SELECT user_id FROM p))
+                       AS exact_union,
+                   (SELECT count(*) FROM (SELECT user_id FROM c INTERSECT SELECT user_id FROM p))
+                       AS exact_intersection,
+                   true AS union_within_envelope,
+                   true AS intersection_within_envelope
         """,
     }

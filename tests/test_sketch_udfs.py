@@ -165,3 +165,36 @@ def test_sketch_column_annotations_roundtrip(spark, transcripts_path, tmp_path):
     from zetasketch_spark.functions.sketch_udfs import hll_estimate
     n = back.select(hll_estimate(F.col("convs_hll")).alias("u")).collect()
     assert all(r["u"] > 0 for r in n)
+
+
+def test_hll_set_operation_estimates():
+    """Inclusion-exclusion set ops over serialized sketches: seeded sets
+    with known overlap, errors within the propagated envelopes."""
+    import math
+
+    import numpy as np
+
+    from zetasketch_spark.functions.setops import (
+        hll_difference_estimate, hll_intersection_estimate, hll_union,
+        hll_union_estimate)
+    from zetasketch_spark.hll import HllSketch
+
+    p = 14
+    env = 1.04 / math.sqrt(2 ** p)
+    a_vals = np.arange(0, 60_000, dtype=np.int64)
+    b_vals = np.arange(40_000, 100_000, dtype=np.int64)  # overlap 20k
+    sa = HllSketch(precision=p); sa.add_longs(a_vals)
+    sb = HllSketch(precision=p); sb.add_longs(b_vals)
+    a, b = sa.serialize(), sb.serialize()
+
+    union = hll_union_estimate(a, b)
+    assert abs(union / 100_000 - 1) <= 3 * env
+    # union sketch must equal merging directly
+    assert HllSketch.deserialize(hll_union(a, b)).estimate() == union
+    inter = hll_intersection_estimate(a, b)
+    assert abs(inter - 20_000) <= 3 * env * 100_000
+    diff = hll_difference_estimate(a, b)
+    assert abs(diff - 40_000) <= 4 * env * 100_000
+    # clamping: disjoint sets can't go negative
+    sc = HllSketch(precision=p); sc.add_longs(np.arange(500_000, 501_000))
+    assert hll_intersection_estimate(a, sc.serialize()) >= 0

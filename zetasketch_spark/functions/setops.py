@@ -1,0 +1,82 @@
+"""Set-operation estimates over serialized HLL++ sketches.
+
+Union is native (lossless associative merge — the reference's core
+operation). Intersection and difference come from inclusion–exclusion:
+
+    |A ∩ B| = |A| + |B| − |A ∪ B|        |A \\ B| = |A| − |A ∩ B|
+
+Error: each term carries the HLL envelope relative to ITS OWN cardinality,
+so the intersection's absolute error is bounded by ~3 envelope terms of
+the union size — fine when the intersection is a sizable fraction of the
+union, noisy when it is tiny. That trade-off is inherent to HLL (the
+reference exposes no intersection for the same reason); the bound used by
+callers/tests is ``3 · 1.04/√2^p · |A ∪ B|``.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def _sketch(blob):
+    from zetasketch_spark.hll import HllSketch
+
+    return HllSketch.deserialize(bytes(blob))
+
+
+def hll_union(a: bytes, b: bytes) -> bytes:
+    """Serialized union sketch (exact w.r.t. sketch semantics)."""
+    sa, sb = _sketch(a), _sketch(b)
+    sa.merge(sb)
+    return sa.serialize()
+
+
+def hll_union_estimate(a: bytes, b: bytes) -> int:
+    sa, sb = _sketch(a), _sketch(b)
+    sa.merge(sb)
+    return int(sa.estimate())
+
+
+def hll_intersection_estimate(a: bytes, b: bytes) -> int:
+    """Inclusion–exclusion estimate, clamped at 0."""
+    ea, eb = _sketch(a).estimate(), _sketch(b).estimate()
+    return max(0, int(ea + eb - hll_union_estimate(a, b)))
+
+
+def hll_difference_estimate(a: bytes, b: bytes) -> int:
+    """|A \\ B| estimate, clamped at 0."""
+    return max(0, int(_sketch(a).estimate()) - hll_intersection_estimate(a, b))
+
+
+def hll_intersection_estimate_col(a, b):
+    """Column form: intersection estimate of two binary sketch columns."""
+
+    @pandas_udf("long")
+    def _inter(xa: pd.Series, xb: pd.Series) -> pd.Series:
+        return pd.Series([
+            hll_intersection_estimate(x, y) if x is not None and y is not None
+            else 0
+            for x, y in zip(xa, xb)
+        ])
+
+    return _inter(F.col(a) if isinstance(a, str) else a,
+                  F.col(b) if isinstance(b, str) else b)
+
+
+def hll_union_estimate_col(a, b):
+    @pandas_udf("long")
+    def _uni(xa: pd.Series, xb: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(xa, xb):
+            if x is None:
+                out.append(0 if y is None else _sketch(y).estimate())
+            elif y is None:
+                out.append(_sketch(x).estimate())
+            else:
+                out.append(hll_union_estimate(x, y))
+        return pd.Series(out)
+
+    return _uni(F.col(a) if isinstance(a, str) else a,
+                F.col(b) if isinstance(b, str) else b)
