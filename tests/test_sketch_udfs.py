@@ -198,3 +198,30 @@ def test_hll_set_operation_estimates():
     # clamping: disjoint sets can't go negative
     sc = HllSketch(precision=p); sc.add_longs(np.arange(500_000, 501_000))
     assert hll_intersection_estimate(a, sc.serialize()) >= 0
+
+
+def test_kll_sql_surface_rollup(spark, transcripts_path):
+    """kll_init_agg / kll_merge_agg / kll_quantile from spark.sql: per-day
+    sketches merged up to role must answer within rank-ε of the exact
+    percentile over the same data (sketch rollup property for quantiles)."""
+    from zetasketch_spark.functions.sketch_udfs import register_sql
+    from zetasketch_spark.sources.transcripts import load_transcripts
+
+    register_sql(spark)
+    load_transcripts(spark, transcripts_path) \
+        .withColumn("turn_len", F.length("text").cast("double")) \
+        .createOrReplaceTempView("turns")
+    got = {r["role"]: r["p50"] for r in spark.sql("""
+        WITH fine AS (
+          SELECT role, to_date(ts) AS day, kll_init_agg(turn_len, 200) AS sk
+          FROM turns GROUP BY 1, 2
+        )
+        SELECT role, kll_quantile(kll_merge_agg(sk), 0.5) AS p50
+        FROM fine GROUP BY role
+    """).collect()}
+    # rank check per role against the raw data
+    for role, est in got.items():
+        rk = spark.sql(
+            "SELECT avg(CAST(turn_len <= {} AS DOUBLE)) AS r "
+            "FROM turns WHERE role = '{}'".format(est, role)).collect()[0]["r"]
+        assert abs(rk - 0.5) <= 0.03, (role, est, rk)

@@ -145,3 +145,45 @@ def register_sql(spark) -> None:
         return sk.serialize()
 
     spark.udf.register("hll_init_agg", _init)
+
+    # quantile-sketch surface: the same INIT / MERGE_PARTIAL / EXTRACT
+    # triple over KLL states (fine-grain sketches re-merge exactly to
+    # coarser groupings, like HLL)
+    @pandas_udf("binary")
+    def _kll_init(values: pd.Series, k: pd.Series) -> bytes:
+        from zetasketch_spark.sketches.kll import KllSketch
+
+        sk = KllSketch(k=int(k.iloc[0]) if len(k) else 200)
+        sk.add_series(values.dropna().to_numpy(dtype="float64"))
+        return sk.serialize()
+
+    spark.udf.register("kll_init_agg", _kll_init)
+
+    @pandas_udf("binary")
+    def _kll_merge(states: pd.Series) -> bytes:
+        from zetasketch_spark.sketches.kll import KllSketch
+
+        acc = None
+        for b in states:
+            if b is None:
+                continue
+            sk = KllSketch.deserialize(bytes(b))
+            if acc is None:
+                acc = sk
+            else:
+                acc.merge(sk)
+        return acc.serialize() if acc is not None else None
+
+    spark.udf.register("kll_merge_agg", _kll_merge)
+
+    @pandas_udf("double")
+    def _kll_quantile(states: pd.Series, q: pd.Series) -> pd.Series:
+        from zetasketch_spark.sketches.kll import KllSketch
+
+        return pd.Series([
+            KllSketch.deserialize(bytes(b)).quantile(float(qq))
+            if b is not None else None
+            for b, qq in zip(states, q)
+        ])
+
+    spark.udf.register("kll_quantile", _kll_quantile)
