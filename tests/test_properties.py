@@ -116,3 +116,47 @@ def test_bloom_never_false_negative_property(vals):
     bf.add_series(s)
     if len(vals):
         assert bf.contains_series(s).all()
+
+
+@given(data=st.lists(st.binary(min_size=0, max_size=300), min_size=1, max_size=40))
+@settings(max_examples=60, deadline=None)
+def test_fingerprint_batch_matches_scalar(data):
+    """The batched variable-length kernel (prefix-sliced 64-byte loop,
+    block gathers) must equal the scalar reference on arbitrary lengths —
+    this pins every length-class boundary, not just the golden lengths."""
+    import numpy as np
+
+    from zetasketch_spark.hashing import fingerprint_bytes, fingerprint_bytes_batch
+
+    lens = np.array([len(b) for b in data], dtype=np.int64)
+    buf = np.frombuffer(b"".join(data), dtype=np.uint8) if lens.sum() else \
+        np.empty(0, dtype=np.uint8)
+    off = np.cumsum(lens) - lens
+    got = fingerprint_bytes_batch(buf, off, lens)
+    want = np.array([fingerprint_bytes(b) for b in data], dtype=np.uint64)
+    assert np.array_equal(got, want)
+
+
+@given(texts=st.lists(st.text(alphabet="ab ", max_size=60), min_size=1, max_size=12),
+       k=st.integers(1, 6), window=st.integers(1, 5))
+@settings(max_examples=40, deadline=None)
+def test_winnow_batch_matches_naive(texts, k, window):
+    """Batch winnowing (flat strided minima + lexsort dedupe) must equal a
+    naive per-document computation over the positional gram hashes."""
+    import numpy as np
+
+    from zetasketch_spark.functions.fingerprint import winnow_fingerprints_batch
+    from zetasketch_spark.hashing import kgram_window_hashes
+
+    got = winnow_fingerprints_batch(texts, k=k, window=window)
+    h, doc_of, n_docs = kgram_window_hashes(texts, k)
+    for d in range(n_docs):
+        hs = h[doc_of == d]
+        if len(hs) == 0:
+            want = np.empty(0, dtype=np.uint64)
+        elif len(hs) <= window:
+            want = np.unique(hs.min(keepdims=True))
+        else:
+            win = np.lib.stride_tricks.sliding_window_view(hs, window)
+            want = np.unique(win.min(axis=1))
+        assert np.array_equal(got[d], want), (d, texts[d])

@@ -147,7 +147,7 @@ def sketch_partial_fastscan(
                         *[src for (_, src) in derived.values()]})
 
     # output schema: derive plain key types from the parquet schema
-    sample_schema = pq.read_schema(sorted(_glob.glob(os.path.join(path, "*.parquet")))[0])
+    sample_schema = pq.read_schema(splits[0][0])
     type_map = {"string": "string", "large_string": "string", "int64": "bigint",
                 "int32": "int", "double": "double", "float": "float",
                 "timestamp[us]": "timestamp", "date32[day]": "date"}
