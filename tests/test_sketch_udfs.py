@@ -225,3 +225,48 @@ def test_kll_sql_surface_rollup(spark, transcripts_path):
             "SELECT avg(CAST(turn_len <= {} AS DOUBLE)) AS r "
             "FROM turns WHERE role = '{}'".format(est, role)).collect()[0]["r"]
         assert abs(rk - 0.5) <= 0.03, (role, est, rk)
+
+
+def test_full_family_sql_surface(spark, transcripts_path):
+    """Every sketch family is SQL-accessible: t-digest quantiles, CM point
+    queries against exact counts (never under, bounded over), Bloom
+    membership with zero false negatives — all from spark.sql."""
+    from zetasketch_spark.functions.sketch_udfs import register_sql
+    from zetasketch_spark.sources.transcripts import load_transcripts
+
+    register_sql(spark)
+    load_transcripts(spark, transcripts_path) \
+        .withColumn("turn_len", F.length("text").cast("double")) \
+        .createOrReplaceTempView("turns2")
+
+    # t-digest median within rank tolerance
+    [r] = spark.sql("""
+        SELECT tdigest_quantile(tdigest_init_agg(turn_len, 200), 0.5) AS p50
+        FROM turns2""").collect()
+    [rk] = spark.sql(
+        f"SELECT avg(CAST(turn_len <= {r['p50']} AS DOUBLE)) AS r FROM turns2"
+    ).collect()
+    assert abs(rk["r"] - 0.5) <= 0.05
+
+    # CM point query: >= exact always, <= exact + eps*N
+    rows = spark.sql("""
+        WITH sk AS (SELECT cm_merge_agg(s) AS cm FROM (
+               SELECT cm_init_agg(tool, 2048, 5) AS s FROM turns2
+               WHERE tool IS NOT NULL GROUP BY pmod(xxhash64(conv_id), 4))),
+             ex AS (SELECT tool, count(*) AS n FROM turns2
+                    WHERE tool IS NOT NULL GROUP BY tool)
+        SELECT ex.tool, ex.n, cm_point_query(sk.cm, ex.tool) AS est
+        FROM ex CROSS JOIN sk""").collect()
+    total = sum(r["n"] for r in rows)
+    import math
+    slack = math.ceil(math.e / 2048 * total)
+    for r in rows:
+        assert r["n"] <= r["est"] <= r["n"] + slack, (r["tool"], r["n"], r["est"])
+
+    # Bloom: every inserted key probes true
+    [bl] = spark.sql("""
+        WITH sk AS (SELECT bloom_init_agg(conv_id, 1048576, 7) AS bf FROM turns2)
+        SELECT count(*) AS n,
+               sum(CAST(bloom_contains(sk.bf, t.conv_id) AS INT)) AS hits
+        FROM (SELECT DISTINCT conv_id FROM turns2) t CROSS JOIN sk""").collect()
+    assert bl["hits"] == bl["n"]

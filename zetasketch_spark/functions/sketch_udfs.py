@@ -187,3 +187,119 @@ def register_sql(spark) -> None:
         ])
 
     spark.udf.register("kll_quantile", _kll_quantile)
+
+    @pandas_udf("binary")
+    def _td_init(values: pd.Series, delta: pd.Series) -> bytes:
+        from zetasketch_spark.sketches.tdigest import TDigest
+
+        td = TDigest(delta=int(delta.iloc[0]) if len(delta) else 200)
+        td.add_series(values.dropna().to_numpy(dtype="float64"))
+        return td.serialize()
+
+    spark.udf.register("tdigest_init_agg", _td_init)
+
+    @pandas_udf("binary")
+    def _td_merge(states: pd.Series) -> bytes:
+        from zetasketch_spark.sketches.tdigest import TDigest
+
+        acc = None
+        for b in states:
+            if b is None:
+                continue
+            td = TDigest.deserialize(bytes(b))
+            if acc is None:
+                acc = td
+            else:
+                acc.merge(td)
+        return acc.serialize() if acc is not None else None
+
+    spark.udf.register("tdigest_merge_agg", _td_merge)
+
+    @pandas_udf("double")
+    def _td_quantile(states: pd.Series, q: pd.Series) -> pd.Series:
+        from zetasketch_spark.sketches.tdigest import TDigest
+
+        return pd.Series([
+            TDigest.deserialize(bytes(b)).quantile(float(qq))
+            if b is not None else None
+            for b, qq in zip(states, q)
+        ])
+
+    spark.udf.register("tdigest_quantile", _td_quantile)
+
+    @pandas_udf("binary")
+    def _cm_init(values: pd.Series, width: pd.Series, depth: pd.Series) -> bytes:
+        from zetasketch_spark.sketches.countmin import CountMinSketch
+
+        cm = CountMinSketch(width=int(width.iloc[0]) if len(width) else 2048,
+                            depth=int(depth.iloc[0]) if len(depth) else 5)
+        cm.add_series(values.dropna())
+        return cm.serialize()
+
+    spark.udf.register("cm_init_agg", _cm_init)
+
+    @pandas_udf("binary")
+    def _cm_merge(states: pd.Series) -> bytes:
+        from zetasketch_spark.sketches.countmin import CountMinSketch
+
+        acc = None
+        for b in states:
+            if b is None:
+                continue
+            cm = CountMinSketch.deserialize(bytes(b))
+            if acc is None:
+                acc = cm
+            else:
+                acc.merge(cm)
+        return acc.serialize() if acc is not None else None
+
+    spark.udf.register("cm_merge_agg", _cm_merge)
+
+    @pandas_udf("long")
+    def _cm_count(states: pd.Series, keys: pd.Series) -> pd.Series:
+        from zetasketch_spark.sketches.countmin import CountMinSketch
+
+        out = []
+        cache: dict[bytes, CountMinSketch] = {}
+        for b, key in zip(states, keys):
+            if b is None:
+                out.append(0)
+                continue
+            blob = bytes(b)
+            cm = cache.get(blob)
+            if cm is None:
+                cm = cache[blob] = CountMinSketch.deserialize(blob)
+            out.append(int(cm.point_query_series(pd.Series([str(key)]))[0]))
+        return pd.Series(out)
+
+    spark.udf.register("cm_point_query", _cm_count)
+
+    @pandas_udf("binary")
+    def _bloom_init(values: pd.Series, m: pd.Series, k: pd.Series) -> bytes:
+        from zetasketch_spark.sketches.bloom import BloomFilter
+
+        bf = BloomFilter(m=int(m.iloc[0]) if len(m) else 1 << 20,
+                         k=int(k.iloc[0]) if len(k) else 7)
+        bf.add_series(values.dropna())
+        return bf.serialize()
+
+    spark.udf.register("bloom_init_agg", _bloom_init)
+
+    @pandas_udf("boolean")
+    def _bloom_contains(states: pd.Series, keys: pd.Series) -> pd.Series:
+        from zetasketch_spark.sketches.bloom import BloomFilter
+
+        out = []
+        cache: dict[bytes, BloomFilter] = {}
+        for b, key in zip(states, keys):
+            if b is None:
+                out.append(False)
+                continue
+            blob = bytes(b)
+            bf = cache.get(blob)
+            if bf is None:
+                bf = cache[blob] = BloomFilter.deserialize(blob)
+            out.append(bool(bf.contains_series(pd.Series([key]))[0]))
+        return pd.Series(out)
+
+    spark.udf.register("bloom_contains", _bloom_contains)
