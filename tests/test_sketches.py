@@ -221,3 +221,85 @@ def test_topk_exact_rerank_matches_groupby(spark, transcripts_path):
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 8)).collect()]
     assert got == want
+
+
+def test_countmin_int_column_heavy_hitters_consistent():
+    """Regression: CM canonicalizes every key through its string form, so
+    heavy_hitters on an int column returns real counts (previously the
+    counters were updated with native-int hashes but queried with
+    string hashes — unrelated cells)."""
+    rng = np.random.default_rng(5)
+    vals = pd.Series(np.concatenate([
+        np.full(5000, 7, dtype=np.int64),
+        np.full(3000, 42, dtype=np.int64),
+        rng.integers(1000, 9999, size=2000),
+    ]))
+    cm = CountMinSketch(width=4096, depth=5, max_candidates=64)
+    cm.add_series(vals)
+    top = dict(cm.heavy_hitters(2))
+    assert abs(top["7"] - 5000) <= np.e / 4096 * 10000 + 1
+    assert abs(top["42"] - 3000) <= np.e / 4096 * 10000 + 1
+
+
+def test_countmin_mg_prune_survival():
+    """Misra-Gries prune (mergeable-summaries theorem): any key with
+    global share > 1/(max_candidates+1) survives an arbitrary merge tree,
+    and its tracked count is a lower bound within the decremented mass
+    (total decrements ≤ N/(cap+1))."""
+    cap = 8
+    fams = []
+    # 10 partials, each: X appears 60x + 8 rotating local keys at 40x.
+    # X's global share = 600/3800 = 15.8% > 1/(cap+1) = 11.1%.
+    for i in range(10):
+        cm = CountMinSketch(width=1024, depth=4, max_candidates=cap)
+        vals = ["X"] * 60
+        for j in range(cap):
+            vals += [f"p{i}k{j}"] * 40
+        cm.add_series(pd.Series(vals))
+        fams.append(cm)
+    acc = fams[0]
+    for o in fams[1:]:
+        acc.merge(o)
+    assert "X" in acc.candidates
+    n = acc.total
+    assert n == 3800
+    # lower-bound property: tracked count ≥ true − N/(cap+1)
+    assert acc.candidates["X"] >= 600 - n / (cap + 1)
+    assert acc.candidates["X"] <= 600
+
+
+def test_bloom_float_columns():
+    """Floats hash via the IEEE754 recipes on the pandas fabric (was a
+    TypeError) and match the arrow fabric."""
+    import pyarrow as pa
+
+    from zetasketch_spark.sketches.bloom import BloomFamily, BloomFilter
+
+    vals = np.array([1.5, -2.25, 3.125, 1.5], dtype=np.float64)
+    bf = BloomFilter(m=1 << 12, k=5)
+    bf.add_series(pd.Series(vals))
+    assert bf.contains_series(pd.Series(vals)).all()
+    fam = BloomFamily(m=1 << 12, k=5)
+    via_arrow = fam.make()
+    prepared = fam.prepare_arrow(pa.array(vals, type=pa.float64()))
+    fam.update_prepared(via_arrow, prepared[np.arange(len(vals))])
+    assert fam.serialize(via_arrow) == bf.serialize()
+
+
+def test_kll_arrow_nan_matches_pandas():
+    """Regression: NaN values must be dropped identically on both fabrics
+    (arrow previously kept them, poisoning min/max/quantiles)."""
+    import pyarrow as pa
+
+    from zetasketch_spark.sketches.kll import KllFamily
+
+    vals = np.array([1.0, np.nan, 2.0, 3.0, np.nan, 4.0])
+    fam = KllFamily(k=50, quantiles=(0.5,))
+    via_pandas = fam.make()
+    fam.update(via_pandas, pd.Series(vals))
+    via_arrow = fam.make()
+    prepared = fam.prepare_arrow(pa.array(vals, type=pa.float64()))
+    fam.update_prepared(via_arrow, prepared[np.arange(len(vals))])
+    assert via_pandas.n == via_arrow.n == 4
+    assert fam.serialize(via_pandas) == fam.serialize(via_arrow)
+    assert not np.isnan(via_arrow.quantile(0.99))

@@ -475,12 +475,17 @@ def fingerprint_arrow_array(arr) -> tuple[np.ndarray, np.ndarray | None]:
         if ints.null_count:
             ints = ints.fill_null(0)
         return fingerprint_int_array(ints.to_numpy(zero_copy_only=False)), valid
-    if pa.types.is_float64(typ):
-        vals = arr.fill_null(0.0) if arr.null_count else arr
-        return fingerprint_double_array(vals.to_numpy(zero_copy_only=False)), valid
-    if pa.types.is_float32(typ):
-        vals = arr.fill_null(0.0) if arr.null_count else arr
-        return fingerprint_float_array(vals.to_numpy(zero_copy_only=False)), valid
+    if pa.types.is_float64(typ) or pa.types.is_float32(typ):
+        vals = (arr.fill_null(0.0) if arr.null_count else arr) \
+            .to_numpy(zero_copy_only=False)
+        nan = np.isnan(vals)
+        if nan.any():
+            # the pandas fabric drops NaN via Series.dropna(); mask it here
+            # too so states stay equal across fabrics
+            valid = ~nan if valid is None else (valid & ~nan)
+        if pa.types.is_float64(typ):
+            return fingerprint_double_array(vals), valid
+        return fingerprint_float_array(vals), valid
     if pa.types.is_dictionary(typ):
         # dictionary-encoded columns (parquet's default for repetitive
         # strings): hash each dictionary VALUE once, then gather by index —

@@ -476,8 +476,15 @@ class HllSketch:
     # -- merge ---------------------------------------------------------------
 
     def merge(self, other: "HllSketch") -> None:
-        """Associative merge (O10-O13). Result precisions are the minima;
-        raises on incompatible precision ordering (`Encoding.java:185-199`)."""
+        """Associative merge (O10-O13). Result precisions are the minima.
+
+        Precision-compatibility is enforced exactly where the reference
+        enforces it: the partial order (`Encoding.java:185-199`) raises
+        only on the sparse⊕sparse path (`SparseRepresentation.java:151,
+        170`); normal-side merges downgrade each precision independently
+        via min, with no assertion (`NormalRepresentation.java:181-199`) —
+        so whether crossed precisions raise depends on the current
+        representations, faithfully to the reference."""
         if other is None:
             return
         # type intersection (HyperLogLogPlusPlus.java:257-270)

@@ -48,13 +48,17 @@ def _key_fields(df: DataFrame, keys: list[str]) -> list[StructField]:
 
 
 def sketch_partial(df: DataFrame, keys: list[str], col: str,
-                   family: SketchFamily) -> DataFrame:
+                   family: SketchFamily,
+                   skip_partitions: frozenset = frozenset()) -> DataFrame:
     """Stage 1: per-(partition, key) partial sketches, vectorized.
 
     Families with ``supports_arrow`` get the ``mapInArrow`` path: the value
     column is consumed straight from Arrow buffers (strings never become
     Python objects), prepared (hashed/cast) once per batch, and
-    group-sliced by numpy indices. Others fall back to pandas batches."""
+    group-sliced by numpy indices. Others fall back to pandas batches.
+
+    ``skip_partitions``: partition ids to return immediately for (without
+    hashing/sketching their batches) — the checkpoint-resume hook."""
     out_schema = StructType(
         _key_fields(df, keys)
         + [StructField(SKETCH_COL, BinaryType()),
@@ -64,11 +68,14 @@ def sketch_partial(df: DataFrame, keys: list[str], col: str,
     keys_t = tuple(keys)
 
     if getattr(family, "supports_arrow", False):
-        return _sketch_partial_arrow(df, keys, col, family, out_schema)
+        return _sketch_partial_arrow(df, keys, col, family, out_schema,
+                                     skip_partitions)
 
     def partial_fn(batches):
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else -1
+        if pid in skip_partitions:
+            return
         acc: dict = {}
         rows: dict = {}
         for pdf in batches:
@@ -96,7 +103,8 @@ def sketch_partial(df: DataFrame, keys: list[str], col: str,
 
 
 def _sketch_partial_arrow(df: DataFrame, keys: list[str], col: str,
-                          family: SketchFamily, out_schema: StructType) -> DataFrame:
+                          family: SketchFamily, out_schema: StructType,
+                          skip_partitions: frozenset = frozenset()) -> DataFrame:
     import numpy as np
     import pyarrow as pa
 
@@ -105,6 +113,8 @@ def _sketch_partial_arrow(df: DataFrame, keys: list[str], col: str,
     def partial_fn(batches):
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else -1
+        if pid in skip_partitions:
+            return
         acc: dict = {}
         rows: dict = {}
         for batch in batches:

@@ -45,7 +45,8 @@ def input_fingerprint(paths: list[str]) -> str:
     entries = []
     for p in sorted(paths):
         if os.path.isdir(p):
-            for root, _, files in os.walk(p):
+            for root, dirs, files in os.walk(p):
+                dirs.sort()  # os.walk yields dirs in readdir order
                 for fn in sorted(files):
                     fp = os.path.join(root, fn)
                     st = os.stat(fp)
@@ -53,7 +54,19 @@ def input_fingerprint(paths: list[str]) -> str:
         elif os.path.exists(p):
             st = os.stat(p)
             entries.append((p, st.st_size, int(st.st_mtime)))
+    entries.sort()
     return hashlib.sha256(json.dumps(entries).encode()).hexdigest()[:20]
+
+
+def query_signature(keys: list[str], col: str, family: SketchFamily,
+                    tree_levels: int) -> str:
+    """Identity of WHAT is being computed: two queries over the same input
+    must never share checkpointed partials (a col/precision change with
+    the same job name would otherwise silently resume stale state)."""
+    cfg = {k: repr(v) for k, v in sorted(vars(family).items())}
+    payload = json.dumps([type(family).__name__, cfg, list(keys), col,
+                          tree_levels])
+    return hashlib.sha256(payload.encode()).hexdigest()[:10]
 
 
 def checkpointed_sketch_agg(
@@ -69,8 +82,13 @@ def checkpointed_sketch_agg(
 ) -> tuple[DataFrame, dict]:
     """Run sketch_agg with stage-1 checkpointing. Returns (result df,
     metrics dict). Partitions already in the checkpoint for the same
-    (job, input_fingerprint) are not recomputed."""
+    (job, query signature, input_fingerprint) are not recomputed: their
+    tasks return immediately inside the partial stage (no hashing or
+    sketch updates; the scan task is still scheduled, which is as far as
+    a post-scan operator can skip)."""
     fp = input_fingerprint(input_paths)
+    qsig = query_signature(keys, col, family, tree_levels)
+    job = f"{job}-{qsig}"
     ckpt_path = os.path.join(checkpoint_dir, "partials")
     os.makedirs(checkpoint_dir, exist_ok=True)
     manifest = os.path.join(checkpoint_dir, f"complete-{job}-{fp}")
@@ -89,9 +107,8 @@ def checkpointed_sketch_agg(
         # prior (interrupted) run over the same input — partition numbering
         # is stable for identical input files + session config, which is
         # the resume contract.
-        partials = sketch_partial(df, keys, col, family)
-        if done:
-            partials = partials.filter(~F.col(PARTITION_COL).isin(sorted(done)))
+        partials = sketch_partial(df, keys, col, family,
+                                  skip_partitions=frozenset(done))
         to_write = (
             partials
             .withColumn("input_fingerprint", F.lit(fp))

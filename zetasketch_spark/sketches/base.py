@@ -124,6 +124,10 @@ class HllFamily(SketchFamily):
             state.add_doubles(values.to_numpy(dtype=np.float64))
         elif dtype == np.float32 or str(dtype) == "Float32":
             state.add_floats(values.to_numpy(dtype=np.float32))
+        elif str(dtype).startswith("datetime64"):
+            # hash the epoch-microsecond int64 (matches the arrow fabric,
+            # where Spark timestamps arrive as timestamp[us] -> int64)
+            state.add_longs(values.to_numpy().astype("datetime64[us]").view(np.int64))
         else:
             state.add_strings(values)
         return state
@@ -134,13 +138,19 @@ class HllFamily(SketchFamily):
         from zetasketch_spark.hashing import fingerprint_arrow_array
 
         typ = arr.type
-        if pa.types.is_int64(typ):
+        # the declared value type must match the hash recipe actually used
+        # by fingerprint_arrow_array (dictionary -> its value type;
+        # timestamp -> int64 recipe; date32 -> int32 recipe)
+        base_t = typ.value_type if pa.types.is_dictionary(typ) else typ
+        if pa.types.is_int64(base_t) or pa.types.is_uint64(base_t) \
+                or pa.types.is_timestamp(base_t):
             vt = 8  # UINT64
-        elif pa.types.is_int32(typ):
+        elif pa.types.is_int32(base_t) or pa.types.is_uint32(base_t) \
+                or pa.types.is_date32(base_t):
             vt = 7  # UINT32
-        elif pa.types.is_float32(typ):
+        elif pa.types.is_float32(base_t):
             vt = 9  # FLOAT
-        elif pa.types.is_float64(typ):
+        elif pa.types.is_float64(base_t):
             vt = 10  # DOUBLE
         else:
             vt = 11  # BYTES_OR_UTF8_STRING

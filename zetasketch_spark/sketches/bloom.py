@@ -37,11 +37,18 @@ def optimal_params(n: int, fpr: float) -> tuple[int, int]:
 
 
 def _hash_series(values: pd.Series) -> np.ndarray:
+    from zetasketch_spark.hashing import (
+        fingerprint_double_array, fingerprint_float_array)
+
     dtype = values.dtype
     if dtype == np.int64:
         return fingerprint_long_array(values.to_numpy(dtype=np.int64))
     if dtype == np.int32:
         return fingerprint_int_array(values.to_numpy(dtype=np.int32))
+    if dtype == np.float64:
+        return fingerprint_double_array(values.to_numpy(dtype=np.float64))
+    if dtype == np.float32:
+        return fingerprint_float_array(values.to_numpy(dtype=np.float32))
     return fingerprint_str_series(values)
 
 

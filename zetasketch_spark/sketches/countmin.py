@@ -34,12 +34,12 @@ _MAGIC = b"CMS1"
 
 
 def _hash_series(values: pd.Series) -> np.ndarray:
-    dtype = values.dtype
-    if dtype == np.int64:
-        return fingerprint_long_array(values.to_numpy(dtype=np.int64))
-    if dtype == np.int32:
-        return fingerprint_int_array(values.to_numpy(dtype=np.int32))
-    return fingerprint_str_series(values)
+    """CM hashes every key through its STRING form — one canonical domain,
+    so updates, point queries, and the candidate set always address the
+    same counter cells regardless of the column's dtype."""
+    if values.dtype == object:
+        return fingerprint_str_series(values)
+    return fingerprint_str_series(values.astype(str))
 
 
 class CountMinSketch:
@@ -59,21 +59,19 @@ class CountMinSketch:
         values = values.dropna()
         if len(values) == 0:
             return
-        # aggregate duplicates within the batch first: one counter bump per key
+        # aggregate duplicates within the batch first: one counter bump per
+        # key; keys canonicalize to strings (see _hash_series)
         vc = values.value_counts()
-        keys = vc.index.to_series().reset_index(drop=True)
+        vc.index = vc.index.astype(str)
         counts = vc.to_numpy(dtype=np.int64)
-        hashes = _hash_series(keys.astype(type(keys.iloc[0])) if len(keys) else keys)
-        self._add_hashed(hashes, counts)
+        self._add_hashed(fingerprint_str_series(vc.index.to_series()), counts)
         self.total += int(counts.sum())
-        # maintain candidates from the batch's biggest keys only — merging
-        # a bounded top slice preserves the Misra-Gries-style guarantee
-        # (any globally heavy key is locally heavy in some batch) without
-        # a per-key Python loop over the whole batch cardinality
-        top = vc.iloc[: self.max_candidates]
-        for ks, c in zip(top.index.astype(str), top.to_numpy(dtype=np.int64)):
-            self.candidates[ks] = self.candidates.get(ks, 0) + int(c)
-        self._prune()
+        # fold the WHOLE batch into the candidate summary vectorized (no
+        # per-key Python loop), then apply the Misra-Gries decrement prune
+        cur = pd.Series(self.candidates, dtype="int64")
+        merged = vc.add(cur, fill_value=0).astype("int64") if len(cur) else vc
+        self.candidates = {str(k): int(v) for k, v in
+                           self._mg_prune_series(merged).items()}
 
     def _add_hashed(self, hashes: np.ndarray, counts: np.ndarray) -> None:
         h1 = hashes & np.uint64(0xFFFFFFFF)
@@ -82,10 +80,24 @@ class CountMinSketch:
             idx = ((h1 + np.uint64(i) * h2) % np.uint64(self.width)).astype(np.int64)
             np.add.at(self.counters[i], idx, counts)
 
+    def _mg_prune_series(self, s: pd.Series) -> pd.Series:
+        """Misra-Gries / SpaceSaving prune (Agarwal et al., 'Mergeable
+        Summaries'): when over capacity, subtract the (cap+1)-th largest
+        count from everything and drop non-positives. Unlike truncation,
+        this preserves the mergeable guarantee: any key with global share
+        > 1/(max_candidates+1) survives every merge, and each surviving
+        count is a lower bound within the decremented mass."""
+        if len(s) <= self.max_candidates:
+            return s
+        s = s.sort_values(ascending=False)
+        cut = int(s.iloc[self.max_candidates])
+        s = s.iloc[: self.max_candidates] - cut
+        return s[s > 0]
+
     def _prune(self) -> None:
         if len(self.candidates) > self.max_candidates:
-            keep = sorted(self.candidates.items(), key=lambda kv: -kv[1])[: self.max_candidates]
-            self.candidates = dict(keep)
+            pruned = self._mg_prune_series(pd.Series(self.candidates, dtype="int64"))
+            self.candidates = {str(k): int(v) for k, v in pruned.items()}
 
     # -- query ---------------------------------------------------------------
 

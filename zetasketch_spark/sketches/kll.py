@@ -183,7 +183,14 @@ def _prepare_float_arrow(arr):
     a = arr.cast(pa.float64()) if arr.type != pa.float64() else arr
     if a.null_count:
         a = a.fill_null(0.0)
-    return _FloatPrepared(a.to_numpy(zero_copy_only=False), valid)
+    vals = a.to_numpy(zero_copy_only=False)
+    nan = np.isnan(vals)
+    if nan.any():
+        # the pandas fabric's Series.dropna() drops NaN too — mask it here
+        # so states stay byte-equal across fabrics (CLAUDE.md invariant)
+        valid = ~nan if valid is None else (valid & ~nan)
+        vals = np.where(nan, 0.0, vals)
+    return _FloatPrepared(vals, valid)
 
 
 class KllFamily(SketchFamily):
@@ -193,7 +200,7 @@ class KllFamily(SketchFamily):
     def __init__(self, k: int = 200, quantiles: tuple = (0.1, 0.5, 0.9, 0.99)):
         self.k = k
         self.quantiles = tuple(quantiles)
-        self.result_fields = [(f"q{int(q * 100):02d}", "double") for q in self.quantiles] \
+        self.result_fields = [(f"q{round(q * 100):02d}", "double") for q in self.quantiles] \
             + [("n", "bigint")]
 
     def make(self):

@@ -150,7 +150,7 @@ class TDigestFamily(SketchFamily):
     def __init__(self, delta: float = 200.0, quantiles: tuple = (0.1, 0.5, 0.9, 0.99)):
         self.delta = delta
         self.quantiles = tuple(quantiles)
-        self.result_fields = [(f"q{int(q * 100):02d}", "double") for q in self.quantiles] \
+        self.result_fields = [(f"q{round(q * 100):02d}", "double") for q in self.quantiles] \
             + [("n", "bigint")]
 
     def make(self):
