@@ -93,7 +93,12 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
             for i in range(num_perm):
                 vals = a[i] * hs + b[i]
                 sigs[ne_rows, i] = np.minimum.reduceat(vals, starts)
-        return pd.Series([row.view(np.int64).tolist() for row in sigs])
+        # empty-shingle docs get NULL signatures: a shared sentinel
+        # signature would collide every empty doc in every LSH band —
+        # an O(n²) candidate blowup on short/empty texts
+        out = [row.view(np.int64).tolist() if ne else None
+               for row, ne in zip(sigs, nonempty)]
+        return pd.Series(out)
 
     return df.select(F.col(id_col), sig_udf(F.col(text_col)).alias("signature"))
 
@@ -105,8 +110,10 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
     shuffle — the classic LSH trick that replaces the O(n^2) cross join."""
     rows_per_band = num_perm // bands
     # materialize signatures once: a self-join would otherwise re-run the
-    # minhash UDF on both sides
-    signatures = signatures.localCheckpoint(eager=True)
+    # minhash UDF on both sides. Empty-shingle docs carry NULL signatures
+    # and cannot be near-dups of anything — drop them before banding.
+    signatures = signatures.filter(F.col("signature").isNotNull()) \
+        .localCheckpoint(eager=True)
     banded = signatures.select(
         F.col(id_col),
         F.posexplode(
@@ -159,7 +166,9 @@ def verify_jaccard(pairs: DataFrame, docs: DataFrame, text_col: str = "text",
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     denom = F.size("sh_a") + F.size("sh_b") - inter
-    jac = F.when(denom > 0, inter.cast("double") / denom).otherwise(F.lit(1.0))
+    # two empty shingle sets share no evidence of similarity: 0, not 1
+    # (exact dedup is the operator for identical-empty detection)
+    jac = F.when(denom > 0, inter.cast("double") / denom).otherwise(F.lit(0.0))
     return (
         joined.withColumn("jaccard", F.round(jac, 4))
         .filter(F.col("jaccard") >= threshold)
@@ -220,6 +229,12 @@ def dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"dup_clusters did not converge within {max_iterations} "
+            "iterations (a component's diameter exceeds the cap); raise "
+            "max_iterations — silent partial labels would split real "
+            "duplicate clusters")
     return labels.select(F.col("id").alias("doc_id"), "cluster_id")
 
 

@@ -33,17 +33,32 @@ class TableIO:
     def _path(self, name: str) -> str:
         return f"{self.root}/{name}"
 
+    def _identifier(self, name: str) -> str:
+        # Iceberg table identifiers are dot-separated (catalog.db.table)
+        return f"{self.root.replace('/', '.')}.{name}"
+
     def read(self, name: str) -> DataFrame:
         if self.use_iceberg:
-            return self.spark.read.format("iceberg").load(self._path(name))
-        return self.spark.read.parquet(self._path(name) + ".parquet") \
-            if name != "transcripts" else self.spark.read.parquet(self._path(name))
+            return self.spark.read.format("iceberg").load(self._identifier(name))
+        path = self._path(name)
+        import os
+
+        # accept either layout: a directory written by write(), or a
+        # single-file '<name>.parquet' (the driver's testdata convention)
+        if not os.path.exists(path) and os.path.exists(path + ".parquet"):
+            path = path + ".parquet"
+        return self.spark.read.parquet(path)
 
     def write(self, df: DataFrame, name: str, partition_by: list[str] | None = None,
               mode: str = "append") -> None:
         if self.use_iceberg:
-            w = df.writeTo(self._path(name))
-            (w.append() if mode == "append" else w.createOrReplace())
+            w = df.writeTo(self._identifier(name))
+            if mode == "append":
+                w.append()
+            else:
+                if partition_by:  # partition spec is set at table creation
+                    w = w.partitionedBy(*[F.col(c) for c in partition_by])
+                w.createOrReplace()
             return
         w = df.write.mode(mode)
         if partition_by:

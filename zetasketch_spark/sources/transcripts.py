@@ -50,7 +50,8 @@ _BASE_TS_US = 1767225600000000  # 2026-01-01T00:00:00Z in microseconds
 
 def generate_transcripts(n_turns: int, seed: int = 42,
                          n_convs: int | None = None,
-                         text_mode: str = "unique") -> pa.Table:
+                         text_mode: str = "unique",
+                         conv_offset: int = 0) -> pa.Table:
     """Build an Arrow table of ``n_turns`` transcript turns.
 
     ``text_mode``:
@@ -89,10 +90,11 @@ def generate_transcripts(n_turns: int, seed: int = 42,
     if text_mode == "pool":
         import pyarrow.compute as pc
 
-        conv_id_arr = pc.cast(pa.array(conv_sorted), pa.string())
+        conv_id_arr = pc.cast(pa.array(conv_sorted + conv_offset), pa.string())
     else:
         conv_id_arr = pa.array(
-            np.char.add("conv-", np.char.zfill(conv_sorted.astype("U10"), 10)),
+            np.char.add("conv-", np.char.zfill(
+                (conv_sorted + conv_offset).astype("U10"), 10)),
             type=pa.string())
 
     # roles: user/assistant alternate; ~10% tool turns (deterministic slots)
@@ -151,7 +153,7 @@ def generate_transcripts(n_turns: int, seed: int = 42,
         text_arr = pa.array(joined, type=pa.string())
 
     # timestamps: conv base offset over ~30 days + 1..90s per turn, monotone
-    conv_base_us = (conv_sorted * 2654435761 % (30 * 86400)) * 1_000_000
+    conv_base_us = ((conv_sorted + conv_offset) * 2654435761 % (30 * 86400)) * 1_000_000
     step_s = rng.integers(1, 91, size=n_turns)
     # cumulative within conversation: global cumsum minus value at group start
     cum = np.cumsum(step_s)
@@ -185,17 +187,29 @@ def write_transcripts_parquet(path: str, n_turns: int, seed: int = 42,
     """Write the transcripts table as one-or-more parquet files under
     ``path`` (idempotent: skips when a matching manifest exists)."""
     manifest = os.path.join(path, "_MANIFEST")
-    stamp = f"n_turns={n_turns} seed={seed} n_convs={n_convs} text_mode={text_mode}"
+    stamp = (f"v2 n_turns={n_turns} seed={seed} n_convs={n_convs} "
+             f"text_mode={text_mode} rows_per_file={rows_per_file}")
     if os.path.exists(manifest) and open(manifest).read() == stamp:
         return path
     os.makedirs(path, exist_ok=True)
+    # a mismatched manifest means the table is being re-generated with new
+    # parameters: stale parts must not survive (readers glob the directory)
+    import glob as _g
+
+    for old in _g.glob(os.path.join(path, "part-*.parquet")):
+        os.remove(old)
     jobs = []
     written = 0
     part = 0
     while written < n_turns:
         chunk = min(rows_per_file, n_turns - written)
-        jobs.append((path, part, chunk, seed + part, n_convs, text_mode,
-                     row_group_size))
+        # each part gets a disjoint conversation-id range so multi-part
+        # tables never contain duplicate (conv_id, turn_idx) rows — the
+        # per-turn text-equality invariant requires (conv_id, turn_idx)
+        # to be a key
+        n_convs_part = n_convs if n_convs is not None else max(64, chunk // 100)
+        jobs.append((path, part, chunk, seed + part, n_convs_part, text_mode,
+                     row_group_size, part * n_convs_part))
         written += chunk
         part += 1
     if len(jobs) > 1:
@@ -211,9 +225,9 @@ def write_transcripts_parquet(path: str, n_turns: int, seed: int = 42,
 
 
 def _write_one_part(args):
-    path, part, chunk, seed, n_convs, text_mode, row_group_size = args
+    path, part, chunk, seed, n_convs, text_mode, row_group_size, conv_offset = args
     tbl = generate_transcripts(chunk, seed=seed, n_convs=n_convs,
-                               text_mode=text_mode)
+                               text_mode=text_mode, conv_offset=conv_offset)
     pq.write_table(tbl, os.path.join(path, f"part-{part:05d}.parquet"),
                    row_group_size=row_group_size, compression="snappy")
 

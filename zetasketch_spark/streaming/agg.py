@@ -93,6 +93,7 @@ def streaming_windowed_sketch_agg(
     ts_col: str = "ts",
     window: str = "10 minutes",
     watermark: str = "1 hour",
+    state_timeout_minutes: int | None = 120,
 ) -> DataFrame:
     """Event-time-windowed continuous sketches with a watermark.
 
@@ -102,6 +103,12 @@ def streaming_windowed_sketch_agg(
     Spark before reaching the state function, which is the watermark
     contract. Emits ``window_start, keys..., rows_seen, <results>`` in
     update mode every trigger.
+
+    NOTE the watermark does NOT evict ``applyInPandasWithState`` state —
+    only ``state_timeout_minutes`` does. Closed windows stop receiving
+    rows, so their state expires ``state_timeout_minutes`` after their
+    last update (processing time); pass ``None`` only for bounded streams
+    where unbounded per-window state is acceptable.
     """
     import pyspark.sql.functions as F
 
@@ -111,7 +118,8 @@ def streaming_windowed_sketch_agg(
         .withColumn("window_start", F.window(ts_col, window)["start"])
     )
     return streaming_sketch_agg(
-        bucketed, ["window_start", *keys], col, family)
+        bucketed, ["window_start", *keys], col, family,
+        timeout_minutes=state_timeout_minutes)
 
 
 def streaming_bloom_dedup(
@@ -155,6 +163,10 @@ def streaming_bloom_dedup(
         else:
             bf = BloomFilter(m=m, k=k)
         for pdf in batches:
+            # null keys have no identity to dedup on — drop them (they
+            # would otherwise look 'fresh' every micro-batch: the Bloom
+            # cannot record NA)
+            pdf = pdf[pdf[key_col].notna()]
             pdf = pdf.drop_duplicates(subset=[key_col], keep="first")
             fresh = pdf[~bf.contains_series(pdf[key_col])]
             if len(fresh):
