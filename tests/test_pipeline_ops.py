@@ -326,3 +326,28 @@ def test_minhash_signature_estimates_jaccard(spark):
         exact = inter / (len(sets[0]) + len(sets[j]) - inter)
         est = float((sigs[0] == sigs[j]).mean())
         assert abs(est - exact) <= 0.13, (j, exact, est)  # ~3σ at n=128
+
+
+def test_minhash_empty_docs_no_collision_blowup(spark):
+    """Empty/short docs must not form an all-pairs LSH bucket: NULL
+    signatures keep them out of banding, and empty-empty pairs are not
+    near-dups (jaccard 0, not 1)."""
+    from zetasketch_spark.operators.dedup import (
+        lsh_candidate_pairs, minhash_near_dups, minhash_signatures)
+
+    rows = [(i, "") for i in range(50)] + [(100 + i, "ok") for i in range(50)]
+    rows += [(900, "a genuine doc with plenty of words to form shingles here"),
+             (901, "a genuine doc with plenty of words to form shingles here")]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    sigs = minhash_signatures(df)
+    cands = lsh_candidate_pairs(sigs)
+    pairs = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    # the 50 empty docs would have produced 1225 pairs alone; only the
+    # planted near-identical pair (and possibly 'ok'-doc pairs, which all
+    # share the single shingle 'ok') may collide
+    assert (900, 901) in pairs
+    assert not any(a < 100 and b < 100 for a, b in pairs), "empty docs collided"
+    out = {(r["id_a"], r["id_b"]) for r in
+           minhash_near_dups(df, threshold=0.5).collect()}
+    assert (900, 901) in out
+    assert not any(a < 100 and b < 100 for a, b in out)

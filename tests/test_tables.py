@@ -21,3 +21,41 @@ def test_tableio_roundtrip_partitioned(spark, transcripts_path, tmp_path):
     pruned = back.filter(F.col("day") == F.lit(one_day))
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "day" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_tableio_roundtrip_any_name(spark, transcripts_path, tmp_path):
+    """Regression: write-then-read must work for every table name, not
+    just the previously special-cased 'transcripts'."""
+    import pyspark.sql.functions as F
+
+    from zetasketch_spark.sources.tables import TableIO
+    from zetasketch_spark.sources.transcripts import load_transcripts
+
+    io = TableIO(spark, str(tmp_path), use_iceberg=False)
+    df = load_transcripts(spark, transcripts_path).limit(100)
+    io.write(df, "events_copy", mode="overwrite")
+    back = io.read("events_copy")
+    assert back.count() == 100
+
+
+def test_transcripts_multipart_key_uniqueness(spark, tmp_path):
+    """(conv_id, turn_idx) is a key even across parts (disjoint per-part
+    conversation-id ranges), and per-conversation timestamps stay
+    monotone — the input_hint's stable-turn-ordering invariant."""
+    import pyspark.sql.functions as F
+
+    from zetasketch_spark.sources.transcripts import (
+        load_transcripts, write_transcripts_parquet)
+
+    path = str(tmp_path / "multipart")
+    write_transcripts_parquet(path, n_turns=30_000, seed=5, rows_per_file=10_000)
+    df = load_transcripts(spark, path)
+    n = df.count()
+    nk = df.select("conv_id", "turn_idx").distinct().count()
+    assert n == 30_000 and nk == n
+    bad = (
+        df.groupBy("conv_id")
+        .agg(F.max(F.col("turn_idx")).alias("mx"), F.count("*").alias("c"))
+        .filter(F.col("mx") != F.col("c") - 1).count()
+    )
+    assert bad == 0, "turn_idx must be contiguous per conversation"
