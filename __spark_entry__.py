@@ -445,13 +445,14 @@ def q_multi_stats_by_type(spark, sf_dir):
     res = multi_sketch_agg(e, ["event_type"], {
         "users": ("user_id", HllFamily(precision=14)),
         "values": ("value", KllFamily(k=200, quantiles=(0.5, 0.9))),
-    })
+    }).localCheckpoint(eager=True)  # consumed by two joins: run ONCE
     exact = e.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_users"))
     kll_ok = rank_check(e, ["event_type"], "value", res,
                         {"values_q50": 0.5, "values_q90": 0.9},
                         eps=0.025, ok_col="kll_ok")
-    bound = 1.04 / math.sqrt(2 ** 14)
+    from zetasketch_spark.operators.verify import hll_envelope_bound
+    bound = hll_envelope_bound(14)
     return (
         kll_ok.join(exact, "event_type")
         .join(res.select("event_type", "users_estimate"), "event_type")
@@ -555,9 +556,11 @@ def q_hll_set_ops(spark, sf_dir):
     buys = e.filter(F.col("event_type") == "purchase").select("user_id")
     exact_union = clicks.union(buys).distinct().count()
     exact_inter = clicks.intersect(buys).count()
-    env = 1.04 / math.sqrt(2 ** 14)
+    from zetasketch_spark.operators.verify import hll_envelope_bound
+
+    env = hll_envelope_bound(14)  # 3-sigma gate bound
     union_ok = abs(union_est / max(exact_union, 1) - 1.0) <= env
-    inter_ok = abs(inter_est - exact_inter) <= max(3 * env * exact_union, 1.0)
+    inter_ok = abs(inter_est - exact_inter) <= max(env * exact_union, 1.0)
     return spark.createDataFrame(pd.DataFrame(
         [[exact_union, exact_inter, bool(union_ok), bool(inter_ok)]],
         columns=["exact_union", "exact_intersection",
@@ -603,13 +606,15 @@ def q_docs_winnow_fingerprints(spark, sf_dir):
     from zetasketch_spark.functions.text import token_count
     from zetasketch_spark.operators.dedup import shingle_sets
 
+    K, WINDOW = 5, 4  # must match the DuckDB oracle's shingle constants
     d = _t(spark, sf_dir, "documents")
-    fp = winnow_fingerprints_udf(k=5, window=4)
+    fp = winnow_fingerprints_udf(k=K, window=WINDOW)
     nw = token_count("text")
-    n_grams = F.when(nw >= 5, nw - 4).when(nw > 0, F.lit(1)).otherwise(F.lit(0))
-    wnd = F.when(n_grams > 4, n_grams - 3).otherwise(F.least(n_grams, F.lit(1)))
+    n_grams = F.when(nw >= K, nw - (K - 1)).when(nw > 0, F.lit(1)).otherwise(F.lit(0))
+    wnd = F.when(n_grams > WINDOW, n_grams - (WINDOW - 1)) \
+        .otherwise(F.least(n_grams, F.lit(1)))
     n_fp = F.size(fp(F.col("text")))
-    distinct = shingle_sets(d, shingle_k=5).select(
+    distinct = shingle_sets(d, shingle_k=K).select(
         "doc_id", F.size("shingles").alias("n_distinct_grams"))
     base = d.select("doc_id", nw.alias("n_words"),
                     n_grams.alias("_ng"), wnd.alias("_w"),
@@ -617,7 +622,7 @@ def q_docs_winnow_fingerprints(spark, sf_dir):
     bounds_ok = F.when(F.col("_ng") == 0, F.col("_f") == 0).otherwise(
         (F.col("_f") >= 1) & (F.col("_f") <= F.col("n_distinct_grams"))
         & ((F.col("n_distinct_grams") < F.col("_ng"))
-           | (F.col("_f") >= F.ceil(F.col("_w") / F.lit(4.0)))))
+           | (F.col("_f") >= F.ceil(F.col("_w") / F.lit(float(WINDOW))))))
     return base.select("doc_id", "n_words", "n_distinct_grams",
                        bounds_ok.alias("bounds_ok"))
 
@@ -654,9 +659,11 @@ def q_hll_sql_surface(spark, sf_dir):
         e.groupBy("event_type").agg(hll_init_agg("user_id", 14).alias("sk"))
         .select("event_type", hll_estimate(F.col("sk")).alias("est_direct"))
     )
+    from zetasketch_spark.operators.verify import hll_envelope_bound
+
     exact = e.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_users"))
-    bound = 1.04 / math.sqrt(2 ** 14)
+    bound = hll_envelope_bound(14)
     return (
         exact.join(merged, "event_type").join(direct, "event_type")
         .select(

@@ -128,7 +128,11 @@ def main():
         n = df.count() if hasattr(df, "count") else len(df)
         timings[name] = round(time.time() - t0, 3)
 
-    total = round(sum(timings.values()), 3)
+    # headline total keeps the r01 definition (HEADLINE queries + the
+    # role/day transcripts measurement); the full-text transcripts row is
+    # reported separately so round-over-round totals stay comparable
+    total = round(sum(v for k, v in timings.items()
+                      if k != "transcripts_hll_text"), 3)
 
     # round-over-round regression flagging: compare per-query times against
     # the newest BENCH_r*.json and surface anything >1.5x slower

@@ -270,3 +270,33 @@ def test_full_family_sql_surface(spark, transcripts_path):
                sum(CAST(bloom_contains(sk.bf, t.conv_id) AS INT)) AS hits
         FROM (SELECT DISTINCT conv_id FROM turns2) t CROSS JOIN sk""").collect()
     assert bl["hits"] == bl["n"]
+
+
+def test_sql_surface_null_promotion_consistency(spark):
+    """Arrow promotes nullable int columns to float64 inside pandas UDFs;
+    the SQL surface must canonicalize so build and probe agree (a NULL in
+    the build column previously made every Bloom probe a false negative
+    and every CM point query read the wrong cells)."""
+    import pandas as pd
+
+    from zetasketch_spark.functions.sketch_udfs import register_sql
+
+    register_sql(spark)
+    build = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 2, 3, 2, 3, 3, None]}).astype({"k": "Int64"}))
+    build.createOrReplaceTempView("build_keys")
+    probe = spark.createDataFrame(pd.DataFrame({"k": [1, 2, 3, 99]}))
+    probe.createOrReplaceTempView("probe_keys")
+
+    rows = spark.sql("""
+        WITH sk AS (SELECT bloom_init_agg(k, 4096, 5) AS bf,
+                           cm_init_agg(k, 1024, 5) AS cm
+                    FROM build_keys)
+        SELECT p.k, bloom_contains(sk.bf, p.k) AS member,
+               cm_point_query(sk.cm, p.k) AS est
+        FROM probe_keys p CROSS JOIN sk
+    """).collect()
+    got = {r["k"]: (r["member"], r["est"]) for r in rows}
+    assert got[1][0] and got[2][0] and got[3][0], "false negatives"
+    assert got[1][1] == 1 and got[2][1] == 2 and got[3][1] == 3
+    assert got[99][1] == 0

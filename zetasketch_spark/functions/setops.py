@@ -33,21 +33,28 @@ def hll_union(a: bytes, b: bytes) -> bytes:
     return sa.serialize()
 
 
-def hll_union_estimate(a: bytes, b: bytes) -> int:
+def _set_estimates(a: bytes, b: bytes) -> tuple[int, int, int]:
+    """(|A|, |B|, |A∪B|) with each blob deserialized exactly once."""
     sa, sb = _sketch(a), _sketch(b)
+    ea, eb = int(sa.estimate()), int(sb.estimate())
     sa.merge(sb)
-    return int(sa.estimate())
+    return ea, eb, int(sa.estimate())
+
+
+def hll_union_estimate(a: bytes, b: bytes) -> int:
+    return _set_estimates(a, b)[2]
 
 
 def hll_intersection_estimate(a: bytes, b: bytes) -> int:
     """Inclusion–exclusion estimate, clamped at 0."""
-    ea, eb = _sketch(a).estimate(), _sketch(b).estimate()
-    return max(0, int(ea + eb - hll_union_estimate(a, b)))
+    ea, eb, eu = _set_estimates(a, b)
+    return max(0, ea + eb - eu)
 
 
 def hll_difference_estimate(a: bytes, b: bytes) -> int:
     """|A \\ B| estimate, clamped at 0."""
-    return max(0, int(_sketch(a).estimate()) - hll_intersection_estimate(a, b))
+    ea, eb, eu = _set_estimates(a, b)
+    return max(0, ea - max(0, ea + eb - eu))
 
 
 def hll_intersection_estimate_col(a, b):

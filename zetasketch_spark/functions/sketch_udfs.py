@@ -112,27 +112,80 @@ def hll_num_values(col):
     return _num_values_udf()(F.col(col) if isinstance(col, str) else col)
 
 
-def register_sql(spark) -> None:
-    """Register the scalar/agg functions for use from ``spark.sql``."""
-    spark.udf.register("hll_estimate", _estimate_udf())
-    spark.udf.register("hll_num_values", _num_values_udf())
+def _canon_keys(s: pd.Series) -> pd.Series:
+    """Canonical string form for SQL-surface sketch keys.
+
+    Arrow promotes nullable integer columns to float64 on the way into a
+    pandas UDF, so the SAME key can reach an init UDF as 123.0 and a probe
+    UDF as 123 — different hash domains, silent misses. Integral floats
+    render as integers; everything non-null renders via str(); nulls stay
+    None (no identity)."""
+    import numpy as np
+
+    if s.dtype in (np.float64, np.float32):
+        nn = s.dropna()
+        if len(nn) and bool(np.all(np.mod(nn.to_numpy(dtype=np.float64), 1.0) == 0)):
+            return s.map(lambda v: None if pd.isna(v) else str(int(v)))
+        return s.map(lambda v: None if pd.isna(v) else str(float(v)))
+    return s.map(lambda v: None if pd.isna(v) else str(v))
+
+
+def _merge_agg_udf(deserialize):
+    """Factory for MERGE_PARTIAL aggregates: skip nulls, deserialize,
+    associative merge, re-serialize (None when the group had no state —
+    the null/empty-state no-op invariant)."""
 
     @pandas_udf("binary")
     def _merge(states: pd.Series) -> bytes:
-        from zetasketch_spark.hll import HllSketch
-
         acc = None
         for b in states:
             if b is None:
                 continue
-            sk = HllSketch.deserialize(bytes(b))
+            sk = deserialize(bytes(b))
             if acc is None:
                 acc = sk
             else:
                 acc.merge(sk)
         return acc.serialize() if acc is not None else None
 
-    spark.udf.register("hll_merge_agg", _merge)
+    return _merge
+
+
+def _extract_by_state(states: pd.Series, args: pd.Series, deserialize,
+                      fn, missing):
+    """Vectorized EXTRACT over (state, arg) rows: deserialize each distinct
+    blob ONCE and evaluate all its rows together (the state column is
+    usually constant or low-cardinality after a group-by)."""
+    out = [missing] * len(states)
+    by_blob: dict[bytes, list[int]] = {}
+    for i, b in enumerate(states.reset_index(drop=True)):
+        if b is not None:
+            by_blob.setdefault(bytes(b), []).append(i)
+    a = args.reset_index(drop=True)
+    for blob, idx in by_blob.items():
+        sk = deserialize(blob)
+        vals = fn(sk, a.iloc[idx])
+        for i, v in zip(idx, vals):
+            out[i] = v
+    return pd.Series(out)
+
+
+def register_sql(spark) -> None:
+    """Register the scalar/agg functions for use from ``spark.sql`` —
+    the BigQuery-style INIT / MERGE_PARTIAL / EXTRACT triple for every
+    sketch family."""
+    from zetasketch_spark.hll import HllSketch
+    from zetasketch_spark.sketches.bloom import BloomFilter
+    from zetasketch_spark.sketches.countmin import CountMinSketch
+    from zetasketch_spark.sketches.kll import KllSketch
+    from zetasketch_spark.sketches.tdigest import TDigest
+
+    spark.udf.register("hll_estimate", _estimate_udf())
+    spark.udf.register("hll_num_values", _num_values_udf())
+    spark.udf.register("hll_merge_agg", _merge_agg_udf(HllSketch.deserialize))
+    spark.udf.register("kll_merge_agg", _merge_agg_udf(KllSketch.deserialize))
+    spark.udf.register("tdigest_merge_agg", _merge_agg_udf(TDigest.deserialize))
+    spark.udf.register("cm_merge_agg", _merge_agg_udf(CountMinSketch.deserialize))
 
     @pandas_udf("binary")
     def _init(values: pd.Series, precision: pd.Series) -> bytes:
@@ -146,160 +199,74 @@ def register_sql(spark) -> None:
 
     spark.udf.register("hll_init_agg", _init)
 
-    # quantile-sketch surface: the same INIT / MERGE_PARTIAL / EXTRACT
-    # triple over KLL states (fine-grain sketches re-merge exactly to
-    # coarser groupings, like HLL)
     @pandas_udf("binary")
     def _kll_init(values: pd.Series, k: pd.Series) -> bytes:
-        from zetasketch_spark.sketches.kll import KllSketch
-
         sk = KllSketch(k=int(k.iloc[0]) if len(k) else 200)
         sk.add_series(values.dropna().to_numpy(dtype="float64"))
         return sk.serialize()
 
     spark.udf.register("kll_init_agg", _kll_init)
 
-    @pandas_udf("binary")
-    def _kll_merge(states: pd.Series) -> bytes:
-        from zetasketch_spark.sketches.kll import KllSketch
-
-        acc = None
-        for b in states:
-            if b is None:
-                continue
-            sk = KllSketch.deserialize(bytes(b))
-            if acc is None:
-                acc = sk
-            else:
-                acc.merge(sk)
-        return acc.serialize() if acc is not None else None
-
-    spark.udf.register("kll_merge_agg", _kll_merge)
-
     @pandas_udf("double")
     def _kll_quantile(states: pd.Series, q: pd.Series) -> pd.Series:
-        from zetasketch_spark.sketches.kll import KllSketch
-
-        return pd.Series([
-            KllSketch.deserialize(bytes(b)).quantile(float(qq))
-            if b is not None else None
-            for b, qq in zip(states, q)
-        ])
+        return _extract_by_state(
+            states, q, KllSketch.deserialize,
+            lambda sk, qs: [sk.quantile(float(x)) for x in qs], None)
 
     spark.udf.register("kll_quantile", _kll_quantile)
 
     @pandas_udf("binary")
     def _td_init(values: pd.Series, delta: pd.Series) -> bytes:
-        from zetasketch_spark.sketches.tdigest import TDigest
-
         td = TDigest(delta=int(delta.iloc[0]) if len(delta) else 200)
         td.add_series(values.dropna().to_numpy(dtype="float64"))
         return td.serialize()
 
     spark.udf.register("tdigest_init_agg", _td_init)
 
-    @pandas_udf("binary")
-    def _td_merge(states: pd.Series) -> bytes:
-        from zetasketch_spark.sketches.tdigest import TDigest
-
-        acc = None
-        for b in states:
-            if b is None:
-                continue
-            td = TDigest.deserialize(bytes(b))
-            if acc is None:
-                acc = td
-            else:
-                acc.merge(td)
-        return acc.serialize() if acc is not None else None
-
-    spark.udf.register("tdigest_merge_agg", _td_merge)
-
     @pandas_udf("double")
     def _td_quantile(states: pd.Series, q: pd.Series) -> pd.Series:
-        from zetasketch_spark.sketches.tdigest import TDigest
-
-        return pd.Series([
-            TDigest.deserialize(bytes(b)).quantile(float(qq))
-            if b is not None else None
-            for b, qq in zip(states, q)
-        ])
+        return _extract_by_state(
+            states, q, TDigest.deserialize,
+            lambda td, qs: [td.quantile(float(x)) for x in qs], None)
 
     spark.udf.register("tdigest_quantile", _td_quantile)
 
     @pandas_udf("binary")
     def _cm_init(values: pd.Series, width: pd.Series, depth: pd.Series) -> bytes:
-        from zetasketch_spark.sketches.countmin import CountMinSketch
-
         cm = CountMinSketch(width=int(width.iloc[0]) if len(width) else 2048,
                             depth=int(depth.iloc[0]) if len(depth) else 5)
-        cm.add_series(values.dropna())
+        cm.add_series(_canon_keys(values).dropna())
         return cm.serialize()
 
     spark.udf.register("cm_init_agg", _cm_init)
 
-    @pandas_udf("binary")
-    def _cm_merge(states: pd.Series) -> bytes:
-        from zetasketch_spark.sketches.countmin import CountMinSketch
-
-        acc = None
-        for b in states:
-            if b is None:
-                continue
-            cm = CountMinSketch.deserialize(bytes(b))
-            if acc is None:
-                acc = cm
-            else:
-                acc.merge(cm)
-        return acc.serialize() if acc is not None else None
-
-    spark.udf.register("cm_merge_agg", _cm_merge)
-
     @pandas_udf("long")
     def _cm_count(states: pd.Series, keys: pd.Series) -> pd.Series:
-        from zetasketch_spark.sketches.countmin import CountMinSketch
+        def q(cm, ks):
+            kk = _canon_keys(ks)
+            mask = kk.isna().to_numpy()
+            est = cm.point_query_series(kk.fillna(""))
+            est[mask] = 0  # null keys have no identity
+            return [int(v) for v in est]
 
-        out = []
-        cache: dict[bytes, CountMinSketch] = {}
-        for b, key in zip(states, keys):
-            if b is None:
-                out.append(0)
-                continue
-            blob = bytes(b)
-            cm = cache.get(blob)
-            if cm is None:
-                cm = cache[blob] = CountMinSketch.deserialize(blob)
-            out.append(int(cm.point_query_series(pd.Series([str(key)]))[0]))
-        return pd.Series(out)
+        return _extract_by_state(states, keys, CountMinSketch.deserialize, q, 0)
 
     spark.udf.register("cm_point_query", _cm_count)
 
     @pandas_udf("binary")
     def _bloom_init(values: pd.Series, m: pd.Series, k: pd.Series) -> bytes:
-        from zetasketch_spark.sketches.bloom import BloomFilter
-
         bf = BloomFilter(m=int(m.iloc[0]) if len(m) else 1 << 20,
                          k=int(k.iloc[0]) if len(k) else 7)
-        bf.add_series(values.dropna())
+        bf.add_series(_canon_keys(values).dropna())
         return bf.serialize()
 
     spark.udf.register("bloom_init_agg", _bloom_init)
 
     @pandas_udf("boolean")
     def _bloom_contains(states: pd.Series, keys: pd.Series) -> pd.Series:
-        from zetasketch_spark.sketches.bloom import BloomFilter
-
-        out = []
-        cache: dict[bytes, BloomFilter] = {}
-        for b, key in zip(states, keys):
-            if b is None:
-                out.append(False)
-                continue
-            blob = bytes(b)
-            bf = cache.get(blob)
-            if bf is None:
-                bf = cache[blob] = BloomFilter.deserialize(blob)
-            out.append(bool(bf.contains_series(pd.Series([key]))[0]))
-        return pd.Series(out)
+        return _extract_by_state(
+            states, keys, BloomFilter.deserialize,
+            lambda bf, ks: [bool(v) for v in bf.contains_series(_canon_keys(ks))],
+            False)
 
     spark.udf.register("bloom_contains", _bloom_contains)

@@ -39,6 +39,14 @@ PLANT_EPS = 0.08
 # HLL: exact distinct + error envelope
 # ---------------------------------------------------------------------------
 
+def hll_envelope_bound(precision: int) -> float:
+    """The GATE bound: 3x the published RMS error 1.04/sqrt(2^p).
+    1.04/sqrt(m) is a standard deviation, not a hard bound — a 1-sigma
+    gate would flip false for ~32% of dense-mode groups on perfectly
+    healthy sketches. 3-sigma (99.7%) matches the pytest envelope."""
+    return 3 * 1.04 / math.sqrt(2 ** precision)
+
+
 def hll_verified(df: DataFrame, keys: list[str], col: str, precision: int,
                  tree_levels: int = 1) -> DataFrame:
     """keys + (n_rows, exact_distinct, within_envelope)."""
@@ -49,7 +57,7 @@ def hll_verified(df: DataFrame, keys: list[str], col: str, precision: int,
     exact = df.groupBy(*keys).agg(
         F.count("*").alias("n_rows"),
         F.countDistinct(col).alias("exact_distinct"))
-    bound = 1.04 / math.sqrt(2 ** precision)
+    bound = hll_envelope_bound(precision)
     return (
         exact.join(approx.select(*keys, "approx_distinct"), keys)
         .withColumn("within_envelope",
@@ -132,7 +140,9 @@ def cm_topk_verified(df: DataFrame, key_col: str, k: int,
     )
     top = exact.collect()
     est = cm.point_query_series(pd.Series([r["key"] for r in top]))
-    slack = math.ceil(math.e / width * cm.total)
+    # the published bound is P(over > eN) <= e^-depth per key; doubling
+    # the slack drives the per-key gate failure probability to ~e^-2depth
+    slack = math.ceil(2 * math.e / width * cm.total)
     rows = [
         [r["key"], r["exact_count"], r["rank"],
          bool(r["exact_count"] <= e <= r["exact_count"] + slack),
