@@ -1175,12 +1175,18 @@ def oracle_sql() -> dict[str, str]:
         "events_topk_rerank": """
             WITH c AS (
               SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS exact_count
-              FROM events GROUP BY 1
+              FROM events WHERE user_id IS NOT NULL GROUP BY 1
+            ),
+            r AS (
+              SELECT key, exact_count,
+                     row_number() OVER (ORDER BY exact_count DESC, key) AS rank
+              FROM c
             )
-            SELECT key, exact_count,
-                   row_number() OVER (ORDER BY exact_count DESC, key) AS rank
-            FROM c
-            QUALIFY rank <= 10
+            SELECT key, exact_count, rank,
+                   (SELECT min(exact_count) FROM r WHERE rank <= 10)
+                     > (SELECT count(*) // 513 FROM events
+                        WHERE user_id IS NOT NULL) AS provably_complete
+            FROM r WHERE rank <= 10
         """,
         "hll_set_ops": """
             WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),

@@ -209,3 +209,21 @@ def test_dictionary_array_hashes_match_plain():
     hd, vd = fingerprint_arrow_array(dictarr)
     assert (vp == vd).all()
     assert (hp[vp] == hd[vd]).all()
+
+
+def test_dictionary_float_nan_value_masked():
+    """A NaN stored as a dictionary VALUE must be masked just like a NaN in
+    a plain float array (fabric NaN-parity through the dictionary gather)."""
+    import pyarrow as pa
+
+    from zetasketch_spark.hashing import fingerprint_arrow_array
+
+    vals = [1.5, float("nan"), 2.5, None, 1.5, float("nan")]
+    plain = pa.array(vals, type=pa.float64())
+    dictarr = plain.dictionary_encode()
+    hp, vp = fingerprint_arrow_array(plain)
+    hd, vd = fingerprint_arrow_array(dictarr)
+    assert vd is not None
+    assert (vp == vd).all()          # NaN slots invalid on both fabrics
+    assert (hp[vp] == hd[vd]).all()
+    assert list(vd) == [True, False, True, False, True, False]

@@ -300,3 +300,64 @@ def test_sql_surface_null_promotion_consistency(spark):
     assert got[1][0] and got[2][0] and got[3][0], "false negatives"
     assert got[1][1] == 1 and got[2][1] == 2 and got[3][1] == 3
     assert got[99][1] == 0
+
+
+def test_canon_keys_per_value_mixed_batches(spark):
+    """Key canonicalization must be per VALUE, not per batch: a double key
+    that is integral must render the same whether its batch happens to be
+    all-integral (probe) or mixed (build). The old per-batch np.all test
+    hashed 1.0 as '1.0' at build and '1' at probe — false negatives."""
+    import pandas as pd
+
+    from zetasketch_spark.functions.sketch_udfs import register_sql
+
+    register_sql(spark)
+    # build batch is MIXED (1.0 sits next to 2.5); probe batch is integral
+    spark.createDataFrame(pd.DataFrame(
+        {"k": [1.0, 2.5, 3.0, 1.0, 3.0, 3.0]})).createOrReplaceTempView("mix_build")
+    spark.createDataFrame(pd.DataFrame(
+        {"k": [1.0, 3.0, 7.0]})).createOrReplaceTempView("mix_probe")
+    rows = spark.sql("""
+        WITH sk AS (SELECT bloom_init_agg(k, 4096, 5) AS bf,
+                           cm_init_agg(k, 1024, 5) AS cm
+                    FROM mix_build)
+        SELECT p.k, bloom_contains(sk.bf, p.k) AS member,
+               cm_point_query(sk.cm, p.k) AS est
+        FROM mix_probe p CROSS JOIN sk
+    """).collect()
+    got = {r["k"]: (r["member"], r["est"]) for r in rows}
+    assert got[1.0] == (True, 2)
+    assert got[3.0] == (True, 3)
+    assert got[7.0][1] == 0
+    # and the fractional key itself stays probe-able
+    [r] = spark.sql("""
+        WITH sk AS (SELECT cm_init_agg(k, 1024, 5) AS cm FROM mix_build)
+        SELECT cm_point_query(sk.cm, 2.5d) AS est FROM sk""").collect()
+    assert r["est"] == 1
+
+
+def test_hll_init_nullable_int_group_promotion(spark):
+    """A NULL in one group promotes that group's bigint column to float64
+    inside the pandas UDF; the HLL init path must keep hashing in the int64
+    domain so cross-group merges stay compatible and estimates match."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from zetasketch_spark.functions.sketch_udfs import (
+        hll_estimate, hll_init_agg, hll_merge_agg)
+
+    pdf = pd.DataFrame({
+        "day": ["a"] * 4 + ["b"] * 4,
+        "user_id": pd.array([1, 2, 3, 4, 3, 4, 5, None], dtype="Int64"),
+    })
+    df = spark.createDataFrame(pdf)
+    fine = df.groupBy("day").agg(hll_init_agg("user_id", 13).alias("sk"))
+    # merge across the null-free and null-containing groups: raises on
+    # incompatible value types without the promotion fix
+    [got] = (fine.agg(hll_merge_agg("sk").alias("sk"))
+             .select(hll_estimate("sk").alias("est")).collect())
+    assert got["est"] == 5
+    # and the merged state is in the SAME hash domain as a pure-int build
+    [whole] = (df.dropna().agg(hll_init_agg("user_id", 13).alias("sk"))
+               .select(hll_estimate("sk").alias("est")).collect())
+    assert got["est"] == whole["est"]

@@ -303,3 +303,26 @@ def test_kll_arrow_nan_matches_pandas():
     assert via_pandas.n == via_arrow.n == 4
     assert fam.serialize(via_pandas) == fam.serialize(via_arrow)
     assert not np.isnan(via_arrow.quantile(0.99))
+
+
+def test_topk_provably_complete_flag(spark):
+    """The Misra-Gries completeness certificate: true when the k-th count
+    clears N/(max_candidates+1), false on flat distributions where a pruned
+    key could tie in."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from zetasketch_spark.operators.topk import topk_exact_rerank
+
+    # skewed: 'hot' holds >90% of mass -> certificate must hold
+    skew = spark.createDataFrame(pd.DataFrame(
+        {"k": ["hot"] * 900 + [f"c{i}" for i in range(17)]}))
+    rows = topk_exact_rerank(skew, "k", k=1, max_candidates=16).collect()
+    assert rows[0]["key"] == "hot" and rows[0]["provably_complete"]
+
+    # flat: 200 keys x 5 rows with 16 candidate slots -> nothing clears
+    # N/(m+1) = 1000/17 = 58 > 5, so the flag must be false
+    flat = spark.createDataFrame(pd.DataFrame(
+        {"k": [f"u{i}" for i in range(200)] * 5}))
+    rows = topk_exact_rerank(flat, "k", k=3, max_candidates=16).collect()
+    assert all(not r["provably_complete"] for r in rows)

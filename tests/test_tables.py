@@ -59,3 +59,17 @@ def test_transcripts_multipart_key_uniqueness(spark, tmp_path):
         .filter(F.col("mx") != F.col("c") - 1).count()
     )
     assert bad == 0, "turn_idx must be contiguous per conversation"
+
+
+def test_tableio_iceberg_identifier_namespace(spark):
+    """Iceberg identifiers come from an explicit namespace, never from the
+    filesystem path (an absolute root would yield '.data.wh.t')."""
+    import pytest
+
+    from zetasketch_spark.sources.tables import TableIO
+
+    io = TableIO(spark, "/data/wh", use_iceberg=True, namespace="local.db")
+    assert io._identifier("turns") == "local.db.turns"
+    bare = TableIO(spark, "/data/wh", use_iceberg=True)
+    with pytest.raises(ValueError, match="namespace"):
+        bare._identifier("turns")

@@ -32,16 +32,24 @@ import pyspark.sql.functions as F
 from pyspark.sql.functions import pandas_udf
 
 
-def hll_init_agg(col, precision: int = 15, sparse_precision: int | None = None):
+def hll_init_agg(col, precision: int = 15, sparse_precision: int | None = None,
+                 value_type: str | None = None):
     """Grouped-aggregate: build an HLL++ sketch from a value column.
-    Equivalent of BigQuery ``HLL_COUNT.INIT(col, precision)``."""
+    Equivalent of BigQuery ``HLL_COUNT.INIT(col, precision)``.
+
+    ``value_type`` pins the hash domain for float64 batches ('long' |
+    'int' | 'double' | 'float'). Leave None for int/string columns; pass
+    'double' explicitly for genuinely-double columns whose groups may be
+    all-integral (the auto heuristic treats integral float64 batches as
+    Arrow's nullable-int promotion and hashes them as longs)."""
 
     @pandas_udf("binary")
     def _init(values: pd.Series) -> bytes:
         from zetasketch_spark.hll import HllSketch
         from zetasketch_spark.sketches.base import HllFamily
 
-        fam = HllFamily(precision=precision, sparse_precision=sparse_precision)
+        fam = HllFamily(precision=precision, sparse_precision=sparse_precision,
+                        value_type=value_type)
         sk = fam.make()
         fam.update(sk, values)
         return sk.serialize()
@@ -117,17 +125,25 @@ def _canon_keys(s: pd.Series) -> pd.Series:
 
     Arrow promotes nullable integer columns to float64 on the way into a
     pandas UDF, so the SAME key can reach an init UDF as 123.0 and a probe
-    UDF as 123 — different hash domains, silent misses. Integral floats
-    render as integers; everything non-null renders via str(); nulls stay
-    None (no identity)."""
+    UDF as 123 — different hash domains, silent misses. Canonicalization is
+    PER VALUE (never per batch): a batch-level integral test would render
+    1.0 as '1' in an all-integral build batch but '1.0' in a mixed probe
+    batch — the exact cross-domain miss this helper exists to prevent.
+    Integral finite floats render as integers; other floats via repr();
+    everything else via str(); nulls stay None (no identity)."""
     import numpy as np
 
-    if s.dtype in (np.float64, np.float32):
-        nn = s.dropna()
-        if len(nn) and bool(np.all(np.mod(nn.to_numpy(dtype=np.float64), 1.0) == 0)):
-            return s.map(lambda v: None if pd.isna(v) else str(int(v)))
-        return s.map(lambda v: None if pd.isna(v) else str(float(v)))
-    return s.map(lambda v: None if pd.isna(v) else str(v))
+    def canon(v):
+        if pd.isna(v):
+            return None
+        if isinstance(v, (float, np.floating)):
+            f = float(v)
+            if np.isfinite(f) and f == int(f):
+                return str(int(f))
+            return repr(f)
+        return str(v)
+
+    return s.map(canon)
 
 
 def _merge_agg_udf(deserialize):

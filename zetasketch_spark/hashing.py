@@ -492,11 +492,18 @@ def fingerprint_arrow_array(arr) -> tuple[np.ndarray, np.ndarray | None]:
         # for low-cardinality columns this removes almost all hash work
         if len(arr.dictionary) == 0:  # all-null column: nothing to hash
             return np.zeros(n, dtype=np.uint64), valid
-        dict_hashes, _ = fingerprint_arrow_array(arr.dictionary)
+        dict_hashes, dict_valid = fingerprint_arrow_array(arr.dictionary)
         indices = arr.indices
         if indices.null_count:
             indices = indices.fill_null(0)
         idx = indices.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        if dict_valid is not None:
+            # a dictionary VALUE can itself be invalid (e.g. NaN in a
+            # dict-encoded float column, masked by the float branch above):
+            # propagate that mask through the gather or the NaN would be
+            # counted as a distinct value on this fabric only
+            gathered = dict_valid[idx]
+            valid = gathered if valid is None else (valid & gathered)
         return dict_hashes[idx], valid
     raise TypeError(f"unsupported arrow type for fingerprinting: {typ}")
 

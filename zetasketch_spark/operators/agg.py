@@ -67,6 +67,17 @@ def sketch_partial(df: DataFrame, keys: list[str], col: str,
     )
     keys_t = tuple(keys)
 
+    # Pin the hash domain from the Spark schema: Arrow promotes nullable
+    # int columns to float64 on the pandas path, so without the declared
+    # type an HLL family would hash the same bigint column via two recipes
+    # depending on whether a group happens to contain a null.
+    if getattr(family, "value_type", "n/a") is None:
+        spark_t = df.schema[col].dataType.simpleString()
+        family.value_type = {
+            "bigint": "long", "int": "int", "smallint": "int",
+            "tinyint": "int", "double": "double", "float": "float",
+        }.get(spark_t)
+
     if getattr(family, "supports_arrow", False):
         return _sketch_partial_arrow(df, keys, col, family, out_schema,
                                      skip_partitions)

@@ -14,9 +14,13 @@ The production-grade heavy-hitters shape at 100 TB:
    keys only.
 
 The result is exact (not an estimate) whenever the true top-k all clear
-the candidate-survival bar — which the CM estimate bound lets you check:
-if the k-th exact candidate count exceeds the CM upper bound of any
-non-candidate (≤ εN), the ranking is provably complete.
+the candidate-survival bar — and the output CHECKS this: the Misra-Gries
+prune guarantees any key absent from the candidate set has true count
+≤ ⌊N/(max_candidates+1)⌋, so when the k-th returned exact count exceeds
+that bound no pruned key can displace the ranking and the
+``provably_complete`` column is true. A false flag means a flat
+distribution where pruned keys *could* tie into the top-k (raise
+``max_candidates`` or fall back to an exact group-by).
 
 Same contract the reference's Aggregator pattern implies for distributed
 use (`Aggregator.java:31-106`): partial state per worker, associative
@@ -56,7 +60,14 @@ def topk_exact_rerank(df: DataFrame, col: str, k: int = 10,
         .agg(F.count("*").alias("exact_count"))
     )
     w = Window.orderBy(F.col("exact_count").desc(), F.col("key"))
-    return (
+    topk = (
         exact.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+    # completeness certificate: every non-candidate key's true count is
+    # ≤ ⌊N/(m+1)⌋ (Misra-Gries survival bar), so the ranking is provably
+    # complete iff the k-th (smallest returned) exact count clears it
+    bound = cm.total // (max_candidates + 1)
+    return topk.withColumn(
+        "provably_complete",
+        F.min("exact_count").over(Window.partitionBy()) > F.lit(bound))

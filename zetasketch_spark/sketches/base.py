@@ -99,10 +99,19 @@ class HllFamily(SketchFamily):
     supports_arrow = True
 
     def __init__(self, precision: int = 15, sparse_precision: int | None = None,
-                 no_sparse: bool = False):
+                 no_sparse: bool = False, value_type: str | None = None):
         self.precision = precision
         self.sparse_precision = sparse_precision
         self.no_sparse = no_sparse
+        #: declared hash domain for float64 batches: 'long' | 'int' |
+        #: 'double' | 'float' | None (auto). Arrow promotes nullable int
+        #: columns to float64 on the pandas path, so WITHOUT a declared type
+        #: the same bigint key would hash via the UINT64 recipe in
+        #: null-free groups and the DOUBLE recipe in null-containing ones —
+        #: incompatible states. Call sites that know the Spark schema set
+        #: this (see operators.agg.sketch_partial); otherwise integral
+        #: float64 batches are treated as promoted longs.
+        self.value_type = value_type
 
     def make(self):
         from zetasketch_spark.hll import HllSketch
@@ -118,10 +127,33 @@ class HllFamily(SketchFamily):
         dtype = values.dtype
         if dtype == np.int64 or str(dtype) == "Int64":
             state.add_longs(values.to_numpy(dtype=np.int64))
-        elif dtype == np.int32 or str(dtype) == "Int32":
+        elif dtype in (np.int32, np.int16, np.int8) or \
+                str(dtype) in ("Int32", "Int16", "Int8"):
+            # narrower ints widen into the int32 recipe (the reference's
+            # add(int) surface, HyperLogLogPlusPlus.java:337-341)
             state.add_ints(values.to_numpy(dtype=np.int32))
         elif dtype == np.float64 or str(dtype) == "Float64":
-            state.add_doubles(values.to_numpy(dtype=np.float64))
+            arr = values.to_numpy(dtype=np.float64)
+            vt = self.value_type
+            if vt is None and len(arr) and bool(np.all(np.mod(arr, 1.0) == 0)) \
+                    and bool(np.all(np.abs(arr) < 2.0**63)):
+                # integral float64 == Arrow's nullable-int promotion: hash
+                # in the int64 domain so null-containing groups merge with
+                # null-free (int64-dtyped) ones. Declared-double columns
+                # should pass value_type='double' to opt out.
+                vt = "long"
+            if vt == "long":
+                ints = arr.astype(np.int64)
+                if not np.array_equal(ints.astype(np.float64), arr):
+                    raise ValueError(
+                        "value_type='long' but batch contains non-integral floats")
+                state.add_longs(ints)
+            elif vt == "int":
+                state.add_ints(arr.astype(np.int32))
+            elif vt == "float":
+                state.add_floats(arr.astype(np.float32))
+            else:
+                state.add_doubles(arr)
         elif dtype == np.float32 or str(dtype) == "Float32":
             state.add_floats(values.to_numpy(dtype=np.float32))
         elif str(dtype).startswith("datetime64"):

@@ -25,17 +25,26 @@ def iceberg_available(spark: SparkSession) -> bool:
 class TableIO:
     """Read/write tables by name against a root (catalog or directory)."""
 
-    def __init__(self, spark: SparkSession, root: str, use_iceberg: bool | None = None):
+    def __init__(self, spark: SparkSession, root: str, use_iceberg: bool | None = None,
+                 namespace: str | None = None):
         self.spark = spark
         self.root = root.rstrip("/")
         self.use_iceberg = iceberg_available(spark) if use_iceberg is None else use_iceberg
+        #: explicit Iceberg catalog.namespace — identifiers must never be
+        #: derived from a filesystem path (an absolute root would yield a
+        #: leading-dot identifier no catalog accepts)
+        self.namespace = namespace
 
     def _path(self, name: str) -> str:
         return f"{self.root}/{name}"
 
     def _identifier(self, name: str) -> str:
         # Iceberg table identifiers are dot-separated (catalog.db.table)
-        return f"{self.root.replace('/', '.')}.{name}"
+        if not self.namespace:
+            raise ValueError(
+                "TableIO on the Iceberg path needs an explicit namespace, "
+                "e.g. TableIO(spark, root, namespace='local.db')")
+        return f"{self.namespace}.{name}"
 
     def read(self, name: str) -> DataFrame:
         if self.use_iceberg:
