@@ -351,3 +351,148 @@ def test_minhash_empty_docs_no_collision_blowup(spark):
            minhash_near_dups(df, threshold=0.5).collect()}
     assert (900, 901) in out
     assert not any(a < 100 and b < 100 for a, b in out)
+
+
+def test_lsh_hot_bucket_cap_bounds_boilerplate(spark):
+    """A boilerplate-heavy corpus (2000 copies of one doc) must NOT go
+    quadratic: hot LSH buckets are star-rerouted, so the pair list stays
+    O(copies) and the duplicate CLUSTER is preserved exactly, while
+    genuine near-dups in cold buckets are untouched."""
+    from zetasketch_spark.operators.dedup import dup_clusters, minhash_near_dups
+
+    rng = np.random.default_rng(5)
+    boiler = " ".join(rng.choice(WORDS, size=40))
+    rows = [(i, boiler) for i in range(2000)]            # one hot cluster
+    rows += [(3000 + i, _doc(rng)) for i in range(30)]   # distinct docs
+    near = rows[-1][1].split(); near[3] = "EDITED"
+    rows.append((4000, " ".join(near)))                  # cold near-dup pair
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    out = minhash_near_dups(df, threshold=0.5, max_bucket=128).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    # star reroute: 1999 rep-pairs, not 2000*1999/2 ≈ 2M cross pairs
+    boiler_pairs = {p for p in pairs if p[0] < 3000 and p[1] < 3000}
+    assert boiler_pairs == {(0, i) for i in range(1, 2000)}
+    # cold-path near-dup still detected through the ordinary self-join
+    assert (3029, 4000) in pairs
+    # the thinned pair list still yields ONE cluster over all 2000 copies
+    cl = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(
+        spark.createDataFrame(pd.DataFrame(list(boiler_pairs),
+                                           columns=["id_a", "id_b"]))).collect()}
+    assert len(cl) == 2000 and set(cl.values()) == {0}
+
+
+def test_embedding_hot_bucket_cap(spark):
+    """1500 identical embeddings pile into the same signbit bucket in every
+    table; the cap reroutes them to rep-star pairs and planted cold-bucket
+    near-dups survive."""
+    from zetasketch_spark.operators.similarity import embedding_near_dups
+
+    rng = np.random.default_rng(9)
+    base = rng.standard_normal(64)
+    rows = [(i, (base / np.linalg.norm(base)).tolist()) for i in range(1500)]
+    # two near-parallel vectors, far from `base`
+    v = rng.standard_normal(64)
+    w = v + 0.05 * rng.standard_normal(64)
+    rows.append((9000, (v / np.linalg.norm(v)).tolist()))
+    rows.append((9001, (w / np.linalg.norm(w)).tolist()))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+
+    out = embedding_near_dups(df, threshold=0.95, max_bucket=100).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    hot = {p for p in pairs if p[1] < 9000}
+    assert hot == {(0, i) for i in range(1, 1500)}   # star, not quadratic
+    assert (9000, 9001) in pairs                     # cold pair intact
+
+
+def test_ann_topk_bucket_cap_completes(spark):
+    """ann_topk with a degenerate corpus bucket (600 identical vectors)
+    stays bounded per query and still returns k ranked neighbors."""
+    from zetasketch_spark.operators.similarity import ann_topk
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal(64)
+    corpus = [(i, (base / np.linalg.norm(base) + 1e-4 * i).tolist())
+              for i in range(600)]
+    corpus += [(1000 + i, rng.standard_normal(64).tolist()) for i in range(50)]
+    cdf = spark.createDataFrame(pd.DataFrame(corpus, columns=["vec_id", "embedding"]))
+    qdf = spark.createDataFrame(pd.DataFrame(corpus[:3], columns=["vec_id", "embedding"]))
+    out = ann_topk(cdf, qdf, k=5, max_bucket=64).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    assert all(len(v) == 5 for v in by_q.values())
+    assert all(r["cosine"] > 0.99 for r in out)  # neighbors from the clone cloud
+
+
+def test_materialize_durable_seam_equivalence(spark, docs, tmp_path):
+    """The durable parquet checkpoint seam must produce the IDENTICAL pair
+    set and clusters as the localCheckpoint seam (flag-switched)."""
+    from zetasketch_spark.operators.dedup import dup_clusters, minhash_near_dups
+
+    fast = minhash_near_dups(docs, threshold=0.5)
+    durable = minhash_near_dups(docs, threshold=0.5,
+                                checkpoint_dir=str(tmp_path / "ckpt"))
+    fp = {(r["id_a"], r["id_b"], r["jaccard"]) for r in fast.collect()}
+    dp = {(r["id_a"], r["id_b"], r["jaccard"]) for r in durable.collect()}
+    assert fp == dp and len(fp) > 0
+    pairs_df = spark.createDataFrame(
+        pd.DataFrame([(a, b) for a, b, _ in fp], columns=["id_a", "id_b"]))
+    cl_fast = {(r["doc_id"], r["cluster_id"])
+               for r in dup_clusters(pairs_df).collect()}
+    cl_dur = {(r["doc_id"], r["cluster_id"]) for r in dup_clusters(
+        pairs_df, checkpoint_dir=str(tmp_path / "ckpt2")).collect()}
+    assert cl_fast == cl_dur
+    # the durable seam actually wrote parquet
+    import os
+    assert any("minhash_signatures" in d for d in os.listdir(tmp_path / "ckpt"))
+
+
+def test_dup_clusters_long_chain(spark):
+    """Diameter-100 path graph: min-label propagation would need 100
+    rounds; alternating star rounds must converge well inside the cap."""
+    from zetasketch_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(pd.DataFrame(
+        {"id_a": list(range(100)), "id_b": list(range(1, 101))}))
+    out = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    assert len(out) == 101 and set(out.values()) == {0}
+
+
+def test_dup_clusters_random_vs_union_find(spark):
+    """Random sparse graph against an exact union-find oracle."""
+    from zetasketch_spark.operators.dedup import dup_clusters
+
+    rng = np.random.default_rng(123)
+    n, m = 300, 200
+    ea = rng.integers(0, n, size=m)
+    eb = rng.integers(0, n, size=m)
+    keep = ea != eb
+    ea, eb = ea[keep], eb[keep]
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(ea, eb):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = set(map(int, ea)) | set(map(int, eb))
+    want = {v: find(v) for v in touched}
+    # canonicalize to component-min (find() roots are already mins here
+    # because we always attach the larger root, but recompute to be safe)
+    comp_min = {}
+    for v, r in want.items():
+        comp_min[r] = min(comp_min.get(r, v), v)
+    want = {v: comp_min[find(v)] for v in touched}
+
+    pairs = spark.createDataFrame(pd.DataFrame(
+        {"id_a": ea.tolist(), "id_b": eb.tolist()}))
+    got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    assert got == want

@@ -25,6 +25,7 @@ from pyspark.sql.functions import pandas_udf
 
 from zetasketch_spark.functions.text import doc_fingerprint, normalized_text
 from zetasketch_spark.hashing import fingerprint_str_series
+from zetasketch_spark.operators.materialize import materialize
 
 U64 = np.uint64
 
@@ -103,17 +104,73 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     return df.select(F.col(id_col), sig_udf(F.col(text_col)).alias("signature"))
 
 
+def bounded_bucket_pairs(exploded: DataFrame, id_col: str,
+                         bucket_cols: list[str], max_bucket: int = 512,
+                         name: str = "hot_buckets") -> DataFrame:
+    """Distinct candidate pairs ``(id_a < id_b)`` from intra-bucket
+    self-joins, with per-bucket cost BOUNDED: a bucket with more than
+    ``max_bucket`` members is rerouted to a star join against the bucket's
+    min-id representative (O(n) pairs instead of O(n²)).
+
+    Why this is safe: an over-full LSH bucket means its members share a
+    full band of minhash rows — they are near-identical by construction
+    (boilerplate), so pairing each against one representative preserves
+    the duplicate CLUSTER exactly (every member still verifies against the
+    rep, and ``dup_clusters`` connects them through it); only the explicit
+    cross-pair list is thinned. Without the cap, one degenerate bucket of
+    m members makes the join emit m²/2 rows before the exact-verify stage
+    can prune — the classic 100 TB LSH failure mode.
+
+    The hot-bucket list is tiny by construction (≤ rows/max_bucket
+    entries), so it broadcasts; the cold path is exactly the ordinary
+    bucket self-join. Capped volume is observable in the same job via a
+    ``DataFrame.observe`` node named ``name`` (metrics:
+    ``star_pairs``, ``max_bucket_rows``) — no extra action needed."""
+    hot = (
+        exploded.groupBy(*bucket_cols)
+        .agg(F.count("*").alias("_bn"), F.min(id_col).alias("_rep"))
+        .filter(F.col("_bn") > max_bucket)
+    )
+    cold = exploded.join(F.broadcast(hot.select(*bucket_cols)),
+                         bucket_cols, "left_anti")
+    a = cold.alias("a")
+    b = cold.alias("b")
+    pairs_cold = (
+        a.join(b, on=[F.col(f"a.{c}") == F.col(f"b.{c}") for c in bucket_cols]
+               + [F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"))
+    )
+    members = exploded.join(F.broadcast(hot), bucket_cols)
+    pairs_hot = (
+        members.filter(F.col(id_col) != F.col("_rep"))
+        .select(F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b"),
+                F.col("_bn"))
+        .observe(name,
+                 F.count(F.lit(1)).alias("star_pairs"),
+                 F.max("_bn").alias("max_bucket_rows"))
+        .drop("_bn")
+    )
+    return pairs_cold.unionByName(pairs_hot).distinct()
+
+
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
-                        num_perm: int = 64, bands: int = 16) -> DataFrame:
+                        num_perm: int = 64, bands: int = 16,
+                        max_bucket: int = 512,
+                        checkpoint_dir: str | None = None) -> DataFrame:
     """Band the signatures and self-join on (band, bucket-hash). Returns
     distinct candidate (id_a, id_b) with id_a < id_b. Only bucket collisions
-    shuffle — the classic LSH trick that replaces the O(n^2) cross join."""
+    shuffle — the classic LSH trick that replaces the O(n^2) cross join —
+    and buckets wider than ``max_bucket`` are star-rerouted
+    (:func:`bounded_bucket_pairs`) so a boilerplate-heavy corpus cannot go
+    quadratic."""
     rows_per_band = num_perm // bands
     # materialize signatures once: a self-join would otherwise re-run the
     # minhash UDF on both sides. Empty-shingle docs carry NULL signatures
     # and cannot be near-dups of anything — drop them before banding.
-    signatures = signatures.filter(F.col("signature").isNotNull()) \
-        .localCheckpoint(eager=True)
+    signatures = materialize(
+        signatures.filter(F.col("signature").isNotNull()),
+        checkpoint_dir, "minhash_signatures")
     banded = signatures.select(
         F.col(id_col),
         F.posexplode(
@@ -126,15 +183,9 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
             ])
         ).alias("band", "bucket"),
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(b, on=[F.col(f"a.band") == F.col("b.band"),
-                      F.col(f"a.bucket") == F.col("b.bucket"),
-                      F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
-    )
+    return bounded_bucket_pairs(banded, id_col, ["band", "bucket"],
+                                max_bucket=max_bucket,
+                                name="lsh_hot_buckets")
 
 
 def shingle_sets(docs: DataFrame, text_col: str = "text",
@@ -152,13 +203,14 @@ def shingle_sets(docs: DataFrame, text_col: str = "text",
 
 def verify_jaccard(pairs: DataFrame, docs: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", shingle_k: int = 5,
-                   threshold: float = 0.7) -> DataFrame:
+                   threshold: float = 0.7,
+                   checkpoint_dir: str | None = None) -> DataFrame:
     """Exact shingle-Jaccard on candidate pairs only. Shingle sets are
     computed once per document (not once per pair) and joined to the pair
     list; the Jaccard itself is a JVM ``array_intersect`` expression, so
     no Python runs in the per-pair loop."""
-    sh = shingle_sets(docs, text_col, id_col, shingle_k) \
-        .localCheckpoint(eager=True)
+    sh = materialize(shingle_sets(docs, text_col, id_col, shingle_k),
+                     checkpoint_dir, "shingle_sets")
     joined = (
         pairs
         .join(sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")), "id_a")
@@ -178,64 +230,118 @@ def verify_jaccard(pairs: DataFrame, docs: DataFrame, text_col: str = "text",
 
 def minhash_near_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                       num_perm: int = 64, bands: int = 16, shingle_k: int = 5,
-                      threshold: float = 0.7) -> DataFrame:
-    """Full pipeline: signatures -> LSH candidates -> exact verification."""
+                      threshold: float = 0.7, max_bucket: int = 512,
+                      checkpoint_dir: str | None = None) -> DataFrame:
+    """Full pipeline: signatures -> LSH candidates -> exact verification.
+
+    ``checkpoint_dir`` switches the lineage-truncation seam from
+    localCheckpoint (fast, executor-pinned) to durable parquet spill —
+    the fault-tolerant choice on a real cluster (see
+    ``operators.materialize``)."""
     sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k)
-    pairs = lsh_candidate_pairs(sigs, id_col, num_perm, bands)
-    return verify_jaccard(pairs, df, text_col, id_col, shingle_k, threshold)
+    pairs = lsh_candidate_pairs(sigs, id_col, num_perm, bands,
+                                max_bucket=max_bucket,
+                                checkpoint_dir=checkpoint_dir)
+    return verify_jaccard(pairs, df, text_col, id_col, shingle_k, threshold,
+                          checkpoint_dir=checkpoint_dir)
 
 
 # --- dup clusters ------------------------------------------------------------------
 
-def dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+def _symmetrize(e: DataFrame) -> DataFrame:
+    return (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star (Kiveris et al. 2014, 'Connected Components in MapReduce
+    and Beyond', alg. 2): every node links its LARGER neighbors to the min
+    of its neighborhood. Input must be symmetric."""
+    m = (
+        e.groupBy("src").agg(F.min("dst").alias("_nm"))
+        .select("src", F.least(F.col("src"), F.col("_nm")).alias("_m"))
+    )
+    return (
+        e.join(m, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star (ibid., alg. 3): canonicalize each edge to (larger ->
+    smaller); every node links its smaller neighbors AND itself to the min
+    of those neighbors. Output is canonical (src > dst)."""
+    c = (
+        e.select(F.greatest("src", "dst").alias("src"),
+                 F.least("src", "dst").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    m = c.groupBy("src").agg(F.min("dst").alias("_m"))
+    relink = (
+        c.join(m, "src")
+        .select(F.col("dst").alias("v"), F.col("_m").alias("mn"))
+        .union(m.select(F.col("src").alias("v"), F.col("_m").alias("mn")))
+        .filter(F.col("v") != F.col("mn"))
+        .distinct()
+    )
+    return relink.select(F.col("v").alias("src"), F.col("mn").alias("dst"))
+
+
+def dup_clusters(pairs: DataFrame, max_iterations: int = 25,
+                 checkpoint_dir: str | None = None) -> DataFrame:
     """Connected components over near-dup pairs -> ``(doc_id, cluster_id)``
     where cluster_id = min doc id in the component (the canonical keeper).
 
-    Iterative min-label propagation: each round every vertex takes the min
-    of its own label and its neighbors' labels; dup clusters have tiny
-    diameter so this converges in a handful of joins. Lineage is truncated
-    per round (localCheckpoint) so the plan stays flat at scale.
+    Alternating large-star / small-star rounds (Kiveris et al. 2014): each
+    round is two group-bys + joins, and the edge set collapses toward
+    per-component stars in O(log² n) rounds REGARDLESS of component
+    diameter — unlike min-label propagation, whose round count is the
+    graph diameter (a 100-link plagiarism chain would need 100 shuffles).
+    Lineage is truncated per round via :func:`materialize`
+    (``checkpoint_dir`` switches the seam to durable parquet).
     """
-    edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    labels = (
-        edges.select(F.col("src").alias("id")).distinct()
-        .withColumn("cluster_id", F.col("id"))
-        .localCheckpoint(eager=True)
-    )
+    edges = materialize(
+        _symmetrize(pairs.select(F.col("id_a").alias("src"),
+                                 F.col("id_b").alias("dst"))),
+        checkpoint_dir, "cc_edges")
+    # every vertex of the input graph (star roots drop out of the src side
+    # of the converged edge list, so remember them up front)
+    vertices = materialize(
+        edges.select(F.col("src").alias("doc_id")).distinct(),
+        checkpoint_dir, "cc_vertices")
+    prev = None
     for _ in range(max_iterations):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.id)
-            .groupBy("src").agg(F.min("cluster_id").alias("nbr_min"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
-            .select(
-                "id",
-                F.least(F.col("cluster_id"),
-                        F.coalesce(F.col("nbr_min"), F.col("cluster_id"))).alias("cluster_id"),
+        stars = materialize(_small_star(_large_star(_symmetrize(edges))),
+                            checkpoint_dir, "cc_round")
+        if prev is not None:
+            changed = (
+                stars.exceptAll(prev).count() + prev.exceptAll(stars).count()
             )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n").join(labels.alias("o"), "id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+            if changed == 0:
+                break
+        prev = stars
+        edges = stars
     else:
         raise RuntimeError(
             f"dup_clusters did not converge within {max_iterations} "
-            "iterations (a component's diameter exceeds the cap); raise "
-            "max_iterations — silent partial labels would split real "
-            "duplicate clusters")
-    return labels.select(F.col("id").alias("doc_id"), "cluster_id")
+            "alternating star rounds (theoretical bound is O(log² n)); "
+            "raise max_iterations — silent partial labels would split "
+            "real duplicate clusters")
+    # converged: edges are (member -> component min) stars
+    return (
+        vertices.join(edges.select(F.col("src").alias("doc_id"),
+                                   F.col("dst").alias("cluster_id")),
+                      "doc_id", "left")
+        .select("doc_id",
+                F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"))
+    )
 
 
 # --- SimHash -----------------------------------------------------------------------
@@ -279,11 +385,13 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 
 
 def simhash_near_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                      max_hamming: int = 3) -> DataFrame:
+                      max_hamming: int = 3,
+                      checkpoint_dir: str | None = None) -> DataFrame:
     """Candidate pairs by 16-bit prefix buckets over 4 rotations (any pair
     within Hamming distance 3 shares at least one intact 16-bit block),
     then exact Hamming filter via bit_count."""
-    sigs = simhash64(df, text_col, id_col).localCheckpoint(eager=True)
+    sigs = materialize(simhash64(df, text_col, id_col),
+                       checkpoint_dir, "simhash_signatures")
     blocks = sigs.select(
         id_col, "simhash",
         F.posexplode(F.array(*[

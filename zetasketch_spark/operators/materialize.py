@@ -1,0 +1,38 @@
+"""Lineage-truncation seam for big intermediates (signatures, edge lists,
+per-round labels).
+
+Iterative and multiply-referenced DataFrames need their lineage cut: the
+plan would otherwise grow per round, and expensive UDF stages would
+re-execute once per downstream reference. Two seams, same call site:
+
+* ``localCheckpoint(eager=True)`` — fast, blocks pinned in executor
+  storage. Fine at gate scale, NOT fault-tolerant: at 100 TB a lost
+  executor cannot recompute a truncated lineage, so the job dies instead
+  of retrying.
+* ``checkpoint_dir`` given — write parquet and read it back. Durable:
+  any executor can re-read a lost partition from storage, which is the
+  seam to use on a real cluster (point it at HDFS/S3/DBFS). Files are
+  namespaced per call so one directory serves a whole pipeline run.
+
+Operators take ``checkpoint_dir: str | None`` and thread it here; the
+default (None) keeps the fast path so local iteration and the benchmarks
+never touch disk.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame
+
+_seq = itertools.count()
+
+
+def materialize(df: DataFrame, checkpoint_dir: str | None = None,
+                name: str = "intermediate") -> DataFrame:
+    """Materialize ``df`` and return a lineage-free DataFrame over it."""
+    if checkpoint_dir is None:
+        return df.localCheckpoint(eager=True)
+    path = f"{checkpoint_dir.rstrip('/')}/{name}_{next(_seq)}"
+    df.write.mode("error").parquet(path)
+    return df.sparkSession.read.parquet(path)

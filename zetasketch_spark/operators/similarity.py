@@ -162,20 +162,28 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
 def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
                         id_col: str = "vec_id", vec_col: str = "embedding",
-                        dim: int = 64, bits: int = 10, tables: int = 8) -> DataFrame:
+                        dim: int = 64, bits: int = 10, tables: int = 8,
+                        max_bucket: int = 512,
+                        checkpoint_dir: str | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: signbit-LSH candidates, exact
     cosine filter at ``threshold``. Returns (id_a, id_b, cosine) with
     id_a < id_b. Near-parallel vectors collide in some table with high
-    probability at these settings; only collisions are scored."""
-    b = signbit_buckets(df, vec_col, id_col, dim, bits, tables)
-    a_side = b.withColumnRenamed(id_col, "id_a")
-    b_side = b.withColumnRenamed(id_col, "id_b")
-    cand = (
-        a_side.join(b_side, on=["table", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    probability at these settings; only collisions are scored. Buckets
+    wider than ``max_bucket`` (near-identical embeddings by construction)
+    are star-rerouted against the bucket's min-id representative so a
+    degenerate corpus cannot make the self-join quadratic
+    (:func:`zetasketch_spark.operators.dedup.bounded_bucket_pairs`)."""
+    from zetasketch_spark.operators.dedup import bounded_bucket_pairs
+    from zetasketch_spark.operators.materialize import materialize
+
+    # materialize once: the bounded pair join references the bucket rows
+    # three times (hot census, cold side, star side) — without the cut the
+    # projection UDF would run three times
+    b = materialize(signbit_buckets(df, vec_col, id_col, dim, bits, tables),
+                    checkpoint_dir, "signbit_buckets")
+    cand = bounded_bucket_pairs(b, id_col, ["table", "bucket"],
+                                max_bucket=max_bucket,
+                                name="signbit_hot_buckets")
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
     return (
@@ -186,14 +194,50 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
     )
 
 
+def _cap_bucket_width(exploded: DataFrame, id_col: str,
+                      bucket_cols: list[str], max_bucket: int,
+                      name: str) -> DataFrame:
+    """Keep at most ``max_bucket`` members per bucket, chosen by
+    deterministic hash order (unbiased, reproducible). Bounds the
+    per-query candidate volume when a degenerate corpus piles millions of
+    near-identical vectors into one bucket; the survivors are still
+    near-identical to the dropped members, so top-k quality degrades
+    gracefully. Only hot buckets (tiny list, broadcast) pay the ranking
+    window; cold buckets pass through untouched. Dropped volume is
+    observable via the ``name`` observe node (``kept_hot_rows``,
+    ``max_bucket_rows``)."""
+    hot = (
+        exploded.groupBy(*bucket_cols).agg(F.count("*").alias("_bn"))
+        .filter(F.col("_bn") > max_bucket)
+    )
+    cold = exploded.join(F.broadcast(hot.select(*bucket_cols)),
+                         bucket_cols, "left_anti")
+    w = Window.partitionBy(*bucket_cols).orderBy(F.xxhash64(F.col(id_col)))
+    kept = (
+        exploded.join(F.broadcast(hot), bucket_cols)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_bucket)
+        .observe(name,
+                 F.count(F.lit(1)).alias("kept_hot_rows"),
+                 F.max("_bn").alias("max_bucket_rows"))
+        .drop("_rn", "_bn")
+    )
+    return cold.unionByName(kept)
+
+
 def ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             dim: int = 64, bits: int = 10, tables: int = 6) -> DataFrame:
+             dim: int = 64, bits: int = 10, tables: int = 6,
+             max_bucket: int = 4096) -> DataFrame:
     """Approximate top-k: candidates from bucket collisions, exact cosine
     re-rank of candidates only. Recall grows with `tables`; cost is the
-    bucket join instead of the full cross product."""
+    bucket join instead of the full cross product. Corpus buckets wider
+    than ``max_bucket`` are hash-order truncated (:func:`_cap_bucket_width`)
+    so one degenerate bucket cannot flood every query probing it."""
     cb = signbit_buckets(corpus, vec_col, id_col, dim, bits, tables) \
         .withColumnRenamed(id_col, "neighbor_id")
+    cb = _cap_bucket_width(cb, "neighbor_id", ["table", "bucket"],
+                           max_bucket, "ann_hot_buckets")
     qb = signbit_buckets(queries, vec_col, id_col, dim, bits, tables) \
         .withColumnRenamed(id_col, "query_id")
     cand = (
