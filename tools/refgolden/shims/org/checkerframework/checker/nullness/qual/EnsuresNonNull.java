@@ -1,0 +1,3 @@
+package org.checkerframework.checker.nullness.qual;
+/** Compile shim: checkerframework is a static-analysis-only dependency. */
+public @interface EnsuresNonNull { String[] value(); }
