@@ -326,3 +326,42 @@ def test_topk_provably_complete_flag(spark):
         {"k": [f"u{i}" for i in range(200)] * 5}))
     rows = topk_exact_rerank(flat, "k", k=3, max_candidates=16).collect()
     assert all(not r["provably_complete"] for r in rows)
+
+
+@pytest.mark.parametrize("family", ["countmin", "kll", "tdigest", "bloom"])
+def test_wire_format_versioned_forward_compat(family):
+    """Every non-HLL family carries an explicit encoding_version and, like
+    the proto surface (reference StateTest unknown-field case), tolerates a
+    NEWER writer's appended trailing fields: parse what is known, ignore
+    the rest, keep merging."""
+    import pandas as pd
+
+    from zetasketch_spark.sketches.base import get_family
+
+    fam = get_family(family)
+    a = fam.make()
+    vals = pd.Series([1.0, 2.0, 3.0, 4.0, 5.0] * 10) if family in ("kll", "tdigest") \
+        else pd.Series(["a", "b", "c", "a"] * 10)
+    fam.update(a, vals)
+    blob = fam.serialize(a)
+
+    # v1 roundtrip exposes the version
+    rt = fam.deserialize(blob)
+    assert rt.encoding_version == 1
+
+    # simulate a v2 writer: bump the version byte, append trailing fields
+    future = bytes(blob[:4]) + bytes([2]) + bytes(blob[5:]) + b"\x07future-field"
+    ft = fam.deserialize(future)
+    assert ft.encoding_version == 2
+    # the known payload parsed identically: re-serializing (as v1, without
+    # the unknown tail) matches the original v1 bytes
+    assert fam.serialize(ft) == blob
+    # and the forward-compat state still merges
+    merged = fam.merge(fam.deserialize(blob), ft)
+    assert fam.serialize(merged) is not None
+
+    # corrupted envelopes fail loudly
+    with pytest.raises(ValueError):
+        fam.deserialize(b"XXXX" + bytes(blob[4:]))
+    with pytest.raises(ValueError):
+        fam.deserialize(bytes(blob[:4]) + bytes([0]) + bytes(blob[5:]))

@@ -190,3 +190,93 @@ def test_streaming_bloom_dedup_first_occurrence(spark, tmp_path):
     n_true = spark.read.parquet(path).select("conv_id").distinct().count()
     # Bloom fpr at this load is ~0 — all true keys must surface
     assert len(seen) == n_true
+
+
+def test_streaming_state_bounded_by_timeout(spark, tmp_path):
+    """The state_timeout caveat as a tested property: live state rows must
+    track the ACTIVE window set, not the cumulative one — idle (closed)
+    windows expire after the timeout. Runs under the RocksDB state store
+    to verify the documented large-state configuration end-to-end."""
+    import time
+
+    import pandas as pd
+
+    from zetasketch_spark.sketches.base import HllFamily
+    from zetasketch_spark.streaming.agg import streaming_windowed_sketch_agg
+
+    src = tmp_path / "bounded_src"
+    src.mkdir()
+    roles = ["user", "assistant", "system"]
+
+    def write_phase(i):
+        ts = pd.Timestamp("2026-01-01") + pd.Timedelta(days=i)
+        pdf = pd.DataFrame({
+            "conv_id": [f"c{i}-{j}" for j in range(300)],
+            "role": [roles[j % 3] for j in range(300)],
+            "ts": [ts] * 300,
+        })
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(str(src))
+
+    write_phase(0)
+    stream = (
+        spark.readStream.schema("conv_id string, role string, ts timestamp")
+        .option("maxFilesPerTrigger", 1).parquet(str(src))
+    )
+    fam = HllFamily(precision=12, sparse_precision=16)
+    out = streaming_windowed_sketch_agg(
+        stream, ["role"], "conv_id", fam, ts_col="ts",
+        window="1 day", watermark="30 days",
+        state_timeout_minutes=0.05)  # 3s: phases outlive the horizon
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key, "org.apache.spark.sql.execution.streaming."
+                                 "state.RocksDBStateStoreProvider")
+    try:
+        q = (out.writeStream.outputMode("update").format("memory")
+             .queryName("bounded_state").trigger(processingTime="500 milliseconds")
+             .start())
+        try:
+            def emitted():
+                return spark.sql("select count(*) c from bounded_state").first()["c"]
+
+            def state_rows():
+                p = q.lastProgress
+                if p and p.get("stateOperators"):
+                    return p["stateOperators"][0]["numRowsTotal"]
+                return None
+
+            n_phases = 4
+            max_seen = 0
+            for phase in range(1, n_phases + 1):
+                deadline = time.time() + 60
+                while emitted() < 3 * phase:
+                    assert q.exception() is None, q.exception()
+                    assert time.time() < deadline, "phase made no progress in 60s"
+                    time.sleep(0.3)
+                max_seen = max(max_seen, state_rows() or 0)
+                if phase < n_phases:
+                    time.sleep(4)  # let the previous phase's windows expire
+                    write_phase(phase)
+
+            # drain: expiry happens on subsequent (possibly empty) batches
+            deadline = time.time() + 60
+            final = state_rows()
+            while time.time() < deadline:
+                final = state_rows()
+                if final is not None and final <= 2 * len(roles):
+                    break
+                time.sleep(0.5)
+
+            cumulative = n_phases * len(roles)  # 12 groups ever created
+            assert final is not None
+            assert final <= 2 * len(roles), (
+                f"state not bounded: {final} live rows vs {cumulative} cumulative")
+            assert max_seen >= len(roles)  # the operator really held state
+        finally:
+            q.stop()
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)

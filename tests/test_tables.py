@@ -73,3 +73,41 @@ def test_tableio_iceberg_identifier_namespace(spark):
     bare = TableIO(spark, "/data/wh", use_iceberg=True)
     with pytest.raises(ValueError, match="namespace"):
         bare._identifier("turns")
+
+
+def test_tableio_snapshot_fingerprint_parquet_fallback(spark, transcripts_path, tmp_path):
+    """Parquet path: fingerprint tracks contents (changes on append),
+    snapshot_id is None; feeds checkpoint identity through the override."""
+    from zetasketch_spark.sources.tables import TableIO
+
+    io = TableIO(spark, str(tmp_path), use_iceberg=False)
+    df = spark.read.parquet(transcripts_path).limit(100)
+    io.write(df, "t1", mode="overwrite")
+    assert io.snapshot_id("t1") is None
+    fp1 = io.input_fingerprint("t1")
+    assert fp1 and "iceberg" not in fp1
+    import time
+    time.sleep(1.1)  # mtime granularity
+    io.write(df.limit(10), "t1", mode="append")
+    assert io.input_fingerprint("t1") != fp1
+
+
+def test_tableio_iceberg_write_and_snapshot(spark, transcripts_path):
+    """Iceberg-present path: create-on-first-append, snapshot ids advance
+    per commit, fingerprint embeds the snapshot. Skipped when the runtime
+    has no Iceberg jar (this sandbox)."""
+    import pytest
+
+    from zetasketch_spark.sources.tables import TableIO, iceberg_available
+
+    if not iceberg_available(spark):
+        pytest.skip("no Iceberg runtime jar")
+    io = TableIO(spark, "unused", use_iceberg=True, namespace="local.db")
+    df = spark.read.parquet(transcripts_path).limit(100)
+    io.write(df, "snap_t", mode="overwrite")
+    s1 = io.snapshot_id("snap_t")
+    io.write(df.limit(10), "snap_t", mode="append")
+    s2 = io.snapshot_id("snap_t")
+    assert s1 is not None and s2 is not None and s1 != s2
+    assert io.input_fingerprint("snap_t") == f"iceberg:local.db.snap_t:{s2}"
+    assert io.read("snap_t").count() == 110

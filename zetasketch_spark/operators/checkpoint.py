@@ -79,6 +79,7 @@ def checkpointed_sketch_agg(
     input_paths: list[str],
     job: str = "sketch_agg",
     tree_levels: int = 1,
+    input_fingerprint_override: str | None = None,
 ) -> tuple[DataFrame, dict]:
     """Run sketch_agg with stage-1 checkpointing. Returns (result df,
     metrics dict). Partitions already in the checkpoint for the same
@@ -86,7 +87,11 @@ def checkpointed_sketch_agg(
     tasks return immediately inside the partial stage (no hashing or
     sketch updates; the scan task is still scheduled, which is as far as
     a post-scan operator can skip)."""
-    fp = input_fingerprint(input_paths)
+    # Identity of WHAT was read: Iceberg callers pass the snapshot-based
+    # fingerprint (TableIO.input_fingerprint) so resume follows the table
+    # snapshot; the default is the file-listing fingerprint.
+    fp = (input_fingerprint_override if input_fingerprint_override is not None
+          else input_fingerprint(input_paths))
     qsig = query_signature(keys, col, family, tree_levels)
     job = f"{job}-{qsig}"
     ckpt_path = os.path.join(checkpoint_dir, "partials")

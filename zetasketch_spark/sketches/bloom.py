@@ -26,6 +26,7 @@ from zetasketch_spark.hashing import (
 from zetasketch_spark.sketches.base import SketchFamily, register_family
 
 _MAGIC = b"BLM1"
+_ENCODING_VERSION = 1
 
 
 def optimal_params(n: int, fpr: float) -> tuple[int, int]:
@@ -53,7 +54,7 @@ def _hash_series(values: pd.Series) -> np.ndarray:
 
 
 class BloomFilter:
-    __slots__ = ("m", "k", "words", "n_added")
+    __slots__ = ("m", "k", "words", "n_added", "encoding_version")
 
     def __init__(self, m: int = 1 << 20, k: int = 7):
         if m % 64:
@@ -62,6 +63,7 @@ class BloomFilter:
         self.k = k
         self.words = np.zeros(m // 64, dtype=np.uint64)
         self.n_added = 0
+        self.encoding_version = _ENCODING_VERSION
 
     def _positions(self, hashes: np.ndarray) -> np.ndarray:
         """k x n bit positions."""
@@ -108,18 +110,24 @@ class BloomFilter:
         self.n_added += other.n_added
 
     def serialize(self) -> bytes:
-        return struct.pack("<4sqiq", _MAGIC, self.m, self.k, self.n_added) + self.words.tobytes()
+        from zetasketch_spark.sketches.wire import pack_header
+
+        return (pack_header(_MAGIC, _ENCODING_VERSION)
+                + struct.pack("<qiq", self.m, self.k, self.n_added)
+                + self.words.tobytes())
 
     @classmethod
     def deserialize(cls, data: bytes) -> "BloomFilter":
-        magic, m, k, n = struct.unpack_from("<4sqiq", data, 0)
-        if magic != _MAGIC:
-            raise ValueError("not a Bloom filter")
-        off = struct.calcsize("<4sqiq")
+        from zetasketch_spark.sketches.wire import read_header
+
+        version, off = read_header(data, _MAGIC, "Bloom")
+        m, k, n = struct.unpack_from("<qiq", data, off)
+        off += struct.calcsize("<qiq")
         bf = cls(m=m, k=k)
         bf.words = np.frombuffer(data, dtype=np.uint64, count=m // 64, offset=off).copy()
         bf.n_added = n
-        return bf
+        bf.encoding_version = version  # trailing bytes beyond words are
+        return bf                      # ignored (forward compat)
 
 
 class BloomFamily(SketchFamily):

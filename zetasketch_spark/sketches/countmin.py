@@ -31,6 +31,7 @@ from zetasketch_spark.hashing import (
 from zetasketch_spark.sketches.base import SketchFamily, register_family
 
 _MAGIC = b"CMS1"
+_ENCODING_VERSION = 1
 
 
 def _hash_series(values: pd.Series) -> np.ndarray:
@@ -43,7 +44,8 @@ def _hash_series(values: pd.Series) -> np.ndarray:
 
 
 class CountMinSketch:
-    __slots__ = ("width", "depth", "counters", "total", "candidates", "max_candidates")
+    __slots__ = ("width", "depth", "counters", "total", "candidates",
+                 "max_candidates", "encoding_version")
 
     def __init__(self, width: int = 2048, depth: int = 5, max_candidates: int = 512):
         self.width = width
@@ -52,6 +54,7 @@ class CountMinSketch:
         self.total = 0
         self.candidates: dict[str, int] = {}  # locally-exact candidate counts
         self.max_candidates = max_candidates
+        self.encoding_version = _ENCODING_VERSION
 
     # -- update --------------------------------------------------------------
 
@@ -140,18 +143,22 @@ class CountMinSketch:
         cand_keys = b"".join(key_blobs)
         cand_counts = np.fromiter(self.candidates.values(), dtype=np.int64,
                                   count=len(self.candidates))
-        header = struct.pack("<4siiqii", _MAGIC, self.width, self.depth,
-                             self.total, self.max_candidates, len(self.candidates))
+        from zetasketch_spark.sketches.wire import pack_header
+
+        header = pack_header(_MAGIC, _ENCODING_VERSION) + struct.pack(
+            "<iiqii", self.width, self.depth,
+            self.total, self.max_candidates, len(self.candidates))
         return (header + self.counters.tobytes()
                 + cand_counts.tobytes() + key_lens.tobytes()
                 + struct.pack("<i", len(cand_keys)) + cand_keys)
 
     @classmethod
     def deserialize(cls, data: bytes) -> "CountMinSketch":
-        magic, width, depth, total, maxc, ncand = struct.unpack_from("<4siiqii", data, 0)
-        if magic != _MAGIC:
-            raise ValueError("not a CountMin sketch")
-        off = struct.calcsize("<4siiqii")
+        from zetasketch_spark.sketches.wire import read_header
+
+        version, off = read_header(data, _MAGIC, "CountMin")
+        width, depth, total, maxc, ncand = struct.unpack_from("<iiqii", data, off)
+        off += struct.calcsize("<iiqii")
         sk = cls(width=width, depth=depth, max_candidates=maxc)
         n = width * depth
         sk.counters = np.frombuffer(data, dtype=np.int64, count=n, offset=off).reshape(depth, width).copy()
@@ -169,6 +176,7 @@ class CountMinSketch:
             pos += int(ln)
         sk.candidates = dict(zip(keys, (int(c) for c in counts)))
         sk.total = total
+        sk.encoding_version = version  # trailing bytes ignored (forward compat)
         return sk
 
 

@@ -24,17 +24,20 @@ import pandas as pd
 from zetasketch_spark.sketches.base import SketchFamily, register_family
 
 _MAGIC = b"KLL1"
+_ENCODING_VERSION = 1
 _C = 2.0 / 3.0
 
 
 class KllSketch:
-    __slots__ = ("k", "levels", "n", "_rng_counter", "_min", "_max")
+    __slots__ = ("k", "levels", "n", "_rng_counter", "_min", "_max",
+                 "encoding_version")
 
     def __init__(self, k: int = 200):
         self.k = k
         self.levels: list[np.ndarray] = [np.empty(0, dtype=np.float64)]
         self.n = 0
         self._rng_counter = 0
+        self.encoding_version = _ENCODING_VERSION
         self._min = np.inf
         self._max = -np.inf
 
@@ -136,7 +139,10 @@ class KllSketch:
     # -- serde ---------------------------------------------------------------------
 
     def serialize(self) -> bytes:
-        parts = [struct.pack("<4siqiqdd", _MAGIC, self.k, self.n, len(self.levels),
+        from zetasketch_spark.sketches.wire import pack_header
+
+        parts = [pack_header(_MAGIC, _ENCODING_VERSION),
+                 struct.pack("<iqiqdd", self.k, self.n, len(self.levels),
                              self._rng_counter, self._min, self._max)]
         for arr in self.levels:
             parts.append(struct.pack("<i", len(arr)))
@@ -145,11 +151,13 @@ class KllSketch:
 
     @classmethod
     def deserialize(cls, data: bytes) -> "KllSketch":
-        magic, k, n, nlev, ctr, mn, mx = struct.unpack_from("<4siqiqdd", data, 0)
-        if magic != _MAGIC:
-            raise ValueError("not a KLL sketch")
-        off = struct.calcsize("<4siqiqdd")
+        from zetasketch_spark.sketches.wire import read_header
+
+        version, off = read_header(data, _MAGIC, "KLL")
+        k, n, nlev, ctr, mn, mx = struct.unpack_from("<iqiqdd", data, off)
+        off += struct.calcsize("<iqiqdd")
         sk = cls(k=k)
+        sk.encoding_version = version  # trailing bytes ignored (forward compat)
         sk.n = n
         sk._rng_counter = ctr
         sk._min, sk._max = mn, mx

@@ -23,11 +23,12 @@ import pandas as pd
 from zetasketch_spark.sketches.base import SketchFamily, register_family
 
 _MAGIC = b"TDG1"
+_ENCODING_VERSION = 1
 
 
 class TDigest:
     __slots__ = ("delta", "means", "weights", "n", "_buffer", "_buffer_limit",
-                 "_min", "_max")
+                 "_min", "_max", "encoding_version")
 
     def __init__(self, delta: float = 200.0):
         self.delta = delta
@@ -38,6 +39,7 @@ class TDigest:
         self._buffer_limit = int(10 * delta)
         self._min = np.inf
         self._max = -np.inf
+        self.encoding_version = _ENCODING_VERSION
 
     def _k(self, q: np.ndarray) -> np.ndarray:
         return (self.delta / (2 * np.pi)) * np.arcsin(2 * np.clip(q, 0.0, 1.0) - 1)
@@ -123,18 +125,22 @@ class TDigest:
 
     def serialize(self) -> bytes:
         self._compress()
-        header = struct.pack("<4sdqi dd".replace(" ", ""), _MAGIC, self.delta,
-                             self.n, len(self.means), self._min, self._max)
+        from zetasketch_spark.sketches.wire import pack_header
+
+        header = pack_header(_MAGIC, _ENCODING_VERSION) + struct.pack(
+            "<dqidd", self.delta, self.n, len(self.means), self._min, self._max)
         return header + self.means.tobytes() + self.weights.tobytes()
 
     @classmethod
     def deserialize(cls, data: bytes) -> "TDigest":
-        fmt = "<4sdqidd"
-        magic, delta, n, ncent, mn, mx = struct.unpack_from(fmt, data, 0)
-        if magic != _MAGIC:
-            raise ValueError("not a t-digest")
-        off = struct.calcsize(fmt)
+        from zetasketch_spark.sketches.wire import read_header
+
+        fmt = "<dqidd"
+        version, off = read_header(data, _MAGIC, "t-digest")
+        delta, n, ncent, mn, mx = struct.unpack_from(fmt, data, off)
+        off += struct.calcsize(fmt)
         td = cls(delta=delta)
+        td.encoding_version = version  # trailing bytes ignored (forward compat)
         td.n = n
         td._min, td._max = mn, mx
         td.means = np.frombuffer(data, dtype=np.float64, count=ncent, offset=off).copy()

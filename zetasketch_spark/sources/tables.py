@@ -61,9 +61,15 @@ class TableIO:
     def write(self, df: DataFrame, name: str, partition_by: list[str] | None = None,
               mode: str = "append") -> None:
         if self.use_iceberg:
-            w = df.writeTo(self._identifier(name))
+            ident = self._identifier(name)
+            w = df.writeTo(ident)
             if mode == "append":
-                w.append()
+                if self.spark.catalog.tableExists(ident):
+                    w.append()
+                else:  # first append creates the table (with partition spec)
+                    if partition_by:
+                        w = w.partitionedBy(*[F.col(c) for c in partition_by])
+                    w.create()
             else:
                 if partition_by:  # partition spec is set at table creation
                     w = w.partitionedBy(*[F.col(c) for c in partition_by])
@@ -73,6 +79,37 @@ class TableIO:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(self._path(name))
+
+    def snapshot_id(self, name: str) -> int | None:
+        """Current Iceberg snapshot id (None on the parquet path)."""
+        if not self.use_iceberg:
+            return None
+        rows = self.spark.sql(
+            f"SELECT snapshot_id FROM {self._identifier(name)}.snapshots "
+            "ORDER BY committed_at DESC LIMIT 1").collect()
+        return int(rows[0][0]) if rows else None
+
+    def input_fingerprint(self, name: str) -> str:
+        """Checkpoint identity of the table's CURRENT contents.
+
+        Iceberg path: the snapshot id — exact, O(1), and stable across
+        replicas of the same snapshot (the lakehouse-native resume key).
+        Parquet path: the file-listing fingerprint (name, size, mtime)
+        from ``operators.checkpoint.input_fingerprint``.
+
+        Feed this to ``checkpointed_sketch_agg(...,
+        input_fingerprint_override=...)`` so resume identity follows the
+        table, not the directory listing."""
+        if self.use_iceberg:
+            return f"iceberg:{self._identifier(name)}:{self.snapshot_id(name)}"
+        import os
+
+        from zetasketch_spark.operators.checkpoint import input_fingerprint
+
+        path = self._path(name)
+        if not os.path.exists(path) and os.path.exists(path + ".parquet"):
+            path = path + ".parquet"
+        return input_fingerprint([path])
 
 
 def with_day(df: DataFrame, ts_col: str = "ts") -> DataFrame:

@@ -10,6 +10,19 @@ Late data: because sketch updates are idempotent-per-value and merge is
 associative, late rows simply fold into the state — no watermark-forced
 drops are required for correctness, only for state expiry (pass
 ``timeout_minutes`` to expire idle keys).
+
+State-store sizing at 10^12-turn scale: state per group is one serialized
+sketch (~2^p bytes dense), and ``timeout_minutes`` bounds the LIVE group
+count to the active-key working set (verified by
+``test_streaming_state_bounded_by_timeout``). For state larger than
+executor heap, run with the RocksDB state store::
+
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+                   "org.apache.spark.sql.execution.streaming.state."
+                   "RocksDBStateStoreProvider")
+
+(bundled with Spark; spills state to local disk with changelog
+checkpointing instead of keeping every version on-heap).
 """
 
 from __future__ import annotations
@@ -30,7 +43,7 @@ def streaming_sketch_agg(
     keys: list[str],
     col: str,
     family: SketchFamily,
-    timeout_minutes: int | None = None,
+    timeout_minutes: float | None = None,
 ) -> DataFrame:
     """Continuously maintained sketch per key over a streaming DataFrame.
 
@@ -62,7 +75,7 @@ def streaming_sketch_agg(
             rows += len(pdf)
         state.update((family.serialize(sk), rows))
         if timeout_minutes:
-            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+            state.setTimeoutDuration(int(timeout_minutes * 60 * 1000))
         res = family.result(sk)
         yield pd.DataFrame(
             [[*key, rows, *res]],
@@ -93,7 +106,7 @@ def streaming_windowed_sketch_agg(
     ts_col: str = "ts",
     window: str = "10 minutes",
     watermark: str = "1 hour",
-    state_timeout_minutes: int | None = 120,
+    state_timeout_minutes: float | None = 120,
 ) -> DataFrame:
     """Event-time-windowed continuous sketches with a watermark.
 
@@ -128,7 +141,7 @@ def streaming_bloom_dedup(
     n_shards: int = 32,
     m: int = 1 << 20,
     k: int = 7,
-    timeout_minutes: int | None = None,
+    timeout_minutes: float | None = None,
 ) -> DataFrame:
     """Streaming first-occurrence dedup with bounded state.
 
@@ -174,7 +187,7 @@ def streaming_bloom_dedup(
                 yield fresh[in_cols]
         state.update((bf.serialize(),))
         if timeout_minutes:
-            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+            state.setTimeoutDuration(int(timeout_minutes * 60 * 1000))
 
     timeout = (GroupStateTimeout.ProcessingTimeTimeout
                if timeout_minutes else GroupStateTimeout.NoTimeout)
