@@ -122,11 +122,34 @@ def main():
     timings["transcripts_hll_text"] = round(best_txt, 3)
 
 
+    def _warm_tables(d):
+        for t in ("documents", "embeddings", "events", "lineitem", "orders",
+                  "customer"):
+            tdf = spark.read.parquet(f"{d}/{t}.parquet")
+            cols = [c for c in tdf.columns
+                    if not str(tdf.schema[c].dataType).startswith("ArrayType")]
+            tdf.select(F.count(F.xxhash64(*cols))).collect()
+
     for name in HEADLINE:
         t0 = time.time()
         df = qs[name](spark, sf_dir)
         n = df.count() if hasattr(df, "count") else len(df)
         timings[name] = round(time.time() - t0, 3)
+
+    # sf1 section (10x data, deterministic, generated once into data/sf1):
+    # measures the kernels instead of the sandbox's fixed per-stage costs.
+    # Disable with SPARK_GRAFT_SF1=0.
+    sf1_timings: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_SF1", "1") == "1":
+        from tools.make_sf1 import make_sf1
+
+        sf1_dir = make_sf1(src_dir=sf_dir)
+        _warm_tables(sf1_dir)
+        for name in HEADLINE:
+            t0 = time.time()
+            df = qs[name](spark, sf1_dir)
+            df.count() if hasattr(df, "count") else len(df)
+            sf1_timings[name] = round(time.time() - t0, 3)
 
     # headline total keeps the r01 definition (HEADLINE queries + the
     # role/day transcripts measurement); the full-text transcripts row is
@@ -163,6 +186,8 @@ def main():
         "cpus": cpus,
         "baseline_round": prior[-1] if prior else None,
         "regressions": regressions,
+        "sf1_queries": sf1_timings,
+        "sf1_total": round(sum(sf1_timings.values()), 3),
     }))
     spark.stop()
 

@@ -130,20 +130,47 @@ def _canon_keys(s: pd.Series) -> pd.Series:
     1.0 as '1' in an all-integral build batch but '1.0' in a mixed probe
     batch — the exact cross-domain miss this helper exists to prevent.
     Integral finite floats render as integers; other floats via repr();
-    everything else via str(); nulls stay None (no identity)."""
+    everything else via str(); nulls stay None (no identity).
+
+    Vectorized: the integral-float fast path (the whole point of the
+    helper — promoted nullable ints) renders through numpy int64->str;
+    only genuinely fractional values fall back to a per-value repr()."""
     import numpy as np
 
-    def canon(v):
-        if pd.isna(v):
-            return None
-        if isinstance(v, (float, np.floating)):
-            f = float(v)
-            if np.isfinite(f) and f == int(f):
-                return str(int(f))
-            return repr(f)
-        return str(v)
+    if str(s.dtype) in ("float64", "float32", "Float64", "Float32"):
+        arr = s.to_numpy(dtype=np.float64, na_value=np.nan)
+        out = pd.Series([None] * len(s), index=s.index, dtype=object)
+        finite = np.isfinite(arr)
+        with np.errstate(invalid="ignore"):
+            integral = finite & (np.mod(arr, 1.0) == 0) & (np.abs(arr) < 2.0**63)
+        if integral.any():
+            out[integral] = arr[integral].astype(np.int64).astype(str)
+        frac = finite & ~integral
+        if frac.any():
+            out[frac] = [repr(float(v)) for v in arr[frac]]
+        inf = np.isinf(arr)
+        if inf.any():
+            out[inf] = [repr(float(v)) for v in arr[inf]]
+        return out
 
-    return s.map(canon)
+    if s.dtype == object:
+        def canon(v):
+            if pd.isna(v):
+                return None
+            if isinstance(v, (float, np.floating)):
+                f = float(v)
+                if np.isfinite(f) and f == int(f):
+                    return str(int(f))
+                return repr(f)
+            return str(v)
+
+        return s.map(canon)
+
+    # integer / boolean / string dtypes: vectorized str, nulls masked
+    mask = s.isna()
+    out = s.astype(str).astype(object)
+    out[mask] = None
+    return out
 
 
 def _merge_agg_udf(deserialize):
