@@ -446,7 +446,7 @@ def test_materialize_durable_seam_equivalence(spark, docs, tmp_path):
     assert cl_fast == cl_dur
     # the durable seam actually wrote parquet
     import os
-    assert any("minhash_signatures" in d for d in os.listdir(tmp_path / "ckpt"))
+    assert any("minhash_bands" in d for d in os.listdir(tmp_path / "ckpt"))
 
 
 def test_dup_clusters_long_chain(spark):
@@ -496,3 +496,34 @@ def test_dup_clusters_random_vs_union_find(spark):
         {"id_a": ea.tolist(), "id_b": eb.tolist()}))
     got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
     assert got == want
+
+
+def test_lsh_hot_bucket_variant_families_stay_linked(spark):
+    """A hot bucket holding TWO near-identical variant families must still
+    link the families: copies star to their variant's representative and
+    the representatives pair with each other (refine-key sub-bucketing) —
+    a plain star-to-bucket-min would drop the cross-variant pair whenever
+    the second family fails verification against the first's rep."""
+    from zetasketch_spark.operators.dedup import dup_clusters, minhash_near_dups
+
+    rng = np.random.default_rng(21)
+    x = [str(w) for w in rng.choice(WORDS, size=40)]
+    y = list(x); y[7] = "VARIANT"          # J(x, y) ~ 0.85 — co-buckets
+    rows = [(i, " ".join(x)) for i in range(800)]
+    rows += [(1000 + i, " ".join(y)) for i in range(800)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    out = minhash_near_dups(df, threshold=0.5, max_bucket=128).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    # copies star to their own variant rep, O(n) not O(n^2)
+    assert {p for p in pairs if p[0] == 0 and p[1] < 1000} == \
+        {(0, i) for i in range(1, 800)}
+    assert {p for p in pairs if p[0] == 1000} >= \
+        {(1000, 1000 + i) for i in range(1, 800)}
+    # THE pair that a refine-less star would lose: rep_x <-> rep_y
+    assert (0, 1000) in pairs
+    # and the thinned pair list still collapses to ONE cluster
+    cl = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(
+        spark.createDataFrame(pd.DataFrame(sorted(pairs),
+                                           columns=["id_a", "id_b"]))).collect()}
+    assert len(cl) == 1600 and set(cl.values()) == {0}

@@ -361,3 +361,23 @@ def test_hll_init_nullable_int_group_promotion(spark):
     [whole] = (df.dropna().agg(hll_init_agg("user_id", 13).alias("sk"))
                .select(hll_estimate("sk").alias("est")).collect())
     assert got["est"] == whole["est"]
+
+
+def test_hll_init_double_column_mixed_groups(spark):
+    """A genuinely-double column whose groups happen to be all-integral
+    must keep hashing in the DOUBLE domain (null-free float64 batches are
+    NOT nullable-int promotions): cross-group merges must not raise."""
+    import pandas as pd
+
+    from zetasketch_spark.functions.sketch_udfs import (
+        hll_estimate, hll_init_agg, hll_merge_agg)
+
+    pdf = pd.DataFrame({
+        "g": ["a"] * 3 + ["b"] * 3,
+        "v": [1.0, 2.0, 3.0, 1.0, 2.5, 3.5],  # group a all-integral
+    })
+    df = spark.createDataFrame(pdf)
+    fine = df.groupBy("g").agg(hll_init_agg("v", 13).alias("sk"))
+    [got] = (fine.agg(hll_merge_agg("sk").alias("sk"))
+             .select(hll_estimate("sk").alias("est")).collect())
+    assert got["est"] == 5

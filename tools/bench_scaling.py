@@ -4,7 +4,7 @@ Runs the flagship sketch job — HLL++ approx COUNT DISTINCT conv_id per
 (role, day) over the synthetic transcripts table — at two parallelism
 levels (local[N] and local[4N]; the sandbox proxy for N vs 4N executors),
 reports turns/sec at both plus scaling efficiency, and writes
-BENCH/BASELINE.md.
+BENCH/scaling_latest.json (BASELINE.md is hand-maintained).
 
 Each level runs in a fresh SparkSession (JVM reuse would share caches);
 the first run at each level is a warm-up, the best of `trials` is scored.
@@ -85,46 +85,14 @@ def main():
     print(json.dumps(report, indent=2))
 
     os.makedirs(os.path.join(repo, "BENCH"), exist_ok=True)
-    md = os.path.join(repo, "BENCH", "BASELINE.md")
-    with open(md, "w") as f:
-        f.write(f"""# BENCH/BASELINE — measured throughput + scaling (north_rule)
-
-Flagship job: **HLL++ approximate COUNT DISTINCT `conv_id` per `(role, day)`**
-(p=15) over the deterministic synthetic transcripts table
-({n_turns:,} turns, seed 42, schema per `BASELINE.json input_hint`;
-pool-mode texts so the table stays disk-feasible — the benched job never
-reads `text`). Execution: the RDD fast fabric
-(`zetasketch_spark/operators/fastscan.py::sketch_agg_rdd`) — parquet
-row-group splits decoded in-worker, vectorized fingerprint2011 + sketch
-update, `reduceByKey` state merge; only serialized sketch states cross
-process boundaries, so shuffle volume is independent of row count.
-
-Two-cluster-size criterion measured as the sandbox proxy (same input, two
-parallelism levels in separate JVMs, best of {trials} after warm-up):
-
-| level | cores | wall (s) | turns/sec |
-|---|---|---|---|
-| N     | {small['cpus']} | {small['best_sec']:.2f} | {int(tp_small):,} |
-| 4N    | {large['cpus']} | {large['best_sec']:.2f} | {int(tp_large):,} |
-
-**Scaling efficiency (throughput_4N / (4 x throughput_N)) = {efficiency:.3f}**
-(target >= 0.8 per `BASELINE.json north_rule`).
-
-Environment note: this sandbox is a single virtualized 32-core box, so N vs
-4N shares one memory bus — a kernel-level control (identical split work via
-`multiprocessing`, no Spark) measures the machine's own ceiling at 0.78-0.83
-efficiency for 8->32 workers on this workload; on a real multi-executor
-cluster the partial/merge shape scales by design (per-executor memory
-buses, state-only shuffle).
-
-Accuracy envelope (pytest oracles, `tests/test_hll_core.py::test_error_envelope`):
-|est/true - 1| <= 1.04/sqrt(2^p) checked at p in {{10, 14, 15, 20}} x
-n in {{10, 1e3, 1e5}}; golden-state byte equality vs the reference wire format
-in `tests/test_hll_core.py` (serialized proto parity, merge == direct build).
-
-Raw trials: N={small['all_sec']}, 4N={large['all_sec']} (first = warm-up).
-""")
-    print(f"wrote {md}")
+    # Append-only: record the run as JSON next to BASELINE.md; the prose
+    # document is hand-maintained (an earlier version of this tool
+    # clobbered it wholesale).
+    out_json = os.path.join(repo, "BENCH", "scaling_latest.json")
+    with open(out_json, "w") as f:
+        json.dump({**report, "raw": {"small": small, "large": large}}, f,
+                  indent=2)
+    print("wrote", out_json, "- update the BENCH/BASELINE.md table by hand")
 
 
 if __name__ == "__main__":

@@ -159,7 +159,9 @@ def _canon_keys(s: pd.Series) -> pd.Series:
                 return None
             if isinstance(v, (float, np.floating)):
                 f = float(v)
-                if np.isfinite(f) and f == int(f):
+                # same guards as the vectorized branch: the SAME value must
+                # render identically whatever dtype carried it
+                if np.isfinite(f) and abs(f) < 2.0**63 and f == int(f):
                     return str(int(f))
                 return repr(f)
             return str(v)

@@ -70,13 +70,20 @@ def sketch_partial(df: DataFrame, keys: list[str], col: str,
     # Pin the hash domain from the Spark schema: Arrow promotes nullable
     # int columns to float64 on the pandas path, so without the declared
     # type an HLL family would hash the same bigint column via two recipes
-    # depending on whether a group happens to contain a null.
+    # depending on whether a group happens to contain a null. Pin on a
+    # COPY — mutating the caller's family would poison its later uses
+    # (and change its checkpoint query_signature mid-flight).
     if getattr(family, "value_type", "n/a") is None:
         spark_t = df.schema[col].dataType.simpleString()
-        family.value_type = {
+        pinned = {
             "bigint": "long", "int": "int", "smallint": "int",
             "tinyint": "int", "double": "double", "float": "float",
         }.get(spark_t)
+        if pinned is not None:
+            import copy
+
+            family = copy.copy(family)
+            family.value_type = pinned
 
     if getattr(family, "supports_arrow", False):
         return _sketch_partial_arrow(df, keys, col, family, out_schema,

@@ -106,20 +106,29 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
 
 def bounded_bucket_pairs(exploded: DataFrame, id_col: str,
                          bucket_cols: list[str], max_bucket: int = 512,
-                         name: str = "hot_buckets") -> DataFrame:
+                         name: str = "hot_buckets",
+                         refine_col: str | None = None) -> DataFrame:
     """Distinct candidate pairs ``(id_a < id_b)`` from intra-bucket
     self-joins, with per-bucket cost BOUNDED: a bucket with more than
-    ``max_bucket`` members is rerouted to a star join against the bucket's
-    min-id representative (O(n) pairs instead of O(n²)).
+    ``max_bucket`` members is rerouted away from the quadratic self-join.
+    Without the cap, one degenerate bucket of m members makes the join
+    emit m²/2 rows before the exact-verify stage can prune — the classic
+    100 TB LSH failure mode.
 
-    Why this is safe: an over-full LSH bucket means its members share a
-    full band of minhash rows — they are near-identical by construction
-    (boilerplate), so pairing each against one representative preserves
-    the duplicate CLUSTER exactly (every member still verifies against the
-    rep, and ``dup_clusters`` connects them through it); only the explicit
-    cross-pair list is thinned. Without the cap, one degenerate bucket of
-    m members makes the join emit m²/2 rows before the exact-verify stage
-    can prune — the classic 100 TB LSH failure mode.
+    Hot-bucket routing, with ``refine_col`` (a per-row full-signature
+    hash): members are sub-grouped by the refine key — exact signature
+    duplicates, i.e. copies of the same boilerplate variant — each copy
+    pairs with its variant's min-id representative (O(n) pairs, every one
+    verifies at Jaccard ~1), and the variant representatives pair among
+    themselves through a recursive bounded join, so DISTINCT variant
+    families that share a hot bucket still connect. Duplicate clusters
+    are preserved exactly as long as a hot bucket holds ≤ ``max_bucket``
+    distinct signatures; beyond that the representatives themselves
+    star-reroute (logged), which can only thin cross-variant pairs in a
+    bucket with >max_bucket DISTINCT near-identical variants.
+
+    Without ``refine_col`` the whole hot bucket stars against its min-id
+    member — correct for exact-copy pileups, thinner for mixed buckets.
 
     The hot-bucket list is tiny by construction (≤ rows/max_bucket
     entries), so it broadcasts; the cold path is exactly the ordinary
@@ -142,15 +151,40 @@ def bounded_bucket_pairs(exploded: DataFrame, id_col: str,
                 F.col(f"b.{id_col}").alias("id_b"))
     )
     members = exploded.join(F.broadcast(hot), bucket_cols)
-    pairs_hot = (
-        members.filter(F.col(id_col) != F.col("_rep"))
-        .select(F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b"),
-                F.col("_bn"))
-        .observe(name,
-                 F.count(F.lit(1)).alias("star_pairs"),
-                 F.max("_bn").alias("max_bucket_rows"))
-        .drop("_bn")
-    )
+    if refine_col is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*bucket_cols, refine_col)
+        grp = members.withColumn("_rep2", F.min(id_col).over(w))
+        star = (
+            grp.filter(F.col(id_col) != F.col("_rep2"))
+            .select(F.col("_rep2").alias("id_a"), F.col(id_col).alias("id_b"),
+                    F.col("_bn"))
+        )
+        reps = (
+            grp.select(*bucket_cols, F.col("_rep2").alias(id_col))
+            .distinct()
+        )
+        cross = bounded_bucket_pairs(reps, id_col, bucket_cols,
+                                     max_bucket=max_bucket,
+                                     name=f"{name}_reps")
+        pairs_hot = (
+            star.observe(name,
+                         F.count(F.lit(1)).alias("star_pairs"),
+                         F.max("_bn").alias("max_bucket_rows"))
+            .drop("_bn")
+            .unionByName(cross)
+        )
+    else:
+        pairs_hot = (
+            members.filter(F.col(id_col) != F.col("_rep"))
+            .select(F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b"),
+                    F.col("_bn"))
+            .observe(name,
+                     F.count(F.lit(1)).alias("star_pairs"),
+                     F.max("_bn").alias("max_bucket_rows"))
+            .drop("_bn")
+        )
     return pairs_cold.unionByName(pairs_hot).distinct()
 
 
@@ -165,14 +199,15 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
     (:func:`bounded_bucket_pairs`) so a boilerplate-heavy corpus cannot go
     quadratic."""
     rows_per_band = num_perm // bands
-    # materialize signatures once: a self-join would otherwise re-run the
-    # minhash UDF on both sides. Empty-shingle docs carry NULL signatures
-    # and cannot be near-dups of anything — drop them before banding.
-    signatures = materialize(
-        signatures.filter(F.col("signature").isNotNull()),
-        checkpoint_dir, "minhash_signatures")
-    banded = signatures.select(
+    # Empty-shingle docs carry NULL signatures and cannot be near-dups of
+    # anything — drop them before banding. `_sig` (full-signature hash) is
+    # the hot-bucket refine key: exact signature duplicates = copies of
+    # the same boilerplate variant.
+    banded = signatures.filter(F.col("signature").isNotNull()).select(
         F.col(id_col),
+        F.xxhash64(F.concat_ws(",", *[
+            F.col("signature")[i].cast("string") for i in range(num_perm)
+        ])).alias("_sig"),
         F.posexplode(
             F.array(*[
                 F.xxhash64(F.concat_ws(",", *[
@@ -183,9 +218,15 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
             ])
         ).alias("band", "bucket"),
     )
+    # materialize the BANDED rows (4 small columns): the bounded pair join
+    # references them three times (hot census, cold self-join, star side),
+    # so without the cut the minhash UDF and the band hashing would re-run
+    # per reference.
+    banded = materialize(banded, checkpoint_dir, "minhash_bands")
     return bounded_bucket_pairs(banded, id_col, ["band", "bucket"],
                                 max_bucket=max_bucket,
-                                name="lsh_hot_buckets")
+                                name="lsh_hot_buckets",
+                                refine_col="_sig")
 
 
 def shingle_sets(docs: DataFrame, text_col: str = "text",

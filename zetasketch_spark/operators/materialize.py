@@ -22,9 +22,15 @@ never touch disk.
 from __future__ import annotations
 
 import itertools
+import uuid
 
 from pyspark.sql import DataFrame
 
+# Paths are namespaced by a per-process run token + a counter: a rerun
+# after a driver crash (the exact scenario the durable seam exists for)
+# must not collide with the previous run's files, and two concurrent
+# pipelines may share a checkpoint_dir. Callers own cleanup of the dir.
+_RUN_TOKEN = uuid.uuid4().hex[:8]
 _seq = itertools.count()
 
 
@@ -33,6 +39,6 @@ def materialize(df: DataFrame, checkpoint_dir: str | None = None,
     """Materialize ``df`` and return a lineage-free DataFrame over it."""
     if checkpoint_dir is None:
         return df.localCheckpoint(eager=True)
-    path = f"{checkpoint_dir.rstrip('/')}/{name}_{next(_seq)}"
+    path = f"{checkpoint_dir.rstrip('/')}/{name}_{_RUN_TOKEN}_{next(_seq)}"
     df.write.mode("error").parquet(path)
     return df.sparkSession.read.parquet(path)

@@ -54,9 +54,13 @@ def _hyperplanes(dim: int, bits: int, table: int) -> np.ndarray:
 
 
 def signbit_buckets(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
-                    dim: int = 64, bits: int = 12, tables: int = 4) -> DataFrame:
+                    dim: int = 64, bits: int = 12, tables: int = 4,
+                    with_sig: bool = False) -> DataFrame:
     """(id, table, bucket) rows: bucket = signbits of `bits` random
-    hyperplane projections; `tables` independent repetitions."""
+    hyperplane projections; `tables` independent repetitions. With
+    ``with_sig`` each row also carries ``_sig``, a hash of the FULL code
+    vector across all tables — the hot-bucket refine key (vectors with
+    identical codes in every table are sign-pattern identical)."""
     planes = [np.ascontiguousarray(_hyperplanes(dim, bits, t)) for t in range(tables)]
 
     @pandas_udf("array<long>")
@@ -74,9 +78,14 @@ def signbit_buckets(df: DataFrame, vec_col: str = "embedding", id_col: str = "ve
         stacked = np.stack(codes, axis=1)  # (n, tables)
         return pd.Series([row.tolist() for row in stacked])
 
-    return df.select(
-        F.col(id_col),
-        F.posexplode(bucket_udf(F.col(vec_col))).alias("table", "bucket"),
+    coded = df.select(F.col(id_col), bucket_udf(F.col(vec_col)).alias("_codes"))
+    cols = [F.col(id_col)]
+    if with_sig:
+        cols.append(F.xxhash64(F.concat_ws(",", F.col("_codes").cast("array<string>")))
+                    .alias("_sig"))
+    return coded.select(
+        *cols,
+        F.posexplode(F.col("_codes")).alias("table", "bucket"),
     )
 
 
@@ -179,11 +188,13 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
     # materialize once: the bounded pair join references the bucket rows
     # three times (hot census, cold side, star side) — without the cut the
     # projection UDF would run three times
-    b = materialize(signbit_buckets(df, vec_col, id_col, dim, bits, tables),
+    b = materialize(signbit_buckets(df, vec_col, id_col, dim, bits, tables,
+                                    with_sig=True),
                     checkpoint_dir, "signbit_buckets")
     cand = bounded_bucket_pairs(b, id_col, ["table", "bucket"],
                                 max_bucket=max_bucket,
-                                name="signbit_hot_buckets")
+                                name="signbit_hot_buckets",
+                                refine_col="_sig")
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
     return (
@@ -228,14 +239,22 @@ def _cap_bucket_width(exploded: DataFrame, id_col: str,
 def ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
              dim: int = 64, bits: int = 10, tables: int = 6,
-             max_bucket: int = 4096) -> DataFrame:
+             max_bucket: int = 4096,
+             checkpoint_dir: str | None = None) -> DataFrame:
     """Approximate top-k: candidates from bucket collisions, exact cosine
     re-rank of candidates only. Recall grows with `tables`; cost is the
     bucket join instead of the full cross product. Corpus buckets wider
     than ``max_bucket`` are hash-order truncated (:func:`_cap_bucket_width`)
     so one degenerate bucket cannot flood every query probing it."""
-    cb = signbit_buckets(corpus, vec_col, id_col, dim, bits, tables) \
-        .withColumnRenamed(id_col, "neighbor_id")
+    from zetasketch_spark.operators.materialize import materialize
+
+    # materialize once: the capping references the corpus bucket rows three
+    # times (hot census, cold anti-join, kept window), which would re-run
+    # the projection UDF per reference otherwise
+    cb = materialize(
+        signbit_buckets(corpus, vec_col, id_col, dim, bits, tables)
+        .withColumnRenamed(id_col, "neighbor_id"),
+        checkpoint_dir, "ann_corpus_buckets")
     cb = _cap_bucket_width(cb, "neighbor_id", ["table", "bucket"],
                            max_bucket, "ann_hot_buckets")
     qb = signbit_buckets(queries, vec_col, id_col, dim, bits, tables) \

@@ -121,6 +121,7 @@ class HllFamily(SketchFamily):
                          no_sparse=self.no_sparse)
 
     def update(self, state, values: pd.Series):
+        had_nulls = bool(values.isna().any())
         values = values.dropna()
         if len(values) == 0:
             return state
@@ -135,12 +136,20 @@ class HllFamily(SketchFamily):
         elif dtype == np.float64 or str(dtype) == "Float64":
             arr = values.to_numpy(dtype=np.float64)
             vt = self.value_type
-            if vt is None and len(arr) and bool(np.all(np.mod(arr, 1.0) == 0)) \
+            if vt is None and had_nulls and len(arr) \
+                    and bool(np.all(np.mod(arr, 1.0) == 0)) \
                     and bool(np.all(np.abs(arr) < 2.0**63)):
-                # integral float64 == Arrow's nullable-int promotion: hash
-                # in the int64 domain so null-containing groups merge with
-                # null-free (int64-dtyped) ones. Declared-double columns
-                # should pass value_type='double' to opt out.
+                # Arrow promotes int columns to float64 ONLY when the batch
+                # contains a null — so float64 + nulls + all-integral is
+                # the promotion signature, and we hash in the int64 domain
+                # so null-containing groups merge with null-free
+                # (int64-dtyped) ones. A genuinely-double column's
+                # null-FREE batches keep hashing as doubles regardless of
+                # integrality (they arrive float64 without nulls). The one
+                # residual ambiguity — a double column batch that has a
+                # null AND only integral values — is resolved by declaring
+                # value_type='double' (the operator pipeline pins it from
+                # the Spark schema automatically).
                 vt = "long"
             if vt == "long":
                 ints = arr.astype(np.int64)

@@ -25,7 +25,7 @@ from zetasketch_spark.hashing import (
 )
 from zetasketch_spark.sketches.base import SketchFamily, register_family
 
-_MAGIC = b"BLM1"
+_MAGIC = b"BLM2"
 _ENCODING_VERSION = 1
 
 

@@ -30,7 +30,7 @@ from zetasketch_spark.hashing import (
 )
 from zetasketch_spark.sketches.base import SketchFamily, register_family
 
-_MAGIC = b"CMS1"
+_MAGIC = b"CMS2"
 _ENCODING_VERSION = 1
 
 

@@ -23,7 +23,7 @@ import pandas as pd
 
 from zetasketch_spark.sketches.base import SketchFamily, register_family
 
-_MAGIC = b"KLL1"
+_MAGIC = b"KLL2"
 _ENCODING_VERSION = 1
 _C = 2.0 / 3.0
 

@@ -22,7 +22,7 @@ import pandas as pd
 
 from zetasketch_spark.sketches.base import SketchFamily, register_family
 
-_MAGIC = b"TDG1"
+_MAGIC = b"TDG2"
 _ENCODING_VERSION = 1
 
 

@@ -6,7 +6,10 @@ reference's StateTest). The other four families (Count-Min, KLL,
 t-digest, Bloom) use compact struct layouts; this module gives them the
 same evolution contract:
 
-* layout = ``magic(4) | encoding_version(u8) | payload``;
+* layout = ``magic(4) | encoding_version(u8) | payload``. The magic's
+  trailing digit is the LAYOUT GENERATION: it was bumped (1 -> 2) when
+  the version byte was introduced, so pre-versioning blobs fail loudly
+  ("not a X sketch") instead of parsing one byte off;
 * a reader parses the payload fields it knows and IGNORES trailing
   bytes, so a future writer may append fields without breaking old
   readers (the proto unknown-trailing-field rule);
