@@ -521,6 +521,26 @@ def q_minhash_near_dups(spark, sf_dir):
     return minhash_near_dups(d, threshold=0.5)
 
 
+def q_minhash_boilerplate_cap(spark, sf_dir):
+    """Hot-bucket bounding end-to-end: 1200 exact copies of one document
+    pile every LSH band bucket far past max_bucket=128, so the bounded
+    pair join MUST take the star-reroute path — the output is exactly the
+    1199 (rep, copy) pairs at Jaccard 1.0 (a quadratic join would emit
+    ~719k pairs; an unbounded one at 100 TB would not finish). The pair
+    list is a pure function of the construction, so the oracle is a
+    DuckDB range() generator."""
+    from zetasketch_spark.operators.dedup import minhash_near_dups
+
+    d = _t(spark, sf_dir, "documents")
+    base = (d.filter(F.col("n_chars") > 100)
+            .orderBy("doc_id").limit(1).select("text"))
+    copies = (spark.range(1200)
+              .crossJoin(F.broadcast(base))
+              .select((F.col("id") + 10_000_000).alias("doc_id"), "text"))
+    return minhash_near_dups(copies, threshold=0.5, max_bucket=128) \
+        .orderBy("id_a", "id_b")
+
+
 def q_simhash_near_dups(spark, sf_dir):
     """Ground-truth near-dup pairs + SimHash theorem booleans: any pair at
     Hamming ≤ 3 must be emitted (prefix-block guarantee) and everything
@@ -774,6 +794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_stats_by_type": q_multi_stats_by_type,
         "bloom_membership": q_bloom_membership,
         "minhash_near_dups": q_minhash_near_dups,
+        "minhash_boilerplate_cap": q_minhash_boilerplate_cap,
         "simhash_near_dups": q_simhash_near_dups,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1171,6 +1192,13 @@ def oracle_sql() -> dict[str, str]:
               SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
             )
             SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+        """,
+        "minhash_boilerplate_cap": """
+            SELECT 10000000 AS id_a,
+                   10000000 + i AS id_b,
+                   CAST(1.0 AS DOUBLE) AS jaccard
+            FROM range(1, 1200) t(i)
+            ORDER BY id_b
         """,
         "events_topk_rerank": """
             WITH c AS (
