@@ -167,7 +167,9 @@ def main():
     if prior:
         try:
             with open(os.path.join(repo, prior[-1])) as fh:
-                base = json.load(fh).get("queries", {})
+                rec = json.load(fh)
+            # the driver wraps bench.py's JSON line under "parsed"
+            base = rec.get("queries") or rec.get("parsed", {}).get("queries", {})
             for name, t in timings.items():
                 b = base.get(name)
                 if b and b > 0.2 and t > 1.5 * b:

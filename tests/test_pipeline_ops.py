@@ -527,3 +527,27 @@ def test_lsh_hot_bucket_variant_families_stay_linked(spark):
         spark.createDataFrame(pd.DataFrame(sorted(pairs),
                                            columns=["id_a", "id_b"]))).collect()}
     assert len(cl) == 1600 and set(cl.values()) == {0}
+
+
+def test_simhash_hot_bucket_cap(spark):
+    """SimHash prefix-block join must also be bounded: 1500 identical docs
+    share every block; they star to the rep (Hamming 0) instead of
+    emitting ~1.1M cross pairs, and a distinct near-dup pair in cold
+    blocks is unaffected."""
+    from zetasketch_spark.operators.dedup import simhash_near_dups
+
+    rng = np.random.default_rng(31)
+    boiler = " ".join(rng.choice(WORDS, size=50))
+    rows = [(i, boiler) for i in range(1500)]
+    other = [str(w) for w in rng.choice(WORDS, size=50)]
+    rows.append((9000, " ".join(other)))
+    other2 = list(other); other2[3] = other2[4]  # tiny perturbation
+    rows.append((9001, " ".join(other2)))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    out = simhash_near_dups(df, max_hamming=10, max_bucket=128).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in out}
+    hot = {p for p in pairs if p[1] < 9000}
+    assert hot == {(0, i) for i in range(1, 1500)}
+    assert all(pairs[p] == 0 for p in hot)
+    assert (9000, 9001) in pairs  # cold near-pair intact

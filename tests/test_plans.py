@@ -108,3 +108,26 @@ def test_verify_jaccard_is_jvm_side_on_pairs(spark):
     # the localCheckpoint materializes the (python) shingle stage up front;
     # the remaining pair plan must contain no Arrow/python eval at all
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_bounded_bucket_hot_list_broadcasts(spark):
+    """The hot-bucket census joins (anti + inner) must BROADCAST the tiny
+    hot list — shuffling the full exploded rows against it would defeat
+    the point of the bound at 100 TB."""
+    import pandas as pd
+
+    from zetasketch_spark.operators.dedup import bounded_bucket_pairs
+
+    exploded = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(100),
+        "band": [i % 2 for i in range(100)],   # 2 buckets x 50 rows: both
+        "bucket": [0] * 100,                   # overflow max_bucket=8
+        "_sig": [i % 3 for i in range(100)],
+    }))
+    pairs = bounded_bucket_pairs(exploded, "doc_id", ["band", "bucket"],
+                                 max_bucket=8, refine_col="_sig")
+    plan = physical_plan(pairs)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # the anti-join side (cold filter) must also be broadcast, not shuffled
+    assert "LeftAnti, BuildRight" in plan or "LeftAnti BuildRight" in plan \
+        or ("LeftAnti" in plan and "Broadcast" in plan)

@@ -139,7 +139,22 @@ def bounded_bucket_pairs(exploded: DataFrame, id_col: str,
         exploded.groupBy(*bucket_cols)
         .agg(F.count("*").alias("_bn"), F.min(id_col).alias("_rep"))
         .filter(F.col("_bn") > max_bucket)
+        .localCheckpoint(eager=True)  # tiny by construction; computed once
     )
+    if hot.isEmpty():
+        # common case — no bucket over the cap: the plan is EXACTLY the
+        # plain bucket self-join (no anti-join, no star branch, no refine
+        # window), so clean corpora pay only the census job for the bound
+        a = exploded.alias("a")
+        b = exploded.alias("b")
+        return (
+            a.join(b, on=[F.col(f"a.{c}") == F.col(f"b.{c}")
+                          for c in bucket_cols]
+                   + [F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"))
+            .distinct()
+        )
     cold = exploded.join(F.broadcast(hot.select(*bucket_cols)),
                          bucket_cols, "left_anti")
     a = cold.alias("a")
@@ -247,11 +262,21 @@ def verify_jaccard(pairs: DataFrame, docs: DataFrame, text_col: str = "text",
                    threshold: float = 0.7,
                    checkpoint_dir: str | None = None) -> DataFrame:
     """Exact shingle-Jaccard on candidate pairs only. Shingle sets are
-    computed once per document (not once per pair) and joined to the pair
-    list; the Jaccard itself is a JVM ``array_intersect`` expression, so
-    no Python runs in the per-pair loop."""
-    sh = materialize(shingle_sets(docs, text_col, id_col, shingle_k),
-                     checkpoint_dir, "shingle_sets")
+    computed once per CANDIDATE document (docs semi-joined to the pair
+    ids first — at 100 TB the candidate set is a sliver of the corpus,
+    and with zero candidates no shingling runs at all) and joined to the
+    pair list; the Jaccard itself is a JVM ``array_intersect``
+    expression, so no Python runs in the per-pair loop."""
+    pairs = materialize(pairs, checkpoint_dir, "lsh_candidates")
+    ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = materialize(
+        shingle_sets(docs.join(ids, id_col, "left_semi"),
+                     text_col, id_col, shingle_k),
+        checkpoint_dir, "shingle_sets")
     joined = (
         pairs
         .join(sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")), "id_a")
@@ -426,11 +451,16 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 
 
 def simhash_near_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                      max_hamming: int = 3,
+                      max_hamming: int = 3, max_bucket: int = 512,
                       checkpoint_dir: str | None = None) -> DataFrame:
     """Candidate pairs by 16-bit prefix buckets over 4 rotations (any pair
     within Hamming distance 3 shares at least one intact 16-bit block),
-    then exact Hamming filter via bit_count."""
+    then exact Hamming filter via bit_count. Blocks wider than
+    ``max_bucket`` are star-rerouted with the FULL simhash as the refine
+    key (:func:`bounded_bucket_pairs`): identical-simhash copies star to
+    their variant's representative (Hamming 0, always kept), distinct
+    variants sharing a hot block still pair through the representatives —
+    so a boilerplate pile cannot make the block join quadratic."""
     sigs = materialize(simhash64(df, text_col, id_col),
                        checkpoint_dir, "simhash_signatures")
     blocks = sigs.select(
@@ -440,18 +470,15 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_
             for b in range(4)
         ])).alias("block", "key"),
     )
-    a = blocks.alias("a")
-    b = blocks.alias("b")
-    pairs = (
-        a.join(b, on=[F.col("a.block") == F.col("b.block"),
-                      F.col("a.key") == F.col("b.key"),
-                      F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"),
-                F.col("a.simhash").alias("sig_a"), F.col("b.simhash").alias("sig_b"))
-        .distinct()
-    )
+    cand = bounded_bucket_pairs(blocks, id_col, ["block", "key"],
+                                max_bucket=max_bucket,
+                                name="simhash_hot_buckets",
+                                refine_col="simhash")
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"))
     return (
-        pairs.withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        cand.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
