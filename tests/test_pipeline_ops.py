@@ -551,3 +551,48 @@ def test_simhash_hot_bucket_cap(spark):
     assert hot == {(0, i) for i in range(1, 1500)}
     assert all(pairs[p] == 0 for p in hot)
     assert (9000, 9001) in pairs  # cold near-pair intact
+
+
+def test_bounded_bucket_pairs_equivalence_properties(spark):
+    """Randomized pinning of the bounded join's contract: with the cap
+    above every bucket width the pair set EQUALS the plain self-join; with
+    a small cap the result is a subset that still covers every member of
+    a hot bucket (via its variant rep) plus all cold pairs."""
+    from zetasketch_spark.operators.dedup import bounded_bucket_pairs
+
+    rng = np.random.default_rng(77)
+    n = 400
+    pdf = pd.DataFrame({
+        "doc_id": range(n),
+        "band": rng.integers(0, 3, size=n),
+        "bucket": rng.integers(0, 5, size=n),
+        "_sig": rng.integers(0, 4, size=n),
+    })
+    exploded = spark.createDataFrame(pdf)
+
+    def plain_pairs():
+        out = set()
+        for (_, _), grp in pdf.groupby(["band", "bucket"]):
+            ids = sorted(grp["doc_id"])
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    out.add((ids[i], ids[j]))
+        return out
+
+    want = plain_pairs()
+    got = {(r["id_a"], r["id_b"]) for r in bounded_bucket_pairs(
+        exploded, "doc_id", ["band", "bucket"], max_bucket=10_000,
+        refine_col="_sig").collect()}
+    assert got == want
+
+    capped = {(r["id_a"], r["id_b"]) for r in bounded_bucket_pairs(
+        exploded, "doc_id", ["band", "bucket"], max_bucket=20,
+        refine_col="_sig").collect()}
+    assert capped <= want and len(capped) < len(want)
+    # every doc in a hot bucket still appears in >= 1 pair
+    sizes = pdf.groupby(["band", "bucket"])["doc_id"].count()
+    hot_keys = set(sizes[sizes > 20].index)
+    hot_docs = set(pdf[pdf.apply(
+        lambda r: (r["band"], r["bucket"]) in hot_keys, axis=1)]["doc_id"])
+    paired = {d for p in capped for d in p}
+    assert hot_docs <= paired

@@ -36,9 +36,15 @@ _seq = itertools.count()
 
 def materialize(df: DataFrame, checkpoint_dir: str | None = None,
                 name: str = "intermediate") -> DataFrame:
-    """Materialize ``df`` and return a lineage-free DataFrame over it."""
+    """Materialize ``df`` and return a lineage-free DataFrame over it.
+
+    The localCheckpoint is LAZY: it piggybacks on the first downstream
+    action instead of paying a dedicated job (this sandbox charges a
+    multi-second constant per job, and a dedup pipeline has several
+    truncation points). Subsequent references reuse the checkpointed
+    blocks either way."""
     if checkpoint_dir is None:
-        return df.localCheckpoint(eager=True)
+        return df.localCheckpoint(eager=False)
     path = f"{checkpoint_dir.rstrip('/')}/{name}_{_RUN_TOKEN}_{next(_seq)}"
     df.write.mode("error").parquet(path)
     return df.sparkSession.read.parquet(path)
