@@ -169,7 +169,11 @@ def main():
             with open(os.path.join(repo, prior[-1])) as fh:
                 rec = json.load(fh)
             # the driver wraps bench.py's JSON line under "parsed"
-            base = rec.get("queries") or rec.get("parsed", {}).get("queries", {})
+            base = {}
+            if isinstance(rec, dict):
+                parsed = rec.get("parsed")
+                base = rec.get("queries") \
+                    or (parsed.get("queries", {}) if isinstance(parsed, dict) else {})
             for name, t in timings.items():
                 b = base.get(name)
                 if b and b > 0.2 and t > 1.5 * b:

@@ -32,29 +32,40 @@ import pyspark.sql.functions as F
 from pyspark.sql.functions import pandas_udf
 
 
+SPARK_TYPE_TO_HASH_DOMAIN = {
+    "bigint": "long", "int": "int", "smallint": "int", "tinyint": "int",
+    "double": "double", "float": "float",
+}
+
+
 def hll_init_agg(col, precision: int = 15, sparse_precision: int | None = None,
                  value_type: str | None = None):
     """Grouped-aggregate: build an HLL++ sketch from a value column.
     Equivalent of BigQuery ``HLL_COUNT.INIT(col, precision)``.
 
-    ``value_type`` pins the hash domain for float64 batches ('long' |
-    'int' | 'double' | 'float'). Leave None for int/string columns; pass
-    'double' explicitly for genuinely-double columns whose groups may be
-    all-integral (the auto heuristic treats integral float64 batches as
-    Arrow's nullable-int promotion and hashes them as longs)."""
+    The hash domain is pinned from the column's DECLARED Spark type
+    (shipped into the UDF via ``typeof()``), never guessed from batch
+    dtypes: Arrow promotes nullable int columns to float64 per batch, so
+    any per-batch heuristic would hash the same column through different
+    recipes in different groups. ``value_type`` ('long' | 'int' |
+    'double' | 'float') overrides the declared type if set."""
 
     @pandas_udf("binary")
-    def _init(values: pd.Series) -> bytes:
+    def _init(values: pd.Series, typeofs: pd.Series) -> bytes:
         from zetasketch_spark.hll import HllSketch
         from zetasketch_spark.sketches.base import HllFamily
 
+        vt = value_type
+        if vt is None and len(typeofs):
+            vt = SPARK_TYPE_TO_HASH_DOMAIN.get(str(typeofs.iloc[0]))
         fam = HllFamily(precision=precision, sparse_precision=sparse_precision,
-                        value_type=value_type)
+                        value_type=vt)
         sk = fam.make()
         fam.update(sk, values)
         return sk.serialize()
 
-    return _init(F.col(col) if isinstance(col, str) else col)
+    c = F.col(col) if isinstance(col, str) else col
+    return _init(c, F.call_function("typeof", c))
 
 
 def hll_merge_agg(col):

@@ -426,10 +426,14 @@ def fingerprint_str_series(series) -> np.ndarray:
     n = len(arr)
     try:
         import pyarrow as pa
-
-        pa_arr = pa.array(arr, type=pa.string())
-    except (pa.lib.ArrowInvalid, pa.lib.ArrowTypeError, TypeError):
+    except ImportError:
         pa_arr = None
+    else:
+        try:
+            pa_arr = pa.array(arr, type=pa.string())
+        except Exception:
+            # mixed str/bytes, NaN-as-null, >2GiB offsets, ... -> loop path
+            pa_arr = None
     if pa_arr is not None:
         out, valid = fingerprint_arrow_array(pa_arr)
         out = np.ascontiguousarray(out)

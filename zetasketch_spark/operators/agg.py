@@ -74,11 +74,10 @@ def sketch_partial(df: DataFrame, keys: list[str], col: str,
     # COPY — mutating the caller's family would poison its later uses
     # (and change its checkpoint query_signature mid-flight).
     if getattr(family, "value_type", "n/a") is None:
-        spark_t = df.schema[col].dataType.simpleString()
-        pinned = {
-            "bigint": "long", "int": "int", "smallint": "int",
-            "tinyint": "int", "double": "double", "float": "float",
-        }.get(spark_t)
+        from zetasketch_spark.functions.sketch_udfs import SPARK_TYPE_TO_HASH_DOMAIN
+
+        pinned = SPARK_TYPE_TO_HASH_DOMAIN.get(
+            df.schema[col].dataType.simpleString())
         if pinned is not None:
             import copy
 

@@ -135,6 +135,17 @@ def bounded_bucket_pairs(exploded: DataFrame, id_col: str,
     bucket self-join. Capped volume is observable in the same job via a
     ``DataFrame.observe`` node named ``name`` (metrics:
     ``star_pairs``, ``max_bucket_rows``) — no extra action needed."""
+    def self_join_pairs(df):
+        a = df.alias("a")
+        b = df.alias("b")
+        return (
+            a.join(b, on=[F.col(f"a.{c}") == F.col(f"b.{c}")
+                          for c in bucket_cols]
+                   + [F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"))
+        )
+
     hot = (
         exploded.groupBy(*bucket_cols)
         .agg(F.count("*").alias("_bn"), F.min(id_col).alias("_rep"))
@@ -145,26 +156,10 @@ def bounded_bucket_pairs(exploded: DataFrame, id_col: str,
         # common case — no bucket over the cap: the plan is EXACTLY the
         # plain bucket self-join (no anti-join, no star branch, no refine
         # window), so clean corpora pay only the census job for the bound
-        a = exploded.alias("a")
-        b = exploded.alias("b")
-        return (
-            a.join(b, on=[F.col(f"a.{c}") == F.col(f"b.{c}")
-                          for c in bucket_cols]
-                   + [F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
-            .select(F.col(f"a.{id_col}").alias("id_a"),
-                    F.col(f"b.{id_col}").alias("id_b"))
-            .distinct()
-        )
+        return self_join_pairs(exploded).distinct()
     cold = exploded.join(F.broadcast(hot.select(*bucket_cols)),
                          bucket_cols, "left_anti")
-    a = cold.alias("a")
-    b = cold.alias("b")
-    pairs_cold = (
-        a.join(b, on=[F.col(f"a.{c}") == F.col(f"b.{c}") for c in bucket_cols]
-               + [F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
-        .select(F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"))
-    )
+    pairs_cold = self_join_pairs(cold)
     members = exploded.join(F.broadcast(hot), bucket_cols)
     if refine_col is not None:
         from pyspark.sql import Window
@@ -176,9 +171,12 @@ def bounded_bucket_pairs(exploded: DataFrame, id_col: str,
             .select(F.col("_rep2").alias("id_a"), F.col(id_col).alias("id_b"),
                     F.col("_bn"))
         )
+        # checkpoint the tiny reps frame: the recursive call's census
+        # evaluates it eagerly and the final query references it again
         reps = (
             grp.select(*bucket_cols, F.col("_rep2").alias(id_col))
             .distinct()
+            .localCheckpoint(eager=False)
         )
         cross = bounded_bucket_pairs(reps, id_col, bucket_cols,
                                      max_bucket=max_bucket,
@@ -460,7 +458,17 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     key (:func:`bounded_bucket_pairs`): identical-simhash copies star to
     their variant's representative (Hamming 0, always kept), distinct
     variants sharing a hot block still pair through the representatives —
-    so a boilerplate pile cannot make the block join quadratic."""
+    so a boilerplate pile cannot make the block join quadratic.
+
+    Contract under capping: the Hamming-completeness theorem (every pair
+    ≤ max_hamming appears) holds verbatim for pairs sharing at least one
+    COLD block. Inside a hot block the emitted pair LIST is thinned, but
+    the thinning is information-free: members of a refine group share the
+    exact simhash, so a dropped cross pair (x_i, y_j) has the same
+    Hamming distance as the emitted representative pair (rep_x, rep_y)
+    and is implied by x_i–rep_x (0), rep_x–rep_y, rep_y–y_j (0) —
+    connectivity and distances are fully recoverable. Star volume is
+    surfaced via the ``simhash_hot_buckets`` observe node."""
     sigs = materialize(simhash64(df, text_col, id_col),
                        checkpoint_dir, "simhash_signatures")
     blocks = sigs.select(

@@ -7,9 +7,10 @@ t-digest, Bloom) use compact struct layouts; this module gives them the
 same evolution contract:
 
 * layout = ``magic(4) | encoding_version(u8) | payload``. The magic's
-  trailing digit is the LAYOUT GENERATION: it was bumped (1 -> 2) when
-  the version byte was introduced, so pre-versioning blobs fail loudly
-  ("not a X sketch") instead of parsing one byte off;
+  trailing digit is the LAYOUT GENERATION; generation 2 marks this
+  versioned envelope, and ANY generation-1 blob (all pre-release
+  layouts) is rejected loudly ("not a X sketch") rather than parsed one
+  byte off — nothing generation-1 was ever released or durably stored;
 * a reader parses the payload fields it knows and IGNORES trailing
   bytes, so a future writer may append fields without breaking old
   readers (the proto unknown-trailing-field rule);

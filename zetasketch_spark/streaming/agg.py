@@ -49,6 +49,18 @@ def streaming_sketch_agg(
 
     Emits ``keys..., rows_seen, <result fields>`` every trigger for groups
     that received data."""
+    # pin the hash domain from the schema (see operators.agg.sketch_partial)
+    if getattr(family, "value_type", "n/a") is None:
+        from zetasketch_spark.functions.sketch_udfs import SPARK_TYPE_TO_HASH_DOMAIN
+
+        pinned = SPARK_TYPE_TO_HASH_DOMAIN.get(
+            df.schema[col].dataType.simpleString())
+        if pinned is not None:
+            import copy
+
+            family = copy.copy(family)
+            family.value_type = pinned
+
     key_fields = [f for f in df.schema.fields if f.name in keys]
     out_schema = StructType(
         key_fields
