@@ -117,5 +117,10 @@ public class GenStateGolden {
     emitMerged("merge_sparse_downgrade_s15_s13", longs(15, 25, 1, 500), longs(13, 16, 300, 300));
     emitMerged("merge_normal_sparse_p13", longs(13, 16, 1, 50000), longs(13, 16, 100, 500));
     emitMerged("merge_sparse_normal_p13", longs(13, 16, 100, 500), longs(13, 16, 1, 50000));
+    // sparse-precision-ONLY downgrades (same p, different sp) — the
+    // NormalRepresentationTest merge_DowngradesSparsePrecision shape
+    emitMerged("merge_sp_only_s13sp18_s13sp16", longs(13, 18, 1, 400), longs(13, 16, 200, 400));
+    emitMerged("merge_sp_only_s13sp16_s13sp18", longs(13, 16, 200, 400), longs(13, 18, 1, 400));
+    emitMerged("merge_sp_only_n15sp25_s15sp20", longs(15, 25, 1, 100000), longs(15, 20, 50, 800));
   }
 }
