@@ -596,3 +596,45 @@ def test_bounded_bucket_pairs_equivalence_properties(spark):
         lambda r: (r["band"], r["bucket"]) in hot_keys, axis=1)]["doc_id"])
     paired = {d for p in capped for d in p}
     assert hot_docs <= paired
+
+
+def test_dup_clusters_large_random_graph(spark):
+    """5k-node random graph with mixed shapes (one giant component, many
+    small ones, a long chain) against exact union-find — the star rounds
+    must converge identically regardless of component structure."""
+    from zetasketch_spark.operators.dedup import dup_clusters
+
+    rng = np.random.default_rng(99)
+    edges = []
+    # giant sparse component over nodes 0..1999
+    a = rng.integers(0, 2000, size=2500)
+    b = rng.integers(0, 2000, size=2500)
+    edges += [(int(x), int(y)) for x, y in zip(a, b) if x != y]
+    # chain of length 300 over 3000..3300
+    edges += [(i, i + 1) for i in range(3000, 3300)]
+    # 200 isolated pairs over 4000..4399
+    edges += [(4000 + 2 * i, 4000 + 2 * i + 1) for i in range(200)]
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent.setdefault(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for x, y in edges:
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    comp_min = {}
+    for v in list(parent):
+        r = find(v)
+        comp_min[r] = min(comp_min.get(r, v), v)
+    want = {v: comp_min[find(v)] for v in parent}
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame(edges, columns=["id_a", "id_b"]))
+    got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    assert got == want
