@@ -541,6 +541,19 @@ def q_minhash_boilerplate_cap(spark, sf_dir):
         .orderBy("id_a", "id_b")
 
 
+def q_docs_decontaminate(spark, sf_dir):
+    """Test-set decontamination (GPT-3/Pile-style n-gram overlap): docs
+    sharing >= 5 distinct word-5-gram shingles with the benchmark subset
+    (doc_id % 50 == 0). Bloom prefilter has zero false negatives and the
+    output is exactly verified, so DuckDB's brute-force string-shingle
+    intersection is a direct oracle."""
+    from zetasketch_spark.operators.decontaminate import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    return decontaminate(d, bench, min_shared=5).orderBy("doc_id")
+
+
 def q_simhash_near_dups(spark, sf_dir):
     """Ground-truth near-dup pairs + SimHash theorem booleans: any pair at
     Hamming ≤ 3 must be emitted (prefix-block guarantee) and everything
@@ -795,6 +808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_membership": q_bloom_membership,
         "minhash_near_dups": q_minhash_near_dups,
         "minhash_boilerplate_cap": q_minhash_boilerplate_cap,
+        "docs_decontaminate": q_docs_decontaminate,
         "simhash_near_dups": q_simhash_near_dups,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1199,6 +1213,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1.0 AS DOUBLE) AS jaccard
             FROM range(1, 1200) t(i)
             ORDER BY id_b
+        """,
+        "docs_decontaminate": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS ws,
+                     len(string_split(text, ' ')) AS n
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                         range(1, greatest(n - least(5, n) + 1, 0) + 1),
+                         i -> array_to_string(ws[i:i+least(5,n)-1], chr(31)))) AS shingles
+              FROM w
+            ), bench AS (
+              SELECT DISTINCT unnest(shingles) AS g FROM sh WHERE doc_id % 50 = 0
+            ), doc_grams AS (
+              SELECT doc_id, unnest(shingles) AS g FROM sh
+            )
+            SELECT d.doc_id, count(DISTINCT d.g) AS n_shared_grams
+            FROM doc_grams d JOIN bench b ON d.g = b.g
+            GROUP BY d.doc_id
+            HAVING count(DISTINCT d.g) >= 5
+            ORDER BY d.doc_id
         """,
         "events_topk_rerank": """
             WITH c AS (

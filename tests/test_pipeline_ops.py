@@ -638,3 +638,30 @@ def test_dup_clusters_large_random_graph(spark):
         pd.DataFrame(edges, columns=["id_a", "id_b"]))
     got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
     assert got == want
+
+
+def test_decontaminate_exact_overlap_counts(spark):
+    """Bloom-prefiltered n-gram decontamination: exact shared-shingle
+    counts, zero false negatives (every planted contamination found), no
+    false positives in the OUTPUT (exact verify prunes Bloom FPs)."""
+    from zetasketch_spark.operators.decontaminate import decontaminate
+
+    rng = np.random.default_rng(41)
+    bench_docs = [(i, _doc(rng, 30)) for i in range(5)]
+    clean = [(100 + i, _doc(rng, 40)) for i in range(40)]
+    # doc 200 embeds an 12-word benchmark passage -> 8 shared 5-grams
+    passage = " ".join(bench_docs[2][1].split()[:12])
+    contaminated = (200, _doc(rng, 20) + " " + passage + " " + _doc(rng, 20))
+    full_copy = (201, bench_docs[0][1])  # verbatim benchmark doc
+    corpus = spark.createDataFrame(
+        pd.DataFrame(clean + [contaminated, full_copy],
+                     columns=["doc_id", "text"]))
+    bench = spark.createDataFrame(
+        pd.DataFrame(bench_docs, columns=["doc_id", "text"]))
+
+    out = {r["doc_id"]: r["n_shared_grams"] for r in
+           decontaminate(corpus, bench, min_shared=3).collect()}
+    assert out[200] == 8          # 12-word passage -> 12-5+1=8 shared grams
+    assert out[201] == 26         # whole 30-word doc -> 26 distinct grams
+    # clean docs can share the odd gram by chance but not >= 3
+    assert all(d in (200, 201) for d in out)

@@ -1,0 +1,117 @@
+"""Test-set decontamination: flag training documents that share word
+k-gram shingles with a benchmark/eval set (the GPT-3/Pile-style n-gram
+overlap check, run at corpus scale).
+
+Shape for 100 TB:
+
+1. **benchmark digest** — the benchmark's distinct shingle hashes fold
+   into ONE Bloom filter via the shared sketch harness (partials +
+   bit-OR merge; only ``m/8``-byte states shuffle). Eval sets are tiny
+   next to the corpus, so the Bloom broadcasts.
+2. **prefilter** — one vectorized pass over the corpus counts each
+   document's shingles that hit the Bloom. Zero false negatives by
+   construction, so every genuinely contaminated doc survives; false
+   positives only add verification work (FPR-bounded).
+3. **exact verify** — only flagged candidates explode their shingles and
+   join the benchmark's distinct-shingle table; the reported
+   ``n_shared_grams`` is an exact distinct-intersection count, so the
+   output is an exact function of the data (DuckDB-oracle-able).
+
+Same candidates-then-verify discipline as the MinHash pipeline: nothing
+quadratic, nothing approximate in the OUTPUT.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.functions import pandas_udf
+
+from zetasketch_spark.operators.materialize import materialize
+
+
+def benchmark_shingle_bloom(benchmark: DataFrame, text_col: str = "text",
+                            shingle_k: int = 5, m: int = 1 << 22,
+                            k: int = 7) -> bytes:
+    """Serialized Bloom filter of the benchmark's shingle hashes, built
+    distributed (per-partition partial filters, bit-OR merge)."""
+    from zetasketch_spark.operators.agg import sketch_merge, sketch_partial
+    from zetasketch_spark.sketches.bloom import BloomFamily
+
+    shingles = _exploded_shingles(benchmark, text_col, shingle_k,
+                                  id_col=None)
+    fam = BloomFamily(m=m, k=k)
+    partials = sketch_partial(shingles, [], "shingle", fam)
+    [row] = sketch_merge(partials, [], fam).collect()  # ONE m/8-byte state
+    return bytes(row["sketch"])
+
+
+def _exploded_shingles(docs: DataFrame, text_col: str, shingle_k: int,
+                       id_col: str | None) -> DataFrame:
+    """(id?, shingle bigint) rows — batch-vectorized shingle hashes."""
+    from zetasketch_spark.operators.dedup import shingle_sets
+
+    if id_col is None:
+        docs = docs.select(F.monotonically_increasing_id().alias("_rid"),
+                           F.col(text_col))
+        id_col = "_rid"
+    sh = shingle_sets(docs, text_col, id_col, shingle_k)
+    out = sh.select(F.col(id_col),
+                    F.explode("shingles").alias("shingle"))
+    return out if id_col != "_rid" else out.select("shingle")
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  shingle_k: int = 5, min_shared: int = 1,
+                  bloom_m: int = 1 << 22, bloom_k: int = 7,
+                  checkpoint_dir: str | None = None) -> DataFrame:
+    """Exact contamination report: ``(doc_id, n_shared_grams)`` for every
+    training doc sharing at least ``min_shared`` distinct word-k-gram
+    shingles with ANY benchmark document."""
+    from zetasketch_spark.operators.dedup import _shingle_hashes
+    from zetasketch_spark.sketches.bloom import BloomFilter
+
+    blob = benchmark_shingle_bloom(benchmark, text_col, shingle_k,
+                                   m=bloom_m, k=bloom_k)
+
+    @pandas_udf("long")
+    def bloom_hits(texts: pd.Series) -> pd.Series:
+        import numpy as np
+
+        bf = BloomFilter.deserialize(blob)
+        hsets = _shingle_hashes(texts, k=shingle_k)
+        counts = [0] * len(hsets)
+        lens = np.array([len(h) for h in hsets], dtype=np.int64)
+        if lens.sum():
+            flat = np.concatenate([h for h in hsets if len(h)])
+            hits = bf.contains_series(
+                pd.Series(flat.view(np.int64))).astype(np.int64)
+            bounds = np.concatenate([[0], np.cumsum(lens[lens > 0])])
+            j = 0
+            for i, ln in enumerate(lens):
+                if ln:
+                    counts[i] = int(hits[bounds[j]:bounds[j + 1]].sum())
+                    j += 1
+        return pd.Series(counts)
+
+    flagged = (
+        docs.select(id_col, text_col)
+        .withColumn("_hits", bloom_hits(F.col(text_col)))
+        .filter(F.col("_hits") >= min_shared)
+        .drop("_hits")
+    )
+    # exact verification: only candidates explode; distinct-intersection
+    # count against the benchmark's distinct shingles
+    bench_sh = materialize(
+        _exploded_shingles(benchmark, text_col, shingle_k, id_col=None)
+        .distinct(),
+        checkpoint_dir, "benchmark_shingles")
+    cand_sh = _exploded_shingles(flagged, text_col, shingle_k, id_col)
+    return (
+        cand_sh.join(bench_sh, "shingle", "left_semi")
+        .groupBy(id_col)
+        .agg(F.countDistinct("shingle").alias("n_shared_grams"))
+        .filter(F.col("n_shared_grams") >= min_shared)
+    )
