@@ -554,6 +554,36 @@ def q_docs_decontaminate(spark, sf_dir):
     return decontaminate(d, bench, min_shared=5).orderBy("doc_id")
 
 
+def q_docs_top_tokens(spark, sf_dir):
+    """Exact top-20 vocabulary tokens via the sketch-bounded top-k
+    operator (CM candidates + exact re-rank) over the exploded token
+    stream — the corpus-vocabulary heavy-hitter query every training
+    pipeline runs, exact by construction."""
+    from zetasketch_spark.operators.topk import topk_exact_rerank
+
+    d = _t(spark, sf_dir, "documents")
+    tokens = d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+    return topk_exact_rerank(tokens, "token", k=20)
+
+
+def q_docs_hash_sample(spark, sf_dir):
+    """Deterministic hash-based sampling (stable train/val splits): bucket
+    = first 8 md5 hex chars of doc_id mod 100; keep bucket < 10. md5 is
+    identical across engines, so the sample membership is exactly
+    verifiable."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                     16, 10).cast("long") % 100)
+    return (
+        d.withColumn("bucket", bucket)
+        .filter(F.col("bucket") < 10)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_sampled"),
+             F.min("doc_id").alias("min_doc_id"),
+             F.max("doc_id").alias("max_doc_id"))
+    )
+
+
 def q_simhash_near_dups(spark, sf_dir):
     """Ground-truth near-dup pairs + SimHash theorem booleans: any pair at
     Hamming ≤ 3 must be emitted (prefix-block guarantee) and everything
@@ -809,6 +839,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": q_minhash_near_dups,
         "minhash_boilerplate_cap": q_minhash_boilerplate_cap,
         "docs_decontaminate": q_docs_decontaminate,
+        "docs_top_tokens": q_docs_top_tokens,
+        "docs_hash_sample": q_docs_hash_sample,
         "simhash_near_dups": q_simhash_near_dups,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1235,6 +1267,33 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY d.doc_id
             HAVING count(DISTINCT d.g) >= 5
             ORDER BY d.doc_id
+        """,
+        "docs_top_tokens": """
+            WITH toks AS (
+              SELECT unnest(string_split(text, ' ')) AS key FROM documents
+            ), c AS (
+              SELECT key, count(*) AS exact_count FROM toks
+              WHERE key IS NOT NULL GROUP BY key
+            ), r AS (
+              SELECT key, exact_count,
+                     row_number() OVER (ORDER BY exact_count DESC, key) AS rank
+              FROM c
+            )
+            SELECT key, exact_count, rank,
+                   (SELECT min(exact_count) FROM r WHERE rank <= 20)
+                     > (SELECT count(*) // 513 FROM toks WHERE key IS NOT NULL)
+                     AS provably_complete
+            FROM r WHERE rank <= 20
+        """,
+        "docs_hash_sample": """
+            WITH b AS (
+              SELECT *, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                             AS BIGINT) % 100 AS bucket
+              FROM documents
+            )
+            SELECT lang, count(*) AS n_sampled,
+                   min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+            FROM b WHERE bucket < 10 GROUP BY lang
         """,
         "events_topk_rerank": """
             WITH c AS (
