@@ -280,3 +280,42 @@ def test_streaming_state_bounded_by_timeout(spark, tmp_path):
             spark.conf.unset(provider_key)
         else:
             spark.conf.set(provider_key, old)
+
+
+def test_streaming_contamination_filter(spark, tmp_path):
+    """The contamination filter is stateless, so it drops benchmark-
+    overlapping documents from a STREAM in-flight: contaminated rows never
+    reach the sink, clean rows all pass."""
+    import pandas as pd
+
+    from zetasketch_spark.operators.decontaminate import (
+        benchmark_shingle_bloom, contamination_filter)
+
+    import numpy as np
+    rng = np.random.default_rng(17)
+    words = [f"tok{i}" for i in range(500)]
+
+    def doc(n=40):
+        return " ".join(rng.choice(words, size=n))
+
+    bench = spark.createDataFrame(
+        pd.DataFrame([(i, doc()) for i in range(5)], columns=["doc_id", "text"]))
+    blob = benchmark_shingle_bloom(bench)
+    bench_texts = [r["text"] for r in bench.collect()]
+
+    src = tmp_path / "contam_src"
+    clean_ids = list(range(100, 130))
+    rows = [(i, doc()) for i in clean_ids]
+    rows += [(200, bench_texts[0]), (201, bench_texts[3])]  # contaminated
+    spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"])) \
+        .write.parquet(str(src))
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .parquet(str(src)))
+    out = contamination_filter(stream, blob, max_shared=2)
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("contam_out").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.sql("select doc_id from contam_out").collect()}
+    assert 200 not in got and 201 not in got
+    assert set(clean_ids) == got  # Bloom FPR ~0 at this load: no over-drop

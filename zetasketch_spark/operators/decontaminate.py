@@ -62,25 +62,18 @@ def _exploded_shingles(docs: DataFrame, text_col: str, shingle_k: int,
     return out if id_col != "_rid" else out.select("shingle")
 
 
-def decontaminate(docs: DataFrame, benchmark: DataFrame,
-                  text_col: str = "text", id_col: str = "doc_id",
-                  shingle_k: int = 5, min_shared: int = 1,
-                  bloom_m: int = 1 << 22, bloom_k: int = 7,
-                  checkpoint_dir: str | None = None) -> DataFrame:
-    """Exact contamination report: ``(doc_id, n_shared_grams)`` for every
-    training doc sharing at least ``min_shared`` distinct word-k-gram
-    shingles with ANY benchmark document."""
+def _bloom_hits_udf(bloom_blob: bytes, shingle_k: int):
+    """pandas UDF: per-document count of shingle hashes present in the
+    broadcast Bloom digest (vectorized: one membership pass per batch,
+    per-doc sums via slice boundaries)."""
     from zetasketch_spark.operators.dedup import _shingle_hashes
     from zetasketch_spark.sketches.bloom import BloomFilter
-
-    blob = benchmark_shingle_bloom(benchmark, text_col, shingle_k,
-                                   m=bloom_m, k=bloom_k)
 
     @pandas_udf("long")
     def bloom_hits(texts: pd.Series) -> pd.Series:
         import numpy as np
 
-        bf = BloomFilter.deserialize(blob)
+        bf = BloomFilter.deserialize(bloom_blob)
         hsets = _shingle_hashes(texts, k=shingle_k)
         counts = [0] * len(hsets)
         lens = np.array([len(h) for h in hsets], dtype=np.int64)
@@ -96,6 +89,20 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
                     j += 1
         return pd.Series(counts)
 
+    return bloom_hits
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  shingle_k: int = 5, min_shared: int = 1,
+                  bloom_m: int = 1 << 22, bloom_k: int = 7,
+                  checkpoint_dir: str | None = None) -> DataFrame:
+    """Exact contamination report: ``(doc_id, n_shared_grams)`` for every
+    training doc sharing at least ``min_shared`` distinct word-k-gram
+    shingles with ANY benchmark document."""
+    blob = benchmark_shingle_bloom(benchmark, text_col, shingle_k,
+                                   m=bloom_m, k=bloom_k)
+    bloom_hits = _bloom_hits_udf(blob, shingle_k)
     flagged = (
         docs.select(id_col, text_col)
         .withColumn("_hits", bloom_hits(F.col(text_col)))
@@ -115,3 +122,19 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
         .agg(F.countDistinct("shingle").alias("n_shared_grams"))
         .filter(F.col("n_shared_grams") >= min_shared)
     )
+
+
+def contamination_filter(df: DataFrame, bloom_blob: bytes,
+                         text_col: str = "text", shingle_k: int = 5,
+                         max_shared: int = 0) -> DataFrame:
+    """Stateless contamination FILTER: keep rows whose text shares at most
+    ``max_shared`` shingles with the benchmark digest (a pre-built
+    :func:`benchmark_shingle_bloom` blob).
+
+    Works identically on batch and STREAMING DataFrames (no state, no
+    shuffle — one vectorized map), which is the ingest-time shape: drop
+    contaminated documents as they arrive instead of re-scanning the
+    corpus. Bloom false positives can only over-drop (bounded by the FPR);
+    contaminated docs are never let through (zero false negatives)."""
+    return df.filter(_bloom_hits_udf(bloom_blob, shingle_k)(F.col(text_col))
+                     <= max_shared)
