@@ -887,18 +887,30 @@ def _sw(col: str, words: str) -> str:
 # brute-force exact shingle-Jaccard pairs (k = min(5, n_words) word
 # shingles, distinct, unit separator — mirrors operators/dedup.py's hashed
 # shingles exactly, modulo negligible fingerprint collisions)
-_SHINGLE_PAIRS = """
+# Word 5-gram shingle sets per doc — the SQL twin of
+# hashing.kgram_window_hashes: tokenization is WHITESPACE-RUN splitting
+# with empties dropped (exactly Python str.split()), docs with 0 < words
+# < 5 contribute one whole-text gram, empty docs contribute none.
+_SHINGLE_SETS = """
     WITH w AS (
-      SELECT doc_id, string_split(text, ' ') AS ws,
-             len(string_split(text, ' ')) AS n
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'),
+                         x -> x <> '') AS ws0
       FROM documents
+    ), w2 AS (
+      SELECT doc_id, ws0 AS ws, len(ws0) AS n FROM w
     ), sh AS (
       SELECT doc_id,
              list_distinct(list_transform(
-                 range(1, greatest(n - least(5, n) + 1, 0) + 1),
+                 range(1, CASE WHEN n = 0 THEN 1
+                              ELSE n - least(5, n) + 2 END),
                  i -> array_to_string(ws[i:i+least(5,n)-1], chr(31)))) AS shingles
-      FROM w
-    ), pairs AS (
+      FROM w2
+    )
+"""
+
+_SHINGLE_PAIRS = _SHINGLE_SETS.rstrip() + """
+    , pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              len(list_intersect(a.shingles, b.shingles))::DOUBLE /
              (len(a.shingles) + len(b.shingles)
@@ -1246,18 +1258,8 @@ def oracle_sql() -> dict[str, str]:
             FROM range(1, 1200) t(i)
             ORDER BY id_b
         """,
-        "docs_decontaminate": """
-            WITH w AS (
-              SELECT doc_id, string_split(text, ' ') AS ws,
-                     len(string_split(text, ' ')) AS n
-              FROM documents
-            ), sh AS (
-              SELECT doc_id,
-                     list_distinct(list_transform(
-                         range(1, greatest(n - least(5, n) + 1, 0) + 1),
-                         i -> array_to_string(ws[i:i+least(5,n)-1], chr(31)))) AS shingles
-              FROM w
-            ), bench AS (
+        "docs_decontaminate": _SHINGLE_SETS.rstrip() + """
+            , bench AS (
               SELECT DISTINCT unnest(shingles) AS g FROM sh WHERE doc_id % 50 = 0
             ), doc_grams AS (
               SELECT doc_id, unnest(shingles) AS g FROM sh

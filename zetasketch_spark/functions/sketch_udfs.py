@@ -38,6 +38,24 @@ SPARK_TYPE_TO_HASH_DOMAIN = {
 }
 
 
+def pin_value_type(family, df, col: str):
+    """Return ``family`` with its HLL hash domain pinned from the Spark
+    schema (on a COPY — never mutate the caller's object). The single
+    source of the schema->recipe rule: Arrow promotes nullable int
+    columns to float64 per batch, so families that reach a pandas fabric
+    without a declared type would hash one column via two recipes."""
+    if getattr(family, "value_type", "n/a") is not None:
+        return family
+    pinned = SPARK_TYPE_TO_HASH_DOMAIN.get(df.schema[col].dataType.simpleString())
+    if pinned is None:
+        return family
+    import copy
+
+    family = copy.copy(family)
+    family.value_type = pinned
+    return family
+
+
 def hll_init_agg(col, precision: int = 15, sparse_precision: int | None = None,
                  value_type: str | None = None):
     """Grouped-aggregate: build an HLL++ sketch from a value column.
@@ -244,15 +262,21 @@ def register_sql(spark) -> None:
     spark.udf.register("cm_merge_agg", _merge_agg_udf(CountMinSketch.deserialize))
 
     @pandas_udf("binary")
-    def _init(values: pd.Series, precision: pd.Series) -> bytes:
+    def _init(values: pd.Series, precision: pd.Series,
+              coltype: pd.Series) -> bytes:
         from zetasketch_spark.sketches.base import HllFamily
 
         p = int(precision.iloc[0]) if len(precision) else 15
-        fam = HllFamily(precision=p)
+        vt = (SPARK_TYPE_TO_HASH_DOMAIN.get(str(coltype.iloc[0]))
+              if len(coltype) else None)
+        fam = HllFamily(precision=p, value_type=vt)
         sk = fam.make()
         fam.update(sk, values)
         return sk.serialize()
 
+    # SQL usage: hll_init_agg(col, 15, typeof(col)) — typeof pins the hash
+    # domain exactly like the DataFrame surface, so the two surfaces
+    # produce byte-identical states for the same column
     spark.udf.register("hll_init_agg", _init)
 
     @pandas_udf("binary")

@@ -67,22 +67,12 @@ def sketch_partial(df: DataFrame, keys: list[str], col: str,
     )
     keys_t = tuple(keys)
 
-    # Pin the hash domain from the Spark schema: Arrow promotes nullable
-    # int columns to float64 on the pandas path, so without the declared
-    # type an HLL family would hash the same bigint column via two recipes
-    # depending on whether a group happens to contain a null. Pin on a
-    # COPY — mutating the caller's family would poison its later uses
-    # (and change its checkpoint query_signature mid-flight).
-    if getattr(family, "value_type", "n/a") is None:
-        from zetasketch_spark.functions.sketch_udfs import SPARK_TYPE_TO_HASH_DOMAIN
+    # Pin the hash domain from the Spark schema (single rule:
+    # functions.sketch_udfs.pin_value_type; returns a copy, never mutates
+    # the caller's family or its checkpoint query_signature).
+    from zetasketch_spark.functions.sketch_udfs import pin_value_type
 
-        pinned = SPARK_TYPE_TO_HASH_DOMAIN.get(
-            df.schema[col].dataType.simpleString())
-        if pinned is not None:
-            import copy
-
-            family = copy.copy(family)
-            family.value_type = pinned
+    family = pin_value_type(family, df, col)
 
     if getattr(family, "supports_arrow", False):
         return _sketch_partial_arrow(df, keys, col, family, out_schema,

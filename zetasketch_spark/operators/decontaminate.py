@@ -43,8 +43,10 @@ def benchmark_shingle_bloom(benchmark: DataFrame, text_col: str = "text",
                                   id_col=None)
     fam = BloomFamily(m=m, k=k)
     partials = sketch_partial(shingles, [], "shingle", fam)
-    [row] = sketch_merge(partials, [], fam).collect()  # ONE m/8-byte state
-    return bytes(row["sketch"])
+    rows = sketch_merge(partials, [], fam).collect()  # ONE m/8-byte state
+    if not rows:  # empty benchmark / all-empty texts: empty digest
+        return fam.serialize(fam.make())
+    return bytes(rows[0]["sketch"])
 
 
 def _exploded_shingles(docs: DataFrame, text_col: str, shingle_k: int,
@@ -62,18 +64,38 @@ def _exploded_shingles(docs: DataFrame, text_col: str, shingle_k: int,
     return out if id_col != "_rid" else out.select("shingle")
 
 
-def _bloom_hits_udf(bloom_blob: bytes, shingle_k: int):
-    """pandas UDF: per-document count of shingle hashes present in the
-    broadcast Bloom digest (vectorized: one membership pass per batch,
-    per-doc sums via slice boundaries)."""
-    from zetasketch_spark.operators.dedup import _shingle_hashes
+_BLOOM_CACHE: dict[int, object] = {}
+
+
+def _cached_bloom(blob: bytes):
+    """Deserialize a Bloom digest once per executor process (the 512 KiB
+    bit array would otherwise be copied once per Arrow batch)."""
     from zetasketch_spark.sketches.bloom import BloomFilter
+
+    key = hash(blob)
+    bf = _BLOOM_CACHE.get(key)
+    if bf is None:
+        if len(_BLOOM_CACHE) > 8:
+            _BLOOM_CACHE.clear()
+        bf = BloomFilter.deserialize(blob)
+        _BLOOM_CACHE[key] = bf
+    return bf
+
+
+def _bloom_hits_udf(spark, bloom_blob: bytes, shingle_k: int):
+    """pandas UDF: per-document count of shingle hashes present in the
+    Bloom digest. The blob travels as a real Spark BROADCAST (shipped once
+    per executor, not once per pickled task) and deserializes once per
+    executor process."""
+    from zetasketch_spark.operators.dedup import _shingle_hashes
+
+    bc = spark.sparkContext.broadcast(bloom_blob)
 
     @pandas_udf("long")
     def bloom_hits(texts: pd.Series) -> pd.Series:
         import numpy as np
 
-        bf = BloomFilter.deserialize(bloom_blob)
+        bf = _cached_bloom(bc.value)
         hsets = _shingle_hashes(texts, k=shingle_k)
         counts = [0] * len(hsets)
         lens = np.array([len(h) for h in hsets], dtype=np.int64)
@@ -102,7 +124,7 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
     shingles with ANY benchmark document."""
     blob = benchmark_shingle_bloom(benchmark, text_col, shingle_k,
                                    m=bloom_m, k=bloom_k)
-    bloom_hits = _bloom_hits_udf(blob, shingle_k)
+    bloom_hits = _bloom_hits_udf(docs.sparkSession, blob, shingle_k)
     flagged = (
         docs.select(id_col, text_col)
         .withColumn("_hits", bloom_hits(F.col(text_col)))
@@ -136,5 +158,6 @@ def contamination_filter(df: DataFrame, bloom_blob: bytes,
     contaminated documents as they arrive instead of re-scanning the
     corpus. Bloom false positives can only over-drop (bounded by the FPR);
     contaminated docs are never let through (zero false negatives)."""
-    return df.filter(_bloom_hits_udf(bloom_blob, shingle_k)(F.col(text_col))
-                     <= max_shared)
+    return df.filter(
+        _bloom_hits_udf(df.sparkSession, bloom_blob, shingle_k)(F.col(text_col))
+        <= max_shared)

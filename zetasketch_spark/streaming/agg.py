@@ -49,17 +49,10 @@ def streaming_sketch_agg(
 
     Emits ``keys..., rows_seen, <result fields>`` every trigger for groups
     that received data."""
-    # pin the hash domain from the schema (see operators.agg.sketch_partial)
-    if getattr(family, "value_type", "n/a") is None:
-        from zetasketch_spark.functions.sketch_udfs import SPARK_TYPE_TO_HASH_DOMAIN
+    # pin the hash domain from the schema (single rule: pin_value_type)
+    from zetasketch_spark.functions.sketch_udfs import pin_value_type
 
-        pinned = SPARK_TYPE_TO_HASH_DOMAIN.get(
-            df.schema[col].dataType.simpleString())
-        if pinned is not None:
-            import copy
-
-            family = copy.copy(family)
-            family.value_type = pinned
+    family = pin_value_type(family, df, col)
 
     key_fields = [f for f in df.schema.fields if f.name in keys]
     out_schema = StructType(
