@@ -381,3 +381,32 @@ def test_hll_init_double_column_mixed_groups(spark):
     [got] = (fine.agg(hll_merge_agg("sk").alias("sk"))
              .select(hll_estimate("sk").alias("est")).collect())
     assert got["est"] == 5
+
+
+def test_sql_registered_init_typed(spark):
+    """The SQL-registered hll_init_agg(col, p, typeof(col)) pins the hash
+    domain from the declared type, so SQL-built and DataFrame-built
+    sketches are byte-identical for the same column — including nullable
+    int columns whose null-containing groups promote to float64."""
+    import pandas as pd
+
+    from zetasketch_spark.functions.sketch_udfs import hll_init_agg, register_sql
+
+    register_sql(spark)
+    pdf = pd.DataFrame({
+        "g": ["a"] * 4 + ["b"] * 4,
+        "user_id": pd.array([1, 2, 3, 4, 3, 4, 5, None], dtype="Int64"),
+    })
+    spark.createDataFrame(pdf).createOrReplaceTempView("typed_init")
+    sql_sk = {r["g"]: bytes(r["sk"]) for r in spark.sql("""
+        SELECT g, hll_init_agg(user_id, 13, typeof(user_id)) AS sk
+        FROM typed_init GROUP BY g""").collect()}
+    df_sk = {r["g"]: bytes(r["sk"]) for r in
+             spark.table("typed_init").groupBy("g")
+             .agg(hll_init_agg("user_id", 13).alias("sk")).collect()}
+    assert sql_sk == df_sk
+    [est] = spark.sql("""
+        SELECT hll_estimate(hll_merge_agg(sk)) AS u FROM (
+          SELECT g, hll_init_agg(user_id, 13, typeof(user_id)) AS sk
+          FROM typed_init GROUP BY g)""").collect()
+    assert est["u"] == 5
