@@ -102,7 +102,7 @@ def main():
                               rows_per_file=1_250_000)
     fam = HllFamily(precision=15)
     best = None
-    for _ in range(2):
+    for _ in range(3):  # first trial often pays page-cache cold cost
         t0 = time.time()
         out = sketch_agg_rdd(spark, tdir, ["role", "day"], "conv_id", fam,
                              derived_keys={"day": ("to_date", "ts")})
@@ -114,7 +114,7 @@ def main():
 
     # north-star secondary metric: approx distinct of the full turn text
     best_txt = None
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         sketch_agg_rdd(spark, tdir, ["role"], "text", fam).count()
         tsec = time.time() - t0
