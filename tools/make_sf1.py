@@ -91,13 +91,28 @@ def _synth_embeddings(src_dir: str, out_dir: str, rng: np.random.Generator):
     pq.write_table(emb, f"{out_dir}/embeddings.parquet", row_group_size=1 << 16)
 
 
+def _src_stamp(src_dir: str) -> str:
+    """Identity of the source tables (name, size, mtime): a regenerated
+    sf0.1 must invalidate the derived sf1, or benches would silently
+    compare against stale replicas."""
+    import hashlib
+
+    entries = []
+    for f in sorted(os.listdir(src_dir)):
+        if f.endswith(".parquet"):
+            st = os.stat(os.path.join(src_dir, f))
+            entries.append(f"{f}:{st.st_size}:{int(st.st_mtime)}")
+    return hashlib.sha256(";".join(entries).encode()).hexdigest()[:16]
+
+
 def make_sf1(src_dir: str = "/root/testdata/sf0.1",
              out_dir: str | None = None) -> str:
     if out_dir is None:
         out_dir = os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "data", "sf1")
     marker = os.path.join(out_dir, ".complete")
-    if os.path.exists(marker) and open(marker).read().strip() == VERSION:
+    stamp = f"{VERSION}:{_src_stamp(src_dir)}"
+    if os.path.exists(marker) and open(marker).read().strip() == stamp:
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
 
@@ -124,7 +139,7 @@ def make_sf1(src_dir: str = "/root/testdata/sf0.1",
     _synth_documents(src_dir, out_dir, rng)
     _synth_embeddings(src_dir, out_dir, rng)
     with open(marker, "w") as f:
-        f.write(VERSION)
+        f.write(stamp)
     return out_dir
 
 
