@@ -150,13 +150,23 @@ def bounded_bucket_pairs(exploded: DataFrame, id_col: str,
         exploded.groupBy(*bucket_cols)
         .agg(F.count("*").alias("_bn"), F.min(id_col).alias("_rep"))
         .filter(F.col("_bn") > max_bucket)
-        .localCheckpoint(eager=True)  # tiny by construction; computed once
     )
-    if hot.isEmpty():
+    # ONE census job: the hot list is ≤ rows/max_bucket entries by
+    # construction, so up to a generous cap we collect it and rebuild it
+    # as a LOCAL relation (joins against it need no shuffle or extra
+    # checkpoint job); a pathological corpus with more hot buckets than
+    # the cap falls back to a distributed checkpointed list.
+    _HOT_COLLECT_CAP = 100_000
+    hot_local = hot.limit(_HOT_COLLECT_CAP + 1).collect()
+    if not hot_local:
         # common case — no bucket over the cap: the plan is EXACTLY the
         # plain bucket self-join (no anti-join, no star branch, no refine
         # window), so clean corpora pay only the census job for the bound
         return self_join_pairs(exploded).distinct()
+    if len(hot_local) <= _HOT_COLLECT_CAP:
+        hot = exploded.sparkSession.createDataFrame(hot_local, hot.schema)
+    else:
+        hot = hot.localCheckpoint(eager=True)
     cold = exploded.join(F.broadcast(hot.select(*bucket_cols)),
                          bucket_cols, "left_anti")
     pairs_cold = self_join_pairs(cold)
