@@ -888,24 +888,27 @@ def _sw(col: str, words: str) -> str:
 # shingles, distinct, unit separator — mirrors operators/dedup.py's hashed
 # shingles exactly, modulo negligible fingerprint collisions)
 # Word 5-gram shingle sets per doc — the SQL twin of
-# hashing.kgram_window_hashes: tokenization is WHITESPACE-RUN splitting
-# with empties dropped (exactly Python str.split()), docs with 0 < words
-# < 5 contribute one whole-text gram, empty docs contribute none.
+# hashing.kgram_window_hashes: tokenization splits on runs of the
+# characters Python's str.split() treats as whitespace (ASCII ws, VT,
+# FS-US, NEL, NBSP, and the Unicode space block), empties dropped; docs
+# with 0 < words < 5 contribute one whole-text gram, empty docs none.
+_WS_CHARS = ("\t\n\x0b\x0c\r \x1c\x1d\x1e\x1f\x85\xa0\u1680"
+             + "".join(chr(c) for c in range(0x2000, 0x200B))
+             + "\u2028\u2029\u202f\u205f\u3000")
+_WS_CLASS = "[" + _WS_CHARS + "]+"  # raw codepoints: DuckDB literals take no \u escapes
 _SHINGLE_SETS = """
     WITH w AS (
       SELECT doc_id,
-             list_filter(regexp_split_to_array(text, '\\s+'),
-                         x -> x <> '') AS ws0
+             list_filter(regexp_split_to_array(text, '""" + _WS_CLASS + """'),
+                         x -> x <> '') AS ws
       FROM documents
-    ), w2 AS (
-      SELECT doc_id, ws0 AS ws, len(ws0) AS n FROM w
     ), sh AS (
       SELECT doc_id,
              list_distinct(list_transform(
-                 range(1, CASE WHEN n = 0 THEN 1
-                              ELSE n - least(5, n) + 2 END),
-                 i -> array_to_string(ws[i:i+least(5,n)-1], chr(31)))) AS shingles
-      FROM w2
+                 range(1, CASE WHEN len(ws) = 0 THEN 1
+                              ELSE len(ws) - least(5, len(ws)) + 2 END),
+                 i -> array_to_string(ws[i:i+least(5,len(ws))-1], chr(31)))) AS shingles
+      FROM w
     )
 """
 

@@ -102,6 +102,8 @@ def _src_stamp(src_dir: str) -> str:
         if f.endswith(".parquet"):
             st = os.stat(os.path.join(src_dir, f))
             entries.append(f"{f}:{st.st_size}:{int(st.st_mtime)}")
+    if not entries:
+        raise ValueError(f"no parquet tables in {src_dir}")
     return hashlib.sha256(";".join(entries).encode()).hexdigest()[:16]
 
 
@@ -111,6 +113,8 @@ def make_sf1(src_dir: str = "/root/testdata/sf0.1",
         out_dir = os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "data", "sf1")
     marker = os.path.join(out_dir, ".complete")
+    if os.path.exists(marker) and not os.path.isdir(src_dir):
+        return out_dir  # source gone: keep serving the built replica
     stamp = f"{VERSION}:{_src_stamp(src_dir)}"
     if os.path.exists(marker) and open(marker).read().strip() == stamp:
         return out_dir

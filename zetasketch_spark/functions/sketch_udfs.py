@@ -9,8 +9,10 @@ states (same ``AggregatorStateProto`` wire format):
 * ``hll_init_agg(col, precision)``    — grouped-agg UDF: values -> sketch
 * ``hll_merge_agg(sketch_col)``       — grouped-agg UDF: sketches -> sketch
 * ``hll_estimate(sketch_col)``        — scalar UDF: sketch -> bigint
-* ``register_sql(spark)``             — expose them to ``spark.sql`` as
-  ``hll_merge_agg`` / ``hll_estimate``
+* ``register_sql(spark)``             — expose them to ``spark.sql``; the
+  SQL init form is ``hll_init_agg(col, precision, typeof(col))`` (the
+  third argument pins the hash domain from the declared type, exactly
+  like the DataFrame surface)
 
 The grouped-agg form shuffles raw values per group (Catalyst's own
 aggregation path), which is the convenient-but-shuffle-heavy shape; for

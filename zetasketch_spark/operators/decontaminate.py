@@ -64,7 +64,8 @@ def _exploded_shingles(docs: DataFrame, text_col: str, shingle_k: int,
     return out if id_col != "_rid" else out.select("shingle")
 
 
-_BLOOM_CACHE: dict[int, object] = {}
+_BLOOM_CACHE: dict[bytes, object] = {}  # keyed by the blob BYTES (exact)
+_BC_CACHE: dict[bytes, object] = {}     # driver-side broadcast reuse
 
 
 def _cached_bloom(blob: bytes):
@@ -72,14 +73,28 @@ def _cached_bloom(blob: bytes):
     bit array would otherwise be copied once per Arrow batch)."""
     from zetasketch_spark.sketches.bloom import BloomFilter
 
-    key = hash(blob)
-    bf = _BLOOM_CACHE.get(key)
+    bf = _BLOOM_CACHE.get(blob)
     if bf is None:
         if len(_BLOOM_CACHE) > 8:
             _BLOOM_CACHE.clear()
         bf = BloomFilter.deserialize(blob)
-        _BLOOM_CACHE[key] = bf
+        _BLOOM_CACHE[blob] = bf
     return bf
+
+
+def _broadcast_blob(spark, blob: bytes):
+    """One broadcast per distinct digest per driver: repeated
+    decontaminate/filter calls with the same benchmark must not leak a
+    new 512 KiB broadcast each time; evicted entries are destroyed."""
+    bc = _BC_CACHE.get(blob)
+    if bc is None:
+        if len(_BC_CACHE) > 8:
+            for old in _BC_CACHE.values():
+                old.destroy()
+            _BC_CACHE.clear()
+        bc = spark.sparkContext.broadcast(blob)
+        _BC_CACHE[blob] = bc
+    return bc
 
 
 def _bloom_hits_udf(spark, bloom_blob: bytes, shingle_k: int):
@@ -89,7 +104,7 @@ def _bloom_hits_udf(spark, bloom_blob: bytes, shingle_k: int):
     executor process."""
     from zetasketch_spark.operators.dedup import _shingle_hashes
 
-    bc = spark.sparkContext.broadcast(bloom_blob)
+    bc = _broadcast_blob(spark, bloom_blob)
 
     @pandas_udf("long")
     def bloom_hits(texts: pd.Series) -> pd.Series:
