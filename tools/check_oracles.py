@@ -3,6 +3,14 @@ entry on Spark and, where oracle_sql() has a match, on DuckDB; compare
 row count, column names, and an order-insensitive value hash.
 
 Usage: python tools/check_oracles.py [sf_dir]
+
+Scale note: the gate contract is sf0.01 (the driver's comparison scale).
+Exact queries pass at any sf; the sketch queries' self-verifying
+guarantee BOOLEANS are data-dependent certificates whose oracle asserts
+the value observed at the gate scale — e.g. at sf0.001 simhash honestly
+reports one hamming<=3 pair below the Jaccard-0.5 ground-truth bar
+(no_false_positives=false), which the sf0.01-pinned oracle calls a
+mismatch. That is the instrument working, not an operator bug.
 """
 
 from __future__ import annotations
