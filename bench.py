@@ -136,6 +136,16 @@ def main():
         n = df.count() if hasattr(df, "count") else len(df)
         timings[name] = round(time.time() - t0, 3)
 
+    # round-3 additions, reported OUTSIDE the headline total so
+    # round-over-round totals stay comparable with r01/r02
+    EXTRA = ["docs_decontaminate", "docs_top_tokens", "minhash_boilerplate_cap"]
+    extra_timings: dict[str, float] = {}
+    for name in EXTRA:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.count() if hasattr(df, "count") else len(df)
+        extra_timings[name] = round(time.time() - t0, 3)
+
     # sf1 section (10x data, deterministic, generated once into data/sf1):
     # measures the kernels instead of the sandbox's fixed per-stage costs.
     # Disable with SPARK_GRAFT_SF1=0.
@@ -194,6 +204,7 @@ def main():
         "regressions": regressions,
         "sf1_queries": sf1_timings,
         "sf1_total": round(sum(sf1_timings.values()), 3),
+        "extra_queries": extra_timings,
     }))
     spark.stop()
 
