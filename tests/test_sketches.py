@@ -365,3 +365,34 @@ def test_wire_format_versioned_forward_compat(family):
         fam.deserialize(b"XXXX" + bytes(blob[4:]))
     with pytest.raises(ValueError):
         fam.deserialize(bytes(blob[:4]) + bytes([0]) + bytes(blob[5:]))
+
+
+@pytest.mark.parametrize("family", ["countmin", "kll", "tdigest", "bloom"])
+def test_truncated_blob_fails_loudly(family):
+    """Every truncation of a serialized state must raise (ValueError /
+    struct.error) — never return a silently-corrupt sketch. At 100 TB a
+    torn write or short read WILL happen; quiet partial parses poison
+    merges downstream."""
+    import struct as _struct
+
+    import pandas as pd
+
+    from zetasketch_spark.sketches.base import get_family
+
+    fam = get_family(family)
+    st = fam.make()
+    vals = pd.Series([float(i % 97) for i in range(500)]) \
+        if family in ("kll", "tdigest") else pd.Series([f"k{i % 97}" for i in range(500)])
+    fam.update(st, vals)
+    blob = fam.serialize(st)
+    full = fam.serialize(fam.deserialize(blob))
+    step = max(1, len(blob) // 53)
+    for cut in range(0, len(blob), step):
+        try:
+            got = fam.deserialize(blob[:cut])
+        except (ValueError, _struct.error):
+            continue
+        # a parse that 'succeeds' on a truncation must have recovered the
+        # complete state (i.e. only trailing no-op bytes were cut)
+        assert fam.serialize(got) == full, (
+            f"{family}: silent partial parse at cut={cut}/{len(blob)}")

@@ -169,6 +169,10 @@ class CountMinSketch:
         off += ncand * 4
         (klen,) = struct.unpack_from("<i", data, off)
         off += 4
+        if off + klen > len(data) or int(key_lens.sum()) != klen:
+            # bytes slicing would silently return SHORT keys on a torn
+            # write / truncated read — fail loudly instead
+            raise ValueError("truncated CountMin candidate keys")
         keys = []
         pos = off
         for ln in key_lens:
