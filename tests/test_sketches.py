@@ -396,3 +396,23 @@ def test_truncated_blob_fails_loudly(family):
         # complete state (i.e. only trailing no-op bytes were cut)
         assert fam.serialize(got) == full, (
             f"{family}: silent partial parse at cut={cut}/{len(blob)}")
+
+
+def test_truncated_hll_blob_fails_loudly():
+    """Same torn-write contract for the HLL++ proto parser: every
+    truncation raises (ValueError / IndexError from the bounded parse),
+    never a silently partial state."""
+    import numpy as np
+
+    from zetasketch_spark.hll import HllSketch
+
+    sk = HllSketch(precision=12, sparse_precision=16)
+    sk.add_longs(np.arange(3000, dtype=np.int64))
+    blob = sk.serialize()
+    full = HllSketch.deserialize(blob).serialize()
+    for cut in range(0, len(blob), max(1, len(blob) // 71)):
+        try:
+            got = HllSketch.deserialize(blob[:cut])
+        except (ValueError, IndexError):
+            continue
+        assert got.serialize() == full, f"silent partial parse at {cut}"
