@@ -584,6 +584,18 @@ def q_docs_hash_sample(spark, sf_dir):
     )
 
 
+def q_docs_repetition(spark, sf_dir):
+    """Gopher-style repetition filter signal: per-doc duplicate word
+    3-gram ratio — an exact function of the text, so DuckDB recomputes it
+    from string 3-grams directly. Top-50 most repetitive docs."""
+    from zetasketch_spark.operators.decontaminate import intra_doc_repetition
+
+    d = _t(spark, sf_dir, "documents")
+    return (intra_doc_repetition(d, ngram=3)
+            .orderBy(F.col("rep_ratio").desc(), F.col("doc_id"))
+            .limit(50))
+
+
 def q_simhash_near_dups(spark, sf_dir):
     """Ground-truth near-dup pairs + SimHash theorem booleans: any pair at
     Hamming ≤ 3 must be emitted (prefix-block guarantee) and everything
@@ -841,6 +853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_decontaminate": q_docs_decontaminate,
         "docs_top_tokens": q_docs_top_tokens,
         "docs_hash_sample": q_docs_hash_sample,
+        "docs_repetition": q_docs_repetition,
         "simhash_near_dups": q_simhash_near_dups,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1299,6 +1312,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, count(*) AS n_sampled,
                    min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
             FROM b WHERE bucket < 10 GROUP BY lang
+        """,
+        "docs_repetition": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '""" + _WS_CLASS + """'),
+                                 x -> x <> '') AS ws
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     list_transform(
+                         range(1, CASE WHEN len(ws) = 0 THEN 1
+                                      ELSE len(ws) - least(3, len(ws)) + 2 END),
+                         i -> array_to_string(ws[i:i+least(3,len(ws))-1], chr(31))) AS grams
+              FROM w
+            )
+            SELECT doc_id, len(grams) AS n_grams,
+                   len(list_distinct(grams)) AS n_distinct,
+                   CASE WHEN len(grams) > 0
+                        THEN round(1.0 - len(list_distinct(grams))::DOUBLE / len(grams), 4)
+                        ELSE 0.0 END AS rep_ratio
+            FROM g
+            ORDER BY rep_ratio DESC, doc_id
+            LIMIT 50
         """,
         "events_topk_rerank": """
             WITH c AS (

@@ -665,3 +665,22 @@ def test_decontaminate_exact_overlap_counts(spark):
     assert out[201] == 26         # whole 30-word doc -> 26 distinct grams
     # clean docs can share the odd gram by chance but not >= 3
     assert all(d in (200, 201) for d in out)
+
+
+def test_intra_doc_repetition_exact(spark):
+    """Repetition signal: a looping doc scores high, unique text near 0,
+    counts exact."""
+    from zetasketch_spark.operators.decontaminate import intra_doc_repetition
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["spam ham eggs " * 10,          # 30 words, 3 distinct 3-grams
+                 "a b c d e f g h i j",           # all distinct
+                 ""],
+    }))
+    out = {r["doc_id"]: r for r in intra_doc_repetition(df, ngram=3).collect()}
+    assert out[1]["n_grams"] == 28 and out[1]["n_distinct"] == 3
+    assert abs(out[1]["rep_ratio"] - round(1 - 3 / 28, 4)) < 1e-9
+    assert out[2]["n_grams"] == 8 and out[2]["n_distinct"] == 8
+    assert out[2]["rep_ratio"] == 0.0
+    assert out[3]["n_grams"] == 0 and out[3]["rep_ratio"] == 0.0

@@ -176,3 +176,43 @@ def contamination_filter(df: DataFrame, bloom_blob: bytes,
     return df.filter(
         _bloom_hits_udf(df.sparkSession, bloom_blob, shingle_k)(F.col(text_col))
         <= max_shared)
+
+
+def intra_doc_repetition(docs: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", ngram: int = 3) -> DataFrame:
+    """Gopher-style repetition signal (Rae et al. 2021, MassiveText
+    quality filters): per document, the fraction of duplicate word
+    n-grams — ``(id, n_grams, n_distinct, rep_ratio)``. High rep_ratio
+    flags boilerplate/looping text for removal before training.
+
+    One vectorized pass: the batch's gram hashes come from the shared
+    shingling kernel (two fingerprint passes total), per-doc totals via
+    bincount and distinct counts via one lexsort — no per-document Python
+    loop, no shuffle (a pure map; filter/aggregate downstream as
+    needed)."""
+    from zetasketch_spark.hashing import kgram_window_hashes, unique_per_doc
+
+    @pandas_udf("struct<n_grams:long, n_distinct:long>")
+    def rep_udf(texts: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        h, doc_of, n_docs = kgram_window_hashes(texts, ngram)
+        totals = np.bincount(doc_of, minlength=n_docs).astype(np.int64) \
+            if len(h) else np.zeros(n_docs, dtype=np.int64)
+        if len(h):
+            distinct = np.array(
+                [len(u) for u in unique_per_doc(h, doc_of, n_docs)],
+                dtype=np.int64)
+        else:
+            distinct = np.zeros(n_docs, dtype=np.int64)
+        return pd.DataFrame({"n_grams": totals, "n_distinct": distinct})
+
+    out = docs.select(F.col(id_col), rep_udf(F.col(text_col)).alias("_r"))
+    return out.select(
+        id_col,
+        F.col("_r.n_grams").alias("n_grams"),
+        F.col("_r.n_distinct").alias("n_distinct"),
+        F.when(F.col("_r.n_grams") > 0,
+               F.round(1.0 - F.col("_r.n_distinct") / F.col("_r.n_grams"), 4))
+        .otherwise(F.lit(0.0)).alias("rep_ratio"),
+    )
