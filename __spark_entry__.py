@@ -596,6 +596,27 @@ def q_docs_repetition(spark, sf_dir):
             .limit(50))
 
 
+def q_docs_gopher_filters(spark, sf_dir):
+    """Document-level Gopher quality rules (word-count bounds, mean word
+    length, alphabetic-word ratio) as pure Catalyst expressions — exact
+    arithmetic, so DuckDB recomputes every flag. Aggregated pass rates
+    per lang."""
+    from zetasketch_spark.functions.text import gopher_quality_flags
+
+    d = _t(spark, sf_dir, "documents")
+    flags = gopher_quality_flags("text")
+    for name, colexpr in flags.items():
+        d = d.withColumn(name, colexpr)
+    return (
+        d.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum(F.col("words_ok").cast("long")).alias("n_words_ok"),
+             F.sum(F.col("mean_len_ok").cast("long")).alias("n_mean_len_ok"),
+             F.sum(F.col("alpha_ok").cast("long")).alias("n_alpha_ok"),
+             F.round(F.avg("mean_word_len"), 4).alias("avg_mean_word_len"))
+    )
+
+
 def q_simhash_near_dups(spark, sf_dir):
     """Ground-truth near-dup pairs + SimHash theorem booleans: any pair at
     Hamming ≤ 3 must be emitted (prefix-block guarantee) and everything
@@ -854,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_top_tokens": q_docs_top_tokens,
         "docs_hash_sample": q_docs_hash_sample,
         "docs_repetition": q_docs_repetition,
+        "docs_gopher_filters": q_docs_gopher_filters,
         "simhash_near_dups": q_simhash_near_dups,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1335,6 +1357,32 @@ def oracle_sql() -> dict[str, str]:
             FROM g
             ORDER BY rep_ratio DESC, doc_id
             LIMIT 50
+        """,
+        "docs_gopher_filters": """
+            WITH w AS (
+              SELECT lang,
+                     list_filter(regexp_split_to_array(text, '""" + _WS_CLASS + """'),
+                                 x -> x <> '') AS ws
+              FROM documents
+            ), m AS (
+              SELECT lang, len(ws) AS n_words,
+                     CASE WHEN len(ws) > 0 THEN
+                       list_sum(list_transform(ws, x -> len(x)))::DOUBLE / len(ws)
+                     ELSE 0.0 END AS mean_len,
+                     CASE WHEN len(ws) > 0 THEN
+                       len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE
+                         / len(ws)
+                     ELSE 0.0 END AS alpha_ratio
+              FROM w
+            )
+            SELECT lang, count(*) AS n_docs,
+                   sum(CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END)
+                     AS n_words_ok,
+                   sum(CASE WHEN mean_len >= 3 AND mean_len <= 10 THEN 1 ELSE 0 END)
+                     AS n_mean_len_ok,
+                   sum(CASE WHEN alpha_ratio >= 0.8 THEN 1 ELSE 0 END) AS n_alpha_ok,
+                   round(avg(round(mean_len, 4)), 4) AS avg_mean_word_len
+            FROM m GROUP BY lang
         """,
         "events_topk_rerank": """
             WITH c AS (

@@ -105,3 +105,26 @@ def doc_fingerprint(text: str | Column) -> Column:
     engine-portable."""
     c = F.col(text) if isinstance(text, str) else text
     return F.md5(c)
+
+
+def gopher_quality_flags(text_col: str) -> dict[str, Column]:
+    """The document-level Gopher quality rules (Rae et al. 2021, table A1
+    subset) as pure Catalyst expressions — word count bounds, mean word
+    length bounds, and alphabetic-word ratio. Returns named boolean
+    columns; a doc passes the filter when all are true. No Python, no
+    shuffle: composes with any scan."""
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    total_chars = F.aggregate(words, F.lit(0),
+                              lambda acc, w: acc + F.length(w))
+    mean_len = F.when(n_words > 0, total_chars / n_words).otherwise(F.lit(0.0))
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
+    alpha_ratio = F.when(n_words > 0, alpha_words / n_words).otherwise(F.lit(0.0))
+    return {
+        "n_words": n_words.cast("long"),
+        "mean_word_len": F.round(mean_len, 4),
+        "alpha_ratio": F.round(alpha_ratio, 4),
+        "words_ok": (n_words >= 50) & (n_words <= 100_000),
+        "mean_len_ok": (mean_len >= 3) & (mean_len <= 10),
+        "alpha_ok": alpha_ratio >= 0.8,
+    }
