@@ -605,8 +605,7 @@ def q_docs_gopher_filters(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     flags = gopher_quality_flags("text")
-    for name, colexpr in flags.items():
-        d = d.withColumn(name, colexpr)
+    d = d.select("lang", *(c.alias(n) for n, c in flags.items()))
     return (
         d.groupBy("lang")
         .agg(F.count("*").alias("n_docs"),

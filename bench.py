@@ -55,6 +55,10 @@ def main():
     spark = get_spark(app="zetasketch-bench", cpus=cpus, shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
+    N_TRANSCRIPT_TRIALS = 3   # first trial often pays cold page cache
+    N_HEADLINE_TRIALS = 2     # single trials carry ±50% machine noise
+    N_SF1_TRIALS = 1
+
     # warm up the JVM + python worker pool so per-query times measure the
     # queries, not session startup
     import pyspark.sql.functions as F
@@ -73,12 +77,15 @@ def main():
     # touch the input tables once (untimed) so per-query numbers measure
     # compute, not first-read page-cache misses (count() alone is answered
     # from parquet metadata — hash every column to force real data reads)
-    for t in ("documents", "embeddings", "events", "lineitem", "orders",
-              "customer"):
-        tdf = spark.read.parquet(f"{sf_dir}/{t}.parquet")
-        cols = [c for c in tdf.columns
-                if not str(tdf.schema[c].dataType).startswith("ArrayType")]
-        tdf.select(F.count(F.xxhash64(*cols))).collect()
+    def _warm_tables(d):
+        for t in ("documents", "embeddings", "events", "lineitem", "orders",
+                  "customer"):
+            tdf = spark.read.parquet(f"{d}/{t}.parquet")
+            cols = [c for c in tdf.columns
+                    if not str(tdf.schema[c].dataType).startswith("ArrayType")]
+            tdf.select(F.count(F.xxhash64(*cols))).collect()
+
+    _warm_tables(sf_dir)
     spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
         .select(F.sum(F.size("embedding"))).collect()
 
@@ -102,7 +109,7 @@ def main():
                               rows_per_file=1_250_000)
     fam = HllFamily(precision=15)
     best = None
-    for _ in range(3):  # first trial often pays page-cache cold cost
+    for _ in range(N_TRANSCRIPT_TRIALS):
         t0 = time.time()
         out = sketch_agg_rdd(spark, tdir, ["role", "day"], "conv_id", fam,
                              derived_keys={"day": ("to_date", "ts")})
@@ -114,7 +121,7 @@ def main():
 
     # north-star secondary metric: approx distinct of the full turn text
     best_txt = None
-    for _ in range(3):
+    for _ in range(N_TRANSCRIPT_TRIALS):
         t0 = time.time()
         sketch_agg_rdd(spark, tdir, ["role"], "text", fam).count()
         tsec = time.time() - t0
@@ -122,20 +129,12 @@ def main():
     timings["transcripts_hll_text"] = round(best_txt, 3)
 
 
-    def _warm_tables(d):
-        for t in ("documents", "embeddings", "events", "lineitem", "orders",
-                  "customer"):
-            tdf = spark.read.parquet(f"{d}/{t}.parquet")
-            cols = [c for c in tdf.columns
-                    if not str(tdf.schema[c].dataType).startswith("ArrayType")]
-            tdf.select(F.count(F.xxhash64(*cols))).collect()
-
     # best-of-2 per query: this box's page-cache/compaction churn adds
     # ±50% noise to sub-second single trials, which false-fires the
     # regression detector on untouched queries
     for name in HEADLINE:
         best = None
-        for _ in range(2):
+        for _ in range(N_HEADLINE_TRIALS):
             t0 = time.time()
             df = qs[name](spark, sf_dir)
             df.count() if hasattr(df, "count") else len(df)
@@ -212,7 +211,8 @@ def main():
         "sf1_queries": sf1_timings,
         "sf1_total": round(sum(sf1_timings.values()), 3),
         "extra_queries": extra_timings,
-        "trials": {"headline_sf": 2, "sf1": 1, "transcripts": 3},
+        "trials": {"headline_sf": N_HEADLINE_TRIALS, "sf1": N_SF1_TRIALS,
+                   "transcripts": N_TRANSCRIPT_TRIALS},
     }))
     spark.stop()
 

@@ -107,13 +107,22 @@ def doc_fingerprint(text: str | Column) -> Column:
     return F.md5(c)
 
 
+#: Java-regex class matching the characters Python str.split() treats as
+#: whitespace (Java \s alone is ASCII-only) — the ONE tokenization
+#: contract shared with hashing.kgram_window_hashes and the DuckDB
+#: oracles' _WS_CLASS; NBSP/NEL/Unicode-space documents must count words
+#: identically everywhere.
+UNICODE_WS = (r"[\s\u001c-\u001f\u0085\u00a0\u1680"
+              r"\u2000-\u200a\u2028\u2029\u202f\u205f\u3000]+")
+
+
 def gopher_quality_flags(text_col: str) -> dict[str, Column]:
     """The document-level Gopher quality rules (Rae et al. 2021, table A1
     subset) as pure Catalyst expressions — word count bounds, mean word
     length bounds, and alphabetic-word ratio. Returns named boolean
     columns; a doc passes the filter when all are true. No Python, no
     shuffle: composes with any scan."""
-    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    words = F.filter(F.split(F.col(text_col), UNICODE_WS), lambda w: w != "")
     n_words = F.size(words)
     total_chars = F.aggregate(words, F.lit(0),
                               lambda acc, w: acc + F.length(w))

@@ -147,6 +147,17 @@ def kgram_window_hashes(texts, k: int) -> tuple[np.ndarray, np.ndarray, int]:
     return fingerprint_bytes_batch(wh.view(np.uint8), off, lens), doc_of, n_docs
 
 
+def unique_counts_per_doc(h: np.ndarray, doc_of: np.ndarray,
+                          n_docs: int) -> np.ndarray:
+    """Per-document DISTINCT-hash counts, fully vectorized (one lexsort +
+    adjacent-dedupe + bincount; no per-doc arrays)."""
+    order = np.lexsort((h, doc_of))
+    hs, ds = h[order], doc_of[order]
+    keep = np.ones(len(hs), dtype=bool)
+    keep[1:] = (ds[1:] != ds[:-1]) | (hs[1:] != hs[:-1])
+    return np.bincount(ds[keep], minlength=n_docs).astype(np.int64)
+
+
 def unique_per_doc(h: np.ndarray, doc_of: np.ndarray,
                    n_docs: int) -> list[np.ndarray]:
     """Sorted unique hashes per document from flat ``(hash, doc)`` pairs:

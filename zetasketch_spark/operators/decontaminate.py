@@ -190,21 +190,19 @@ def intra_doc_repetition(docs: DataFrame, text_col: str = "text",
     bincount and distinct counts via one lexsort — no per-document Python
     loop, no shuffle (a pure map; filter/aggregate downstream as
     needed)."""
-    from zetasketch_spark.hashing import kgram_window_hashes, unique_per_doc
+    from zetasketch_spark.hashing import (
+        kgram_window_hashes, unique_counts_per_doc)
 
     @pandas_udf("struct<n_grams:long, n_distinct:long>")
     def rep_udf(texts: pd.Series) -> pd.DataFrame:
         import numpy as np
 
         h, doc_of, n_docs = kgram_window_hashes(texts, ngram)
-        totals = np.bincount(doc_of, minlength=n_docs).astype(np.int64) \
-            if len(h) else np.zeros(n_docs, dtype=np.int64)
         if len(h):
-            distinct = np.array(
-                [len(u) for u in unique_per_doc(h, doc_of, n_docs)],
-                dtype=np.int64)
+            totals = np.bincount(doc_of, minlength=n_docs).astype(np.int64)
+            distinct = unique_counts_per_doc(h, doc_of, n_docs)
         else:
-            distinct = np.zeros(n_docs, dtype=np.int64)
+            totals = distinct = np.zeros(n_docs, dtype=np.int64)
         return pd.DataFrame({"n_grams": totals, "n_distinct": distinct})
 
     out = docs.select(F.col(id_col), rep_udf(F.col(text_col)).alias("_r"))
