@@ -616,6 +616,33 @@ def q_docs_gopher_filters(spark, sf_dir):
     )
 
 
+def q_docs_pii_scrub(spark, sf_dir):
+    """PII detection + redaction (pure Catalyst regexp, no Python in the
+    hot path): plant deterministic synthetic PII (the corpus has none),
+    count per pattern, redact, and prove the redaction left zero residual
+    matches. Every number is an exact function of the text, recomputed by
+    DuckDB over the same RE2/Java-common patterns."""
+    from zetasketch_spark.functions.pii import pii_counts, pii_scrub, plant_pii
+
+    d = pii_scrub(plant_pii(_t(spark, sf_dir, "documents")))
+    residual = None
+    for n, c in pii_counts("redacted").items():
+        residual = c if residual is None else residual + c
+    return (
+        d.withColumn("residual", residual)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_email").alias("n_email"),
+             F.sum("n_credit_card").alias("n_credit_card"),
+             F.sum("n_ssn").alias("n_ssn"),
+             F.sum("n_phone").alias("n_phone"),
+             F.sum("n_ipv4").alias("n_ipv4"),
+             F.sum(F.col("has_pii").cast("long")).alias("n_docs_with_pii"),
+             F.sum("residual").alias("redact_residual"),
+             F.sum(F.length("redacted")).alias("sum_redacted_chars"))
+    )
+
+
 def q_simhash_near_dups(spark, sf_dir):
     """Ground-truth near-dup pairs + SimHash theorem booleans: any pair at
     Hamming ≤ 3 must be emitted (prefix-block guarantee) and everything
@@ -875,6 +902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_hash_sample": q_docs_hash_sample,
         "docs_repetition": q_docs_repetition,
         "docs_gopher_filters": q_docs_gopher_filters,
+        "docs_pii_scrub": q_docs_pii_scrub,
         "simhash_near_dups": q_simhash_near_dups,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -972,6 +1000,57 @@ _PLANTED = """
       SELECT * FROM base UNION ALL SELECT * FROM planted
     )
 """
+
+
+def _pii_oracle_sql() -> str:
+    """DuckDB twin of q_docs_pii_scrub, interpolating the SAME pattern
+    strings from functions/pii.py (common Java-regex/RE2 subset) so the
+    two engines can never drift."""
+    from zetasketch_spark.functions.pii import PII_PATTERNS
+
+    plant = (
+        "text"
+        " || CASE WHEN doc_id % 7 = 0 THEN ' user' || CAST(doc_id AS VARCHAR)"
+        "          || '@example.com' ELSE '' END"
+        " || CASE WHEN doc_id % 11 = 3 THEN ' 415-555-'"
+        "          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+        " || CASE WHEN doc_id % 13 = 5 THEN ' 10.' || CAST(doc_id % 200 AS VARCHAR)"
+        "          || '.0.' || CAST(doc_id % 250 AS VARCHAR) ELSE '' END"
+        " || CASE WHEN doc_id % 17 = 2 THEN ' 123-45-'"
+        "          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+        " || CASE WHEN doc_id % 19 = 7 THEN ' 4111-1111-1111-'"
+        "          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+    )
+    red = "t"
+    for pat, tag in PII_PATTERNS.values():
+        red = f"regexp_replace({red}, '{pat}', '{tag}', 'g')"
+    counts = ",\n                     ".join(
+        f"len(regexp_extract_all(t, '{pat}')) AS n_{name}"
+        for name, (pat, _tag) in PII_PATTERNS.items())
+    residual = " + ".join(
+        f"len(regexp_extract_all(red, '{pat}'))"
+        for pat, _tag in PII_PATTERNS.values())
+    return f"""
+        WITH planted AS (
+          SELECT lang, {plant} AS t FROM documents
+        ), c AS (
+          SELECT lang, t,
+                     {counts},
+                 {red} AS red
+          FROM planted
+        )
+        SELECT lang, count(*) AS n_docs,
+               sum(n_email) AS n_email,
+               sum(n_credit_card) AS n_credit_card,
+               sum(n_ssn) AS n_ssn,
+               sum(n_phone) AS n_phone,
+               sum(n_ipv4) AS n_ipv4,
+               sum(CASE WHEN n_email + n_credit_card + n_ssn + n_phone
+                             + n_ipv4 > 0 THEN 1 ELSE 0 END) AS n_docs_with_pii,
+               sum({residual}) AS redact_residual,
+               sum(len(red)) AS sum_redacted_chars
+        FROM c GROUP BY lang
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1383,6 +1462,7 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(round(mean_len, 4)), 4) AS avg_mean_word_len
             FROM m GROUP BY lang
         """,
+        "docs_pii_scrub": _pii_oracle_sql(),
         "events_topk_rerank": """
             WITH c AS (
               SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS exact_count

@@ -684,3 +684,73 @@ def test_intra_doc_repetition_exact(spark):
     assert out[2]["n_grams"] == 8 and out[2]["n_distinct"] == 8
     assert out[2]["rep_ratio"] == 0.0
     assert out[3]["n_grams"] == 0 and out[3]["rep_ratio"] == 0.0
+
+
+def test_pii_scrub(spark):
+    """PII detect + redact: counts per pattern, no cross-pattern matches
+    on adjacent-shaped numbers, and redaction leaves zero residual."""
+    import pandas as pd
+
+    from zetasketch_spark.functions.pii import pii_counts, pii_scrub
+
+    rows = pd.DataFrame({
+        "doc_id": range(6),
+        "text": [
+            "reach me at jane.doe+spam@mail.example.org today",
+            "card 4111-1111-1111-1234 on file",
+            "ssn 123-45-6789 phone 415-555-0199",
+            "server at 10.0.0.1 and 192.168.255.254",
+            "no pii here at all",
+            "a@b.co 4111 1111 1111 9999 987-65-4321 212-555-0000 8.8.8.8",
+        ],
+    })
+    out = {r["doc_id"]: r for r in
+           pii_scrub(spark.createDataFrame(rows)).collect()}
+
+    assert (out[0]["n_email"], out[0]["has_pii"]) == (1, True)
+    assert out[1]["n_credit_card"] == 1
+    # the card number must NOT also count as phone/ssn (\b guards)
+    assert out[1]["n_phone"] == 0 and out[1]["n_ssn"] == 0
+    assert (out[2]["n_ssn"], out[2]["n_phone"]) == (1, 1)
+    assert out[3]["n_ipv4"] == 2
+    assert out[4]["has_pii"] is False and out[4]["redacted"] == out[4]["text"]
+    # space-separated card + every other family at once
+    r5 = out[5]
+    assert (r5["n_email"], r5["n_credit_card"], r5["n_ssn"],
+            r5["n_phone"], r5["n_ipv4"]) == (1, 1, 1, 1, 1)
+    assert r5["redacted"] == "<EMAIL> <CC> <SSN> <PHONE> <IP>"
+
+    # redaction is total: zero residual matches in every redacted text
+    red = pii_scrub(spark.createDataFrame(rows)).select(
+        *pii_counts("redacted").values())
+    assert all(v == 0 for row in red.collect() for v in row)
+
+
+def test_pii_planting_matches_duckdb(spark):
+    """plant_pii and the oracle's SQL CASE chain build byte-identical
+    planted text (the cross-engine contract the gate rides on)."""
+    import duckdb
+
+    from zetasketch_spark.functions.pii import plant_pii
+
+    SF_DIR = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = {r["doc_id"]: r["text"]
+           for r in plant_pii(docs).select("doc_id", "text").collect()}
+
+    con = duckdb.connect()
+    exp = con.execute(f"""
+        SELECT doc_id, text
+          || CASE WHEN doc_id % 7 = 0 THEN ' user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com' ELSE '' END
+          || CASE WHEN doc_id % 11 = 3 THEN ' 415-555-'
+                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+          || CASE WHEN doc_id % 13 = 5 THEN ' 10.' || CAST(doc_id % 200 AS VARCHAR)
+                   || '.0.' || CAST(doc_id % 250 AS VARCHAR) ELSE '' END
+          || CASE WHEN doc_id % 17 = 2 THEN ' 123-45-'
+                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+          || CASE WHEN doc_id % 19 = 7 THEN ' 4111-1111-1111-'
+                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+        FROM read_parquet('{SF_DIR}/documents.parquet')
+    """).fetchall()
+    assert {d: t for d, t in exp} == got
