@@ -754,3 +754,48 @@ def test_pii_planting_matches_duckdb(spark):
         FROM read_parquet('{SF_DIR}/documents.parquet')
     """).fetchall()
     assert {d: t for d, t in exp} == got
+
+
+def test_png_codec_roundtrip_and_variants():
+    """PNG: lossless round-trip through all five scanline filters (the
+    encoder cycles filter = row % 5), plus hand-built gray/gray-alpha/RGBA
+    payloads for the color types the encoder doesn't emit."""
+    import struct
+    import zlib
+
+    from zetasketch_spark.operators.multimodal import (
+        _PNG_SIG, _png_chunk, decode_image, encode_png)
+
+    rng = np.random.default_rng(11)
+    for h, w in [(1, 1), (5, 3), (23, 17), (64, 64)]:
+        rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        out = decode_image(encode_png(rgb))
+        assert out.shape == (h, w, 3) and (out == rgb).all()
+
+    def make(ctype, nch, px):
+        h, w = px.shape[:2]
+        lines = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+                + _png_chunk(b"IDAT", zlib.compress(lines))
+                + _png_chunk(b"IEND", b""))
+
+    gray = rng.integers(0, 256, size=(4, 6, 1), dtype=np.uint8)
+    out = decode_image(make(0, 1, gray))
+    assert (out == np.repeat(gray, 3, axis=2)).all()
+
+    ga = rng.integers(0, 256, size=(4, 6, 2), dtype=np.uint8)
+    out = decode_image(make(4, 2, ga))
+    assert (out == np.repeat(ga[:, :, :1], 3, axis=2)).all()
+
+    rgba = rng.integers(0, 256, size=(4, 6, 4), dtype=np.uint8)
+    out = decode_image(make(6, 4, rgba))
+    assert (out == rgba[:, :, :3]).all()
+
+    # corrupt DEFLATE stream: loud failure, deterministic fake on request
+    bad = encode_png(np.zeros((2, 2, 3), np.uint8))
+    bad = bad[:40] + bytes([bad[40] ^ 0xFF]) + bad[41:]
+    with pytest.raises((ValueError, NotImplementedError, Exception)):
+        decode_image(bad)
+    fake = decode_image(bad, deterministic_fake=True)
+    assert fake.shape == (8, 64)  # the documented fake block shape

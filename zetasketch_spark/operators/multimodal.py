@@ -8,9 +8,11 @@ Decode is REAL for headerful raster/PCM formats, implemented in pure numpy
 
 * **BMP** (24-bit uncompressed BITMAPINFOHEADER, bottom-up or top-down)
 * **PPM** (binary P6, maxval 255)
+* **PNG** (8-bit gray/RGB/GA/RGBA, non-interlaced, all five scanline
+  filters; stdlib zlib for the DEFLATE stream)
 * **WAV** (RIFF PCM16, mono or interleaved multi-channel)
 
-Exotic codecs (JPEG/PNG/MP4) still raise ``NotImplementedError`` unless
+Exotic codecs (JPEG/MP4) still raise ``NotImplementedError`` unless
 ``deterministic_fake=True``, which derives a fake-but-deterministic
 "decoded" block from the payload bytes so the downstream plumbing keeps
 working for those formats too.
@@ -19,6 +21,7 @@ working for those formats too.
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 import pandas as pd
@@ -59,6 +62,54 @@ def encode_bmp(rgb: np.ndarray) -> bytes:
     header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(data), 0, 0, 14 + 40)
     info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
     return header + info + data
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+
+def encode_png(rgb: np.ndarray) -> bytes:
+    """Real PNG (8-bit RGB, color type 2, non-interlaced) from an
+    (h, w, 3) uint8 array — pure numpy + stdlib zlib. Each scanline uses
+    filter ``row % 5``, so a decoder must handle None/Sub/Up/Average/
+    Paeth to read our own output (the round-trip test exercises all
+    five)."""
+    rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
+    h, w, _ = rgb.shape
+    bpp = 3
+    rows = rgb.reshape(h, w * bpp).astype(np.int16)
+    prior = np.zeros(w * bpp, dtype=np.int16)
+    out = bytearray()
+    for y in range(h):
+        cur = rows[y]
+        left = np.concatenate([np.zeros(bpp, np.int16), cur[:-bpp]])
+        ul = np.concatenate([np.zeros(bpp, np.int16), prior[:-bpp]])
+        ft = y % 5
+        if ft == 0:
+            filt = cur
+        elif ft == 1:
+            filt = cur - left
+        elif ft == 2:
+            filt = cur - prior
+        elif ft == 3:
+            filt = cur - (left + prior) // 2
+        else:
+            p = left + prior - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prior), np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prior, ul))
+            filt = cur - pred
+        out.append(ft)
+        out += (filt & 0xFF).astype(np.uint8).tobytes()
+        prior = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(out), 6))
+            + _png_chunk(b"IEND", b""))
 
 
 def encode_wav(samples: np.ndarray, rate: int = 16000, channels: int = 1) -> bytes:
@@ -122,10 +173,81 @@ def _decode_ppm(payload: bytes) -> np.ndarray:
     return raw.reshape(h, w, 3).astype(np.float64)
 
 
+def _decode_png(payload: bytes) -> np.ndarray:
+    """Pure numpy+zlib PNG decoder: 8-bit depth, color types 0/2/4/6,
+    non-interlaced, all five scanline filters. Sub rows unfilter via a
+    per-channel cumsum; Average/Paeth rows walk pixels (left-neighbor
+    dependency is inherently sequential). Alpha is dropped, gray is
+    broadcast — the contract is an (h, w, 3) float64 RGB block."""
+    pos, idat = 8, bytearray()
+    w = h = nch = None
+    while pos + 8 <= len(payload):
+        ln, = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, flt, interlace = struct.unpack(">IIBBBBB", body)
+            nch = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+            if depth != 8 or comp or flt or interlace or nch is None:
+                raise NotImplementedError(
+                    f"PNG variant unsupported (depth={depth}, color={ctype}, "
+                    f"interlace={interlace})")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if raw.size != h * (w * nch + 1):
+        raise ValueError("PNG IDAT size mismatch")
+    raw = raw.reshape(h, w * nch + 1)
+    recon = np.zeros((h, w * nch), dtype=np.int32)
+    prior = np.zeros(w * nch, dtype=np.int32)
+    for y in range(h):
+        ft, filt = int(raw[y, 0]), raw[y, 1:].astype(np.int32)
+        if ft == 0:
+            row = filt
+        elif ft == 1:  # Sub: cumsum per channel (mod-256 distributes)
+            row = filt.copy()
+            for c in range(nch):
+                row[c::nch] = np.cumsum(filt[c::nch], dtype=np.int64) & 0xFF
+        elif ft == 2:  # Up
+            row = (filt + prior) & 0xFF
+        elif ft in (3, 4):  # Average/Paeth: sequential left dependency
+            row = np.zeros_like(filt)
+            left = np.zeros(nch, dtype=np.int32)
+            for x in range(w):
+                s = slice(x * nch, (x + 1) * nch)
+                up = prior[s]
+                if ft == 3:
+                    pred = (left + up) >> 1
+                else:
+                    ul = prior[x * nch - nch : x * nch] if x else \
+                        np.zeros(nch, dtype=np.int32)
+                    p = left + up - ul
+                    pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+                    pred = np.where((pa <= pb) & (pa <= pc), left,
+                                    np.where(pb <= pc, up, ul))
+                left = (filt[s] + pred) & 0xFF
+                row[s] = left
+        else:
+            raise ValueError(f"PNG filter {ft} invalid")
+        recon[y] = row
+        prior = row
+    px = recon.reshape(h, w, nch).astype(np.float64)
+    if nch == 1:
+        return np.repeat(px, 3, axis=2)
+    if nch == 2:  # gray + alpha: drop alpha, broadcast gray
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3]  # RGB / RGBA (alpha dropped)
+
+
 def decode_image(payload: bytes, deterministic_fake: bool = False) -> np.ndarray:
-    """Decode a BMP or binary-PPM payload to an (h, w, 3) float64 RGB
-    array — pure numpy, no image library. Other formats (JPEG/PNG/...)
-    need codecs absent from this container and raise unless
+    """Decode a BMP, binary-PPM, or PNG payload to an (h, w, 3) float64
+    RGB array — pure numpy + stdlib zlib, no image library. Other formats
+    (JPEG/...) need codecs absent from this container and raise unless
     ``deterministic_fake`` is set."""
     payload = bytes(payload)
     try:
@@ -133,14 +255,16 @@ def decode_image(payload: bytes, deterministic_fake: bool = False) -> np.ndarray
             return _decode_bmp(payload)
         if payload[:2] == b"P6":
             return _decode_ppm(payload)
-    except (ValueError, struct.error, NotImplementedError):
+        if payload[:8] == _PNG_SIG:
+            return _decode_png(payload)
+    except (ValueError, struct.error, zlib.error, NotImplementedError):
         # malformed header: arbitrary bytes can start with a magic pair —
         # fall through to the fake path (or raise) instead of crashing
         if not deterministic_fake:
             raise
     if not deterministic_fake:
         raise NotImplementedError(
-            "only BMP/PPM decode in pure numpy; JPEG/PNG need libjpeg/PIL "
+            "only BMP/PPM/PNG decode in pure numpy; JPEG needs libjpeg/PIL "
             "(absent here) — pass deterministic_fake=True for plumbing tests")
     h = np.frombuffer(payload[:64].ljust(64, b"\0"), dtype=np.uint8)
     return np.tile(h, (8, 1)).astype(np.float64)  # fake 8x64 'pixel' block
@@ -208,8 +332,10 @@ def synthesize_media(spark, n: int = 256, seed: int = 42) -> DataFrame:
         if kind == "image":
             h, w = int(rng.integers(4, 32)), int(rng.integers(4, 32))
             rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-            payload = encode_bmp(rgb) if i % 2 else encode_ppm(rgb)
-            mime = "image/bmp" if i % 2 else "image/x-portable-pixmap"
+            enc = (encode_ppm, encode_bmp, encode_png)[i % 3]
+            payload = enc(rgb)
+            mime = ("image/x-portable-pixmap", "image/bmp",
+                    "image/png")[i % 3]
             dur = 0
         elif kind == "audio":
             dur = int(rng.integers(100, 2000))
