@@ -189,7 +189,13 @@ def test_multimodal_plumbing(spark):
     feats = extract_features(media, deterministic_fake=True)
     rows = feats.collect()
     assert len(rows) == 48
-    assert all(r["feature_dim"] == 512 for r in rows if r["kind"] == "video")
+    mimes = {r["media_id"]: r["mime"] for r in media.select("media_id", "mime").collect()}
+    # opaque mp4 payloads take the deterministic-fake 8x64 block; real AVI
+    # payloads decode for real (frames * h * w * 3 pixels)
+    assert all(r["feature_dim"] == 512 for r in rows
+               if r["kind"] == "video" and mimes[r["media_id"]] == "video/mp4")
+    assert any(r["feature_dim"] != 512 for r in rows
+               if r["kind"] == "video" and mimes[r["media_id"]] == "video/x-msvideo")
     assert all(r["feature_dim"] > 0 for r in rows)
     with pytest.raises(NotImplementedError):
         decode_image(b"xx", deterministic_fake=False)
@@ -799,3 +805,27 @@ def test_png_codec_roundtrip_and_variants():
         decode_image(bad)
     fake = decode_image(bad, deterministic_fake=True)
     assert fake.shape == (8, 64)  # the documented fake block shape
+
+
+def test_avi_video_codec_and_frame_sampling():
+    """Uncompressed AVI: exact frame round-trip, fps from the header, and
+    real nearest-timestamp frame sampling."""
+    from zetasketch_spark.operators.multimodal import (
+        decode_video, encode_avi, sample_frames)
+
+    rng = np.random.default_rng(31)
+    frames = rng.integers(0, 256, size=(6, 9, 7, 3), dtype=np.uint8)
+    payload = encode_avi(frames, fps=5)
+    dec, fps = decode_video(payload)
+    assert fps == 5.0 and dec.shape == (6, 9, 7, 3)
+    assert (dec == frames).all()
+
+    # 6 frames at 5 fps = 1200 ms; sampling every 400 ms -> frames 0, 2, 4
+    got = sample_frames(payload, duration_ms=1200, every_ms=400)
+    assert len(got) == 3
+    for g, idx in zip(got, (0, 2, 4)):
+        assert (g == frames[idx]).all()
+
+    # compressed containers still refuse without the fake
+    with pytest.raises(NotImplementedError):
+        sample_frames(b"\x00\x00\x00\x18ftypmp42" + bytes(64), 1000)

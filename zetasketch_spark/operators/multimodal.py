@@ -11,6 +11,8 @@ Decode is REAL for headerful raster/PCM formats, implemented in pure numpy
 * **PNG** (8-bit gray/RGB/GA/RGBA, non-interlaced, all five scanline
   filters; stdlib zlib for the DEFLATE stream)
 * **WAV** (RIFF PCM16, mono or interleaved multi-channel)
+* **AVI** (RIFF uncompressed 24-bit BI_RGB video) — including real
+  nearest-timestamp frame sampling
 
 Exotic codecs (JPEG/MP4) still raise ``NotImplementedError`` unless
 ``deterministic_fake=True``, which derives a fake-but-deterministic
@@ -110,6 +112,84 @@ def encode_png(rgb: np.ndarray) -> bytes:
     return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
             + _png_chunk(b"IDAT", zlib.compress(bytes(out), 6))
             + _png_chunk(b"IEND", b""))
+
+
+def _riff_chunk(tag: bytes, body: bytes) -> bytes:
+    return tag + struct.pack("<I", len(body)) + body + (b"\0" * (len(body) & 1))
+
+
+def _riff_list(kind: bytes, body: bytes) -> bytes:
+    return _riff_chunk(b"LIST", kind + body)
+
+
+def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
+    """Real uncompressed AVI (RIFF 'AVI ', 'vids'/'DIB ' stream, 24-bit
+    BI_RGB bottom-up BGR frames) from an (n, h, w, 3) uint8 array — the
+    standard raw-video container, readable by any AVI tool. Pure struct +
+    numpy."""
+    frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    n, h, w, _ = frames.shape
+    stride = (w * 3 + 3) & ~3
+    dib = np.zeros((n, h, stride), dtype=np.uint8)
+    dib[:, :, : w * 3] = frames[:, ::-1, :, ::-1].reshape(n, h, w * 3)
+    frame_bytes = h * stride
+    avih = struct.pack("<IIIIIIIIIIIIII",
+                       1_000_000 // fps, frame_bytes * fps, 0, 0x10, n, 0,
+                       1, frame_bytes, w, h, 0, 0, 0, 0)
+    strh = struct.pack("<4s4sIHHIIIIIIIIhhhh",
+                       b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, n,
+                       frame_bytes, 0xFFFFFFFF & -1, 0, 0, 0, w, h)
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes,
+                       2835, 2835, 0, 0)
+    hdrl = _riff_list(b"hdrl",
+                      _riff_chunk(b"avih", avih)
+                      + _riff_list(b"strl", _riff_chunk(b"strh", strh)
+                                   + _riff_chunk(b"strf", strf)))
+    movi = _riff_list(b"movi", b"".join(
+        _riff_chunk(b"00db", dib[i].tobytes()) for i in range(n)))
+    return _riff_chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def decode_video(payload: bytes) -> tuple[np.ndarray, float]:
+    """Decode an uncompressed 24-bit AVI payload to ``((n, h, w, 3)
+    float64 RGB frames, fps)``. Walks the RIFF tree for avih (dims,
+    frame interval) and the movi '00db'/'00dc' chunks."""
+    payload = bytes(payload)
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise NotImplementedError("only RIFF/AVI video decode is supported")
+    us_per_frame = w = h = None
+    raw_frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal us_per_frame, w, h
+        while pos + 8 <= end:
+            tag = payload[pos : pos + 4]
+            size, = struct.unpack_from("<I", payload, pos + 4)
+            body = pos + 8
+            if tag == b"LIST":
+                walk(body + 4, body + size)
+            elif tag == b"avih":
+                us_per_frame, = struct.unpack_from("<I", payload, body)
+                w, h = struct.unpack_from("<II", payload, body + 32)
+            elif tag == b"strf":
+                bpp, = struct.unpack_from("<H", payload, body + 14)
+                comp, = struct.unpack_from("<I", payload, body + 16)
+                if bpp != 24 or comp != 0:
+                    raise NotImplementedError(
+                        f"AVI codec unsupported (bpp={bpp}, comp={comp})")
+            elif tag[2:] in (b"db", b"dc") and size:
+                raw_frames.append(payload[body : body + size])
+            pos = body + size + (size & 1)
+
+    walk(12, len(payload))
+    if not (us_per_frame and w and h and raw_frames):
+        raise ValueError("AVI missing avih/movi data")
+    stride = (w * 3 + 3) & ~3
+    out = np.empty((len(raw_frames), h, w, 3), dtype=np.float64)
+    for i, fb in enumerate(raw_frames):
+        rows = np.frombuffer(fb, np.uint8, count=h * stride).reshape(h, stride)
+        out[i] = rows[::-1, : w * 3].reshape(h, w, 3)[:, :, ::-1]
+    return out, 1_000_000.0 / us_per_frame
 
 
 def encode_wav(samples: np.ndarray, rate: int = 16000, channels: int = 1) -> bytes:
@@ -305,13 +385,23 @@ def resize_image(block: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 
 def sample_frames(payload: bytes, duration_ms: int, every_ms: int = 1000,
                   deterministic_fake: bool = False) -> list[np.ndarray]:
-    """STUB for video: real frame extraction needs ffmpeg (absent); the
-    deterministic fake derives one block per sampled timestamp so the
-    batch shapes downstream are real."""
+    """Frame sampling at a fixed period. REAL for uncompressed AVI
+    payloads (decode_video): picks the frame nearest each sampled
+    timestamp. Compressed containers (MP4/...) need ffmpeg (absent) and
+    raise, unless ``deterministic_fake`` derives one block per sampled
+    timestamp so the batch shapes downstream stay real."""
+    payload = bytes(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        frames, fps = decode_video(payload)
+        n_samples = max(1, int(duration_ms // every_ms))
+        idx = np.minimum((np.arange(n_samples) * every_ms / 1000.0 * fps)
+                         .astype(np.int64), len(frames) - 1)
+        return [frames[i] for i in idx]
     if not deterministic_fake:
         raise NotImplementedError(
-            "video decode requires ffmpeg which is not available in this "
-            "environment; pass deterministic_fake=True for plumbing tests")
+            "compressed video decode requires ffmpeg which is not available "
+            "in this environment; pass deterministic_fake=True for plumbing "
+            "tests (uncompressed AVI decodes for real)")
     n = max(1, duration_ms // every_ms)
     return [decode_image(payload[i:] + payload[:i], deterministic_fake=True)
             for i in range(min(n, 8))]
@@ -322,8 +412,10 @@ def sample_frames(payload: bytes, duration_ms: int, every_ms: int = 1000,
 # ---------------------------------------------------------------------------
 
 def synthesize_media(spark, n: int = 256, seed: int = 42) -> DataFrame:
-    """Deterministic media table with REAL payloads: PPM/BMP images and
-    PCM16 WAV audio (decodable above); video payloads stay opaque bytes."""
+    """Deterministic media table with REAL payloads: PPM/BMP/PNG images,
+    PCM16 WAV audio, and (every other video row) uncompressed AVI — all
+    decodable above; the rest of the video rows stay opaque mp4 bytes to
+    exercise the honest-stub path."""
     rng = np.random.default_rng(seed)
     kinds = np.array(["image", "audio", "video"], dtype=object)
     rows = []
@@ -342,7 +434,13 @@ def synthesize_media(spark, n: int = 256, seed: int = 42) -> DataFrame:
             t = np.arange(int(16000 * dur / 1000)) / 16000.0
             payload = encode_wav(0.5 * np.sin(2 * np.pi * rng.integers(80, 2000) * t))
             mime, h, w = "audio/wav", 0, 0
-        else:
+        elif (i // 3) % 2 == 0:  # real uncompressed AVI video
+            nf, fps = int(rng.integers(2, 6)), 10
+            h, w = int(rng.integers(4, 16)), int(rng.integers(4, 16))
+            payload = encode_avi(
+                rng.integers(0, 256, size=(nf, h, w, 3), dtype=np.uint8), fps)
+            mime, dur = "video/x-msvideo", nf * 1000 // fps
+        else:  # opaque compressed container (decoder honestly absent)
             size = int(rng.integers(256, 4096))
             payload = rng.integers(0, 256, size=size, dtype=np.uint8).tobytes()
             mime, dur = "video/mp4", int(rng.integers(100, 60000))
@@ -381,6 +479,9 @@ def extract_features(df: DataFrame, deterministic_fake: bool = True) -> DataFram
                     block = decode_image(payload,
                                          deterministic_fake=deterministic_fake)
                     mean, dim = float(block.mean()), int(block.size)
+                elif payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+                    frames, _fps = decode_video(payload)
+                    mean, dim = float(frames.mean()), int(frames.size)
                 else:
                     block = decode_image(payload, deterministic_fake=True)
                     mean, dim = float(block.mean()), int(block.size)
