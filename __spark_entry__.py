@@ -643,6 +643,25 @@ def q_docs_pii_scrub(spark, sf_dir):
     )
 
 
+def q_events_sessions(spark, sf_dir):
+    """Sessionization (30-min inactivity gap) via gaps-and-islands —
+    exact, so DuckDB recomputes the identical lag + running-sum plan.
+    Daily session stats; operators/sessionize.py also proves the plan
+    equals Spark's native session_window aggregate."""
+    from zetasketch_spark.operators.sessionize import sessionize
+
+    e = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    s = sessionize(e, user_col="user_id", ts_col="ts", gap_s=1800)
+    return (
+        s.groupBy(F.date_format("session_start", "yyyy-MM-dd").alias("day"))
+        .agg(F.count("*").alias("n_sessions"),
+             F.sum("n_events").alias("n_events"),
+             F.round(F.avg("n_events"), 4).alias("avg_events_per_session"),
+             F.round(F.avg("duration_s"), 4).alias("avg_duration_s"),
+             F.max("n_events").alias("max_session_events"))
+    )
+
+
 def q_simhash_near_dups(spark, sf_dir):
     """Ground-truth near-dup pairs + SimHash theorem booleans: any pair at
     Hamming ≤ 3 must be emitted (prefix-block guarantee) and everything
@@ -903,6 +922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_repetition": q_docs_repetition,
         "docs_gopher_filters": q_docs_gopher_filters,
         "docs_pii_scrub": q_docs_pii_scrub,
+        "events_sessions": q_events_sessions,
         "simhash_near_dups": q_simhash_near_dups,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1463,6 +1483,32 @@ def oracle_sql() -> dict[str, str]:
             FROM m GROUP BY lang
         """,
         "docs_pii_scrub": _pii_oracle_sql(),
+        "events_sessions": """
+            WITH o AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+              SELECT user_id, ts,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM o
+            ), g AS (
+              SELECT user_id, session_id, min(ts) AS st, count(*) AS n_events,
+                     epoch(max(ts)) - epoch(min(ts)) AS duration_s
+              FROM s GROUP BY 1, 2
+            )
+            SELECT strftime(st, '%Y-%m-%d') AS day,
+                   count(*) AS n_sessions,
+                   sum(n_events) AS n_events,
+                   round(avg(n_events), 4) AS avg_events_per_session,
+                   round(avg(duration_s), 4) AS avg_duration_s,
+                   max(n_events) AS max_session_events
+            FROM g GROUP BY day
+        """,
         "events_topk_rerank": """
             WITH c AS (
               SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS exact_count

@@ -829,3 +829,33 @@ def test_avi_video_codec_and_frame_sampling():
     # compressed containers still refuse without the fake
     with pytest.raises(NotImplementedError):
         sample_frames(b"\x00\x00\x00\x18ftypmp42" + bytes(64), 1000)
+
+
+def test_sessionize_equals_native_session_window(spark):
+    """The gaps-and-islands construction and Spark's session_window
+    aggregate produce identical sessions on real event data AND on
+    crafted exact-gap ties (an event at exactly start+gap merges in
+    both)."""
+    import datetime as dt
+
+    from zetasketch_spark.operators.sessionize import (
+        sessionize, sessionize_native)
+
+    e = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+         .withColumn("ts", F.col("ts").cast("timestamp")))
+    cols = ["user", "session_start", "session_end", "n_events", "duration_s"]
+    a = sorted(map(tuple, sessionize(e).select(*cols).collect()))
+    b = sorted(map(tuple, sessionize_native(e).select(*cols).collect()))
+    assert a == b and len(a) > 0
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(1, base), (1, base + dt.timedelta(seconds=1800)),
+            (1, base + dt.timedelta(seconds=1800 + 1801)),
+            (2, base), (2, base + dt.timedelta(seconds=1801))]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    a = sorted(map(tuple, sessionize(df).select(*cols).collect()))
+    b = sorted(map(tuple, sessionize_native(df).select(*cols).collect()))
+    assert a == b
+    # user 1: the exact-1800s tie merges, the 1801s gap splits -> 2 sessions
+    assert sum(1 for r in a if r[0] == 1) == 2
+    assert sum(1 for r in a if r[0] == 2) == 2
