@@ -859,3 +859,52 @@ def test_sessionize_equals_native_session_window(spark):
     # user 1: the exact-1800s tie merges, the 1801s gap splits -> 2 sessions
     assert sum(1 for r in a if r[0] == 1) == 2
     assert sum(1 for r in a if r[0] == 2) == 2
+
+
+def test_jpeg_codec():
+    """Baseline JPEG in pure numpy. The correctness ladder: exact DCT
+    inverse, generated zigzag, prefix-free <=16-bit Huffman, entropy
+    layer provably lossless (quality-100 quant tables are all-ones, so a
+    random-noise round-trip bounds total loss at DCT rounding), then
+    smooth-image round-trips at 4:4:4 and 4:2:0 within the quantization
+    envelope."""
+    from zetasketch_spark.operators.jpeg import (
+        ZIGZAG, UNZIGZAG, _canonical_codes, _code_lengths, dct2,
+        decode_jpeg, encode_jpeg, idct2)
+    from zetasketch_spark.operators.multimodal import decode_image
+
+    rng = np.random.default_rng(3)
+    b = rng.normal(size=(16, 8, 8))
+    assert np.abs(idct2(dct2(b)) - b).max() < 1e-10
+    assert (np.arange(64)[ZIGZAG][UNZIGZAG] == np.arange(64)).all()
+    assert list(ZIGZAG[:10]) == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+
+    # Huffman: canonical, prefix-free, length-limited
+    tab, _bits, _vals = _canonical_codes(
+        _code_lengths({i: (i + 1) ** 3 for i in range(40)}))
+    codes = sorted(tab.values(), key=lambda cl: cl[1])
+    assert max(ln for _c, ln in codes) <= 16
+    for i, (c1, l1) in enumerate(codes):
+        for c2, l2 in codes[i + 1:]:
+            assert (c2 >> (l2 - l1)) != c1  # no prefix collisions
+
+    # entropy exactness: q=100 -> all-ones tables -> loss == DCT rounding
+    noise = rng.integers(0, 256, size=(33, 41), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(noise, quality=100))
+    assert np.abs(out[:, :, 0] - noise).max() < 2.0
+
+    # smooth-image round-trips, odd dims, both samplings, via dispatch
+    x, y = np.meshgrid(np.arange(41), np.arange(33))
+    rgb = np.stack([(x * 4) % 256, (x + y) % 256, (y * 5) % 256],
+                   -1).astype(np.uint8)
+    for sub, tol in (("444", 2.0), ("420", 4.0)):
+        out = decode_image(encode_jpeg(rgb, quality=95, subsampling=sub))
+        assert out.shape == (33, 41, 3)
+        assert np.abs(out - rgb).mean() < tol, sub
+
+    # progressive JPEG (SOF2) honestly refuses
+    prog = bytearray(encode_jpeg(noise, quality=90))
+    i = prog.find(b"\xff\xc0")
+    prog[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(prog))

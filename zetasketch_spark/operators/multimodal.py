@@ -13,8 +13,10 @@ Decode is REAL for headerful raster/PCM formats, implemented in pure numpy
 * **WAV** (RIFF PCM16, mono or interleaved multi-channel)
 * **AVI** (RIFF uncompressed 24-bit BI_RGB video) — including real
   nearest-timestamp frame sampling
+* **JPEG** (baseline sequential, gray/4:4:4/4:2:0, optimized Huffman —
+  see ``operators/jpeg.py``)
 
-Exotic codecs (JPEG/MP4) still raise ``NotImplementedError`` unless
+Compressed video (MP4) still raises ``NotImplementedError`` unless
 ``deterministic_fake=True``, which derives a fake-but-deterministic
 "decoded" block from the payload bytes so the downstream plumbing keeps
 working for those formats too.
@@ -325,10 +327,10 @@ def _decode_png(payload: bytes) -> np.ndarray:
 
 
 def decode_image(payload: bytes, deterministic_fake: bool = False) -> np.ndarray:
-    """Decode a BMP, binary-PPM, or PNG payload to an (h, w, 3) float64
-    RGB array — pure numpy + stdlib zlib, no image library. Other formats
-    (JPEG/...) need codecs absent from this container and raise unless
-    ``deterministic_fake`` is set."""
+    """Decode a BMP, binary-PPM, PNG, or baseline-JPEG payload to an
+    (h, w, 3) float64 RGB array — pure numpy + stdlib zlib, no image
+    library. Unrecognized formats raise unless ``deterministic_fake`` is
+    set."""
     payload = bytes(payload)
     try:
         if payload[:2] == b"BM":
@@ -337,6 +339,9 @@ def decode_image(payload: bytes, deterministic_fake: bool = False) -> np.ndarray
             return _decode_ppm(payload)
         if payload[:8] == _PNG_SIG:
             return _decode_png(payload)
+        if payload[:2] == b"\xff\xd8":
+            from zetasketch_spark.operators.jpeg import decode_jpeg
+            return decode_jpeg(payload)
     except (ValueError, struct.error, zlib.error, NotImplementedError):
         # malformed header: arbitrary bytes can start with a magic pair —
         # fall through to the fake path (or raise) instead of crashing
@@ -344,8 +349,8 @@ def decode_image(payload: bytes, deterministic_fake: bool = False) -> np.ndarray
             raise
     if not deterministic_fake:
         raise NotImplementedError(
-            "only BMP/PPM/PNG decode in pure numpy; JPEG needs libjpeg/PIL "
-            "(absent here) — pass deterministic_fake=True for plumbing tests")
+            "unrecognized image payload (BMP/PPM/PNG/baseline-JPEG decode "
+            "in pure numpy) — pass deterministic_fake=True for plumbing tests")
     h = np.frombuffer(payload[:64].ljust(64, b"\0"), dtype=np.uint8)
     return np.tile(h, (8, 1)).astype(np.float64)  # fake 8x64 'pixel' block
 
@@ -424,10 +429,14 @@ def synthesize_media(spark, n: int = 256, seed: int = 42) -> DataFrame:
         if kind == "image":
             h, w = int(rng.integers(4, 32)), int(rng.integers(4, 32))
             rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-            enc = (encode_ppm, encode_bmp, encode_png)[i % 3]
-            payload = enc(rgb)
-            mime = ("image/x-portable-pixmap", "image/bmp",
-                    "image/png")[i % 3]
+            if i % 4 == 3:
+                from zetasketch_spark.operators.jpeg import encode_jpeg
+                payload, mime = encode_jpeg(rgb, quality=92), "image/jpeg"
+            else:
+                enc = (encode_ppm, encode_bmp, encode_png)[i % 3]
+                payload = enc(rgb)
+                mime = ("image/x-portable-pixmap", "image/bmp",
+                        "image/png")[i % 3]
             dur = 0
         elif kind == "audio":
             dur = int(rng.integers(100, 2000))
