@@ -964,3 +964,72 @@ def test_image_decoders_reject_malformed_quickly():
                 pass
             fake = decode_image(payload, deterministic_fake=True)
             assert fake.shape[0] > 0
+
+
+def test_codec_review_regressions():
+    """Pins the code-review findings: fake fallback survives truncated
+    JPEG magics, unexpected RSTn is a ValueError, AVI-with-audio decodes,
+    PNG dimension lies are rejected, nearest-frame sampling rounds, and
+    non-interleaved multi-scan JPEG refuses loudly."""
+    import struct
+    import zlib
+
+    from zetasketch_spark.operators import multimodal as mm
+    from zetasketch_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    # 1: deterministic_fake falls through for every crashy JPEG prefix
+    for payload in (b"\xff\xd8\xff", b"\xff\xd8" + b"\x00" * 6):
+        assert mm.decode_image(payload, deterministic_fake=True).shape[0] == 8
+
+    # 2: injected RSTn inside entropy data -> ValueError (not a private type)
+    good = encode_jpeg(np.full((16, 16), 128, np.uint8), quality=90)
+    sos = good.find(b"\xff\xda")
+    seglen, = struct.unpack(">H", good[sos + 2 : sos + 4])
+    entropy = sos + 2 + seglen  # first entropy-coded byte
+    corrupt = good[:entropy] + b"\xff\xd0" + good[entropy:]
+    with pytest.raises(ValueError):
+        decode_jpeg(corrupt)
+
+    # 3: an AVI with an audio stream (WAVEFORMATEX strf) still decodes
+    frames = np.zeros((2, 8, 8, 3), np.uint8)
+    avi = bytearray(mm.encode_avi(frames, fps=10))
+    wf = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+    auds = mm._riff_list(
+        b"strl",
+        mm._riff_chunk(b"strh", struct.pack("<4s4s", b"auds", b"\0\0\0\0")
+                       + b"\0" * 48)
+        + mm._riff_chunk(b"strf", wf))
+    # splice the audio strl right before the movi LIST
+    movi_at = bytes(avi).index(b"movi") - 8
+    avi2 = bytes(avi[:movi_at]) + auds + bytes(avi[movi_at:])
+    avi2 = avi2[:4] + struct.pack("<I", len(avi2) - 8) + avi2[8:]
+    dec, fps = mm.decode_video(avi2)
+    assert fps == 10.0 and dec.shape == (2, 8, 8, 3)
+
+    # 4: PNG with lying giant IHDR dims is rejected before allocation
+    ihdr = struct.pack(">IIBBBBB", 50_000, 50_000, 8, 2, 0, 0, 0)
+    bomb = (mm._PNG_SIG + mm._png_chunk(b"IHDR", ihdr)
+            + mm._png_chunk(b"IDAT", zlib.compress(b"\0" * 1024))
+            + mm._png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        mm._decode_png(bomb)
+
+    # 5: nearest-frame sampling rounds (0.09s at 30fps -> frame 3, not 2)
+    fr = np.arange(8 * 4 * 4 * 3, dtype=np.uint8).reshape(8, 4, 4, 3)
+    payload = mm.encode_avi(fr, fps=30)
+    got = mm.sample_frames(payload, duration_ms=180, every_ms=90)
+    assert (got[1] == fr[3]).all()
+
+    # 6: non-interleaved multi-scan baseline refuses instead of silently
+    # returning luma-only gray
+    rgb = np.zeros((8, 8, 3), np.uint8)
+    data = bytearray(encode_jpeg(rgb, quality=90))
+    sos = data.index(b"\xff\xda")
+    # rewrite the SOS header to claim a single-component scan
+    ns = data[sos + 4]
+    assert ns == 3
+    data[sos + 2 : sos + 4] = struct.pack(">H", 2 + 1 + 2 + 3)
+    data[sos + 4] = 1
+    del data[sos + 7 : sos + 11]  # drop components 2 and 3 selectors
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(data))

@@ -220,8 +220,10 @@ class _BitReader:
         self.pos += 2
 
 
-class _RestartMarker(Exception):
-    pass
+class _RestartMarker(ValueError):
+    """Unexpected RSTn inside entropy data — a stream error unless the
+    decoder synced it deliberately (subclassing ValueError keeps corrupt
+    payloads inside callers' malformed-input handling)."""
 
 
 def _cat(v: int) -> int:
@@ -438,7 +440,16 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Decode baseline-sequential JFIF bytes to (h, w, 3) float64 RGB
     (grayscale broadcast). Supports arbitrary DQT/DHT from the stream,
-    generic component sampling factors, and restart intervals."""
+    generic component sampling factors, and restart intervals. Malformed
+    streams raise ValueError (or NotImplementedError for recognized
+    unsupported variants) — never a bare internal error."""
+    try:
+        return _decode_jpeg(payload)
+    except (IndexError, KeyError, TypeError, struct.error) as e:
+        raise ValueError(f"corrupt JPEG stream: {e!r}") from e
+
+
+def _decode_jpeg(payload: bytes) -> np.ndarray:
     data = bytes(payload)
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -504,14 +515,25 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             restart_interval, = struct.unpack_from(">H", body, 0)
             continue
         if marker == 0xDA:  # SOS — scan follows
+            if comps is None:
+                raise ValueError("SOS before SOF")
             ns = body[0]
+            if ns < len(comps):
+                raise NotImplementedError(
+                    "non-interleaved multi-scan baseline JPEG unsupported "
+                    f"(scan has {ns} of {len(comps)} components)")
             scan = []
             for i in range(ns):
                 cs, tt = body[1 + 2 * i], body[2 + 2 * i]
-                comp = next(c for c in comps if c["id"] == cs)
+                comp = next((c for c in comps if c["id"] == cs), None)
+                if comp is None:
+                    raise ValueError(f"scan references unknown component {cs}")
                 scan.append((comp, tt >> 4, tt & 0xF))
-            return _decode_scan(data, pos, scan, qtabs, hufftabs,
-                                h, w, restart_interval)
+            try:
+                return _decode_scan(data, pos, scan, qtabs, hufftabs,
+                                    h, w, restart_interval)
+            except (IndexError, KeyError) as e:
+                raise ValueError(f"corrupt JPEG scan: {e!r}") from e
         # APPn / COM / others: skipped
     raise ValueError("no SOS marker found")
 

@@ -160,10 +160,11 @@ def decode_video(payload: bytes) -> tuple[np.ndarray, float]:
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise NotImplementedError("only RIFF/AVI video decode is supported")
     us_per_frame = w = h = None
+    stream_type = None  # fccType of the most recent strh (vids/auds/...)
     raw_frames: list[bytes] = []
 
     def walk(pos: int, end: int) -> None:
-        nonlocal us_per_frame, w, h
+        nonlocal us_per_frame, w, h, stream_type
         while pos + 8 <= end:
             tag = payload[pos : pos + 4]
             size, = struct.unpack_from("<I", payload, pos + 4)
@@ -173,7 +174,11 @@ def decode_video(payload: bytes) -> tuple[np.ndarray, float]:
             elif tag == b"avih":
                 us_per_frame, = struct.unpack_from("<I", payload, body)
                 w, h = struct.unpack_from("<II", payload, body + 32)
-            elif tag == b"strf":
+            elif tag == b"strh":
+                stream_type = payload[body : body + 4]
+            elif tag == b"strf" and stream_type == b"vids":
+                # only a video stream's strf is a BITMAPINFOHEADER (an
+                # audio strf is WAVEFORMATEX — offset 14 is bits/sample)
                 bpp, = struct.unpack_from("<H", payload, body + 14)
                 comp, = struct.unpack_from("<I", payload, body + 16)
                 if bpp != 24 or comp != 0:
@@ -281,8 +286,13 @@ def _decode_png(payload: bytes) -> np.ndarray:
         pos += 12 + ln
     if w is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    if raw.size != h * (w * nch + 1):
+    if not w or not h or w * h > 100_000_000:
+        raise ValueError(f"implausible PNG dimensions {w}x{h}")
+    expected = h * (w * nch + 1)
+    dobj = zlib.decompressobj()
+    raw = np.frombuffer(dobj.decompress(bytes(idat), expected),
+                        dtype=np.uint8)
+    if raw.size != expected:
         raise ValueError("PNG IDAT size mismatch")
     raw = raw.reshape(h, w * nch + 1)
     recon = np.zeros((h, w * nch), dtype=np.int32)
@@ -342,7 +352,8 @@ def decode_image(payload: bytes, deterministic_fake: bool = False) -> np.ndarray
         if payload[:2] == b"\xff\xd8":
             from zetasketch_spark.operators.jpeg import decode_jpeg
             return decode_jpeg(payload)
-    except (ValueError, struct.error, zlib.error, NotImplementedError):
+    except (ValueError, struct.error, zlib.error, IndexError,
+            NotImplementedError):
         # malformed header: arbitrary bytes can start with a magic pair —
         # fall through to the fake path (or raise) instead of crashing
         if not deterministic_fake:
@@ -450,8 +461,9 @@ def sample_frames(payload: bytes, duration_ms: int, every_ms: int = 1000,
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         frames, fps = decode_video(payload)
         n_samples = max(1, int(duration_ms // every_ms))
-        idx = np.minimum((np.arange(n_samples) * every_ms / 1000.0 * fps)
-                         .astype(np.int64), len(frames) - 1)
+        idx = np.minimum(np.rint(np.arange(n_samples) * every_ms
+                                 / 1000.0 * fps).astype(np.int64),
+                         len(frames) - 1)
         return [frames[i] for i in idx]
     if not deterministic_fake:
         raise NotImplementedError(
