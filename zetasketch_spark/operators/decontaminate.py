@@ -137,6 +137,9 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
     """Exact contamination report: ``(doc_id, n_shared_grams)`` for every
     training doc sharing at least ``min_shared`` distinct word-k-gram
     shingles with ANY benchmark document."""
+    from zetasketch_spark.operators.parallelize import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
     blob = benchmark_shingle_bloom(benchmark, text_col, shingle_k,
                                    m=bloom_m, k=bloom_k)
     bloom_hits = _bloom_hits_udf(docs.sparkSession, blob, shingle_k)
@@ -192,6 +195,9 @@ def intra_doc_repetition(docs: DataFrame, text_col: str = "text",
     needed)."""
     from zetasketch_spark.hashing import (
         kgram_window_hashes, unique_counts_per_doc)
+    from zetasketch_spark.operators.parallelize import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
 
     @pandas_udf("struct<n_grams:long, n_distinct:long>")
     def rep_udf(texts: pd.Series) -> pd.DataFrame:

@@ -76,6 +76,10 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     permutation pass over the whole batch's shingle hashes with per-doc
     ``np.minimum.reduceat`` (no per-doc matrices)."""
 
+    from zetasketch_spark.operators.parallelize import ensure_parallelism
+
+    df = ensure_parallelism(df)
+
     @pandas_udf("array<long>")
     def sig_udf(texts: pd.Series) -> pd.Series:
         hsets = _shingle_hashes(texts, k=shingle_k)
@@ -228,15 +232,14 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
     # the same boilerplate variant.
     banded = signatures.filter(F.col("signature").isNotNull()).select(
         F.col(id_col),
-        F.xxhash64(F.concat_ws(",", *[
-            F.col("signature")[i].cast("string") for i in range(num_perm)
-        ])).alias("_sig"),
+        F.xxhash64(*[F.col("signature")[i] for i in range(num_perm)])
+        .alias("_sig"),
         F.posexplode(
             F.array(*[
-                F.xxhash64(F.concat_ws(",", *[
-                    F.col("signature")[i].cast("string")
+                F.xxhash64(*[
+                    F.col("signature")[i]
                     for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-                ]))
+                ])
                 for b in range(bands)
             ])
         ).alias("band", "bucket"),
@@ -256,6 +259,10 @@ def shingle_sets(docs: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id", shingle_k: int = 5) -> DataFrame:
     """(id, shingles array<long>) — sorted unique shingle hashes per doc,
     computed ONCE per document (batch-vectorized)."""
+
+    from zetasketch_spark.operators.parallelize import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
 
     @pandas_udf("array<long>")
     def sh_udf(texts: pd.Series) -> pd.Series:
@@ -423,6 +430,10 @@ def dup_clusters(pairs: DataFrame, max_iterations: int = 25,
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash over word hashes: bit j of the signature is the sign
     of sum over words of (+1/-1 depending on word-hash bit j)."""
+
+    from zetasketch_spark.operators.parallelize import ensure_parallelism
+
+    df = ensure_parallelism(df)
 
     @pandas_udf("long")
     def sim_udf(texts: pd.Series) -> pd.Series:
