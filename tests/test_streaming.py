@@ -319,3 +319,46 @@ def test_streaming_contamination_filter(spark, tmp_path):
     got = {r["doc_id"] for r in spark.sql("select doc_id from contam_out").collect()}
     assert 200 not in got and 201 not in got
     assert set(clean_ids) == got  # Bloom FPR ~0 at this load: no over-drop
+
+
+def test_streaming_sessionization_matches_batch(spark, tmp_path):
+    """sessionize_native is the streaming-capable form: the same
+    session_window aggregate under a watermark, fed file-by-file,
+    converges to the batch session set (complete mode closes sessions
+    once the stream drains)."""
+    import datetime as dt
+
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from zetasketch_spark.operators.sessionize import (
+        sessionize, sessionize_native)
+
+    rng = __import__("numpy").random.default_rng(23)
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    for uid in range(40):
+        t = base
+        for _ in range(int(rng.integers(3, 30))):
+            t = t + dt.timedelta(seconds=int(rng.integers(10, 4000)))
+            rows.append((uid, t))
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts"])
+    src = str(tmp_path / "sess_src")
+    df = spark.createDataFrame(pdf)
+    df.repartition(4).write.parquet(src)
+
+    batch = sorted(
+        map(tuple, sessionize(spark.read.parquet(src))
+            .select("user", "session_start", "n_events").collect()))
+
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src)
+              .withWatermark("ts", "10 minutes"))
+    out = sessionize_native(stream)
+    q = (out.writeStream.outputMode("complete").format("memory")
+         .queryName("sessions").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql(
+        "select user, session_start, n_events from sessions").collect()))
+    assert got == batch and len(batch) > 40
