@@ -662,6 +662,25 @@ def q_events_sessions(spark, sf_dir):
     )
 
 
+def q_docs_lm_quality(spark, sf_dir):
+    """Unigram LM quality signal (KenLM-style perplexity proxy): per-doc
+    mean token log-probability under the corpus's own unigram
+    distribution, aggregated per lang. Exact arithmetic over exact
+    counts, so DuckDB recomputes it from the same tokenizer."""
+    from zetasketch_spark.operators.lmscore import unigram_logprob
+
+    d = _t(spark, sf_dir, "documents")
+    lp = unigram_logprob(d).join(d.select("doc_id", "lang"), "doc_id")
+    return (
+        lp.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_tokens").alias("n_tokens"),
+             F.round(F.avg("avg_logprob"), 4).alias("avg_lp"),
+             F.round(F.min("avg_logprob"), 4).alias("min_lp"),
+             F.round(F.max("avg_logprob"), 4).alias("max_lp"))
+    )
+
+
 def q_simhash_near_dups(spark, sf_dir):
     """Ground-truth near-dup pairs + SimHash theorem booleans: any pair at
     Hamming ≤ 3 must be emitted (prefix-block guarantee) and everything
@@ -923,6 +942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_gopher_filters": q_docs_gopher_filters,
         "docs_pii_scrub": q_docs_pii_scrub,
         "events_sessions": q_events_sessions,
+        "docs_lm_quality": q_docs_lm_quality,
         "simhash_near_dups": q_simhash_near_dups,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1483,6 +1503,30 @@ def oracle_sql() -> dict[str, str]:
             FROM m GROUP BY lang
         """,
         "docs_pii_scrub": _pii_oracle_sql(),
+        "docs_lm_quality": """
+            WITH toks AS (
+              SELECT doc_id, unnest(list_filter(
+                         regexp_split_to_array(text, '""" + _WS_CLASS + """'),
+                         x -> x <> '')) AS token
+              FROM documents
+            ), freq AS (
+              SELECT token, count(*) AS tf FROM toks GROUP BY token
+            ), tot AS (
+              SELECT sum(tf) AS total FROM freq
+            ), perdoc AS (
+              SELECT t.doc_id, count(*) AS n_tokens,
+                     avg(ln(f.tf::DOUBLE / (SELECT total FROM tot))) AS alp
+              FROM toks t JOIN freq f USING (token)
+              GROUP BY t.doc_id
+            )
+            SELECT d.lang, count(*) AS n_docs,
+                   sum(p.n_tokens) AS n_tokens,
+                   round(avg(p.alp), 4) AS avg_lp,
+                   round(min(p.alp), 4) AS min_lp,
+                   round(max(p.alp), 4) AS max_lp
+            FROM perdoc p JOIN documents d USING (doc_id)
+            GROUP BY d.lang
+        """,
         "events_sessions": """
             WITH o AS (
               SELECT user_id, ts,

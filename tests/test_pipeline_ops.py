@@ -1033,3 +1033,25 @@ def test_codec_review_regressions():
     del data[sos + 7 : sos + 11]  # drop components 2 and 3 selectors
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(data))
+
+
+def test_unigram_logprob_exact(spark):
+    """The unigram LM score is exact arithmetic: hand-check a tiny corpus
+    (the rarer the tokens, the lower the score) against closed-form
+    values."""
+    import math
+
+    from zetasketch_spark.operators.lmscore import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(0, "a a a a"), (1, "a a b b"), (2, "c d")],
+        "doc_id long, text string")
+    # corpus: a x6, b x2, c x1, d x1 -> total 10
+    got = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
+    lp = lambda tf: math.log(tf / 10.0)
+    assert got[0]["n_tokens"] == 4
+    assert abs(got[0]["avg_logprob"] - lp(6)) < 1e-12
+    assert abs(got[1]["avg_logprob"] - (2 * lp(6) + 2 * lp(2)) / 4) < 1e-12
+    assert abs(got[2]["avg_logprob"] - (lp(1) + lp(1)) / 2) < 1e-12
+    # gibberish (rare tokens) scores strictly below fluent (common tokens)
+    assert got[2]["avg_logprob"] < got[0]["avg_logprob"]

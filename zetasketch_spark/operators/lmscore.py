@@ -1,0 +1,47 @@
+"""Corpus language-model quality scoring (unigram log-likelihood).
+
+The classic cheap stand-in for a KenLM perplexity filter: score every
+document by its tokens' average log-probability under the corpus's own
+unigram distribution. Boilerplate and fluent text score high; gibberish,
+wrong-language, and character-noise documents score low (their tokens
+are corpus-rare).
+
+Pure Catalyst end to end: tokenize with the shared Unicode-whitespace
+contract (``functions.text.UNICODE_WS``), one ``groupBy(token)`` for the
+frequency table, one token-keyed join back, one ``groupBy(doc)``. Three
+shuffles, all on compact keys; no Python. At 100 TB the frequency table
+is too big to broadcast, so the join shuffles on the token key — AQE
+converts it to a broadcast join automatically when a filtered vocabulary
+is small enough.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from zetasketch_spark.functions.text import UNICODE_WS
+
+
+def _tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    words = F.filter(F.split(F.col(text_col), UNICODE_WS),
+                     lambda w: w != "")
+    return docs.select(F.col(id_col),
+                       F.explode(words).alias("token"))
+
+
+def unigram_logprob(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-document ``(id, n_tokens, avg_logprob)`` where ``avg_logprob``
+    is the mean of ``ln(count(token) / total_tokens)`` under the corpus's
+    own (MLE) unigram distribution — every scored token exists in the
+    corpus by construction, so no smoothing is needed."""
+    toks = _tokens(docs, text_col, id_col)
+    freq = toks.groupBy("token").agg(F.count("*").alias("_tf"))
+    total = freq.select(F.sum("_tf").alias("_total"))
+    scored = (toks.join(freq, "token")
+              .crossJoin(F.broadcast(total))
+              .withColumn("_lp", F.log(F.col("_tf") / F.col("_total"))))
+    return (scored.groupBy(id_col)
+            .agg(F.count("*").alias("n_tokens"),
+                 F.avg("_lp").alias("avg_logprob")))
