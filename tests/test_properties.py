@@ -160,3 +160,50 @@ def test_winnow_batch_matches_naive(texts, k, window):
             win = np.lib.stride_tricks.sliding_window_view(hs, window)
             want = np.unique(win.min(axis=1))
         assert np.array_equal(got[d], want), (d, texts[d])
+
+
+@given(
+    h=st.integers(min_value=1, max_value=24),
+    w=st.integers(min_value=1, max_value=24),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_png_roundtrip_lossless_property(h, w, seed):
+    """PNG is lossless for every image shape: encode (cycling all five
+    filters) then decode recovers the exact pixels."""
+    import numpy as np
+
+    from zetasketch_spark.operators.multimodal import decode_image, encode_png
+
+    rgb = np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, 3), dtype=np.uint8)
+    out = decode_image(encode_png(rgb))
+    assert out.shape == (h, w, 3)
+    assert (out == rgb).all()
+
+
+@given(
+    h=st.integers(min_value=8, max_value=24),
+    w=st.integers(min_value=8, max_value=24),
+    quality=st.integers(min_value=70, max_value=100),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=15, deadline=None)
+def test_jpeg_roundtrip_bounded_error_property(h, w, quality, seed):
+    """JPEG round-trip error is bounded by the quantization envelope for
+    every shape/quality/content: sum over the block of q[u,v]/2 per
+    coefficient bounds the per-pixel reconstruction error (loose bound:
+    max |err| <= sum(q)/2/8 per DCT orthonormality)."""
+    import numpy as np
+
+    from zetasketch_spark.operators.jpeg import (
+        QUANT_LUMA, decode_jpeg, encode_jpeg, scaled_quant_table)
+
+    rng = np.random.default_rng(seed)
+    gray = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(gray, quality=quality))[:, :, 0]
+    q = scaled_quant_table(QUANT_LUMA, quality).astype(np.float64)
+    # |IDCT(e)|_inf <= sum|e_uv| * max|basis| = sum(q/2) / 4 (basis <= 1/4
+    # after orthonormal scaling, 1/2*1/2, plus the DC 1/sqrt2 factors)
+    bound = q.sum() / 2.0 / 4.0 + 1.0  # +1 for uint8 rounding
+    assert np.abs(out - gray).max() <= bound
