@@ -662,6 +662,49 @@ def q_events_sessions(spark, sf_dir):
     )
 
 
+def q_media_features(spark, sf_dir):
+    """Multimodal gate: a deterministic 48-row media table (real
+    PPM/BMP/PNG/JPEG images, PCM WAV audio, uncompressed AVI + opaque mp4
+    video) goes through the distributed mapInPandas feature extractor;
+    every feature is re-derived locally with the same codecs and compared
+    exactly. The output is a fixed scalar row, so the oracle is a literal
+    SELECT — the booleans are the gate (self-verifying pattern, like
+    hll_set_ops)."""
+    import numpy as np
+    import pandas as pd
+
+    from zetasketch_spark.operators.multimodal import (
+        decode_audio, decode_image, decode_video, extract_features,
+        synthesize_media)
+
+    media = synthesize_media(spark, n=48)
+    got = {r["media_id"]: (r["n_bytes"], r["mean_val"], r["feature_dim"])
+           for r in extract_features(media).collect()}
+    kinds = {}
+    match = True
+    for row in media.collect():
+        payload = bytes(row["payload"])
+        kinds[row["kind"]] = kinds.get(row["kind"], 0) + 1
+        if row["kind"] == "audio":
+            s, _ = decode_audio(payload)
+            exp = (len(payload), float(np.round(np.abs(s).mean(), 6)), s.size)
+        elif row["kind"] == "image":
+            b = decode_image(payload)
+            exp = (len(payload), float(np.round(b.mean(), 6)), b.size)
+        elif payload[:4] == b"RIFF":
+            f, _ = decode_video(payload)
+            exp = (len(payload), float(np.round(f.mean(), 6)), f.size)
+        else:
+            b = decode_image(payload, deterministic_fake=True)
+            exp = (len(payload), float(np.round(b.mean(), 6)), b.size)
+        match = match and got[row["media_id"]] == exp
+    return spark.createDataFrame(pd.DataFrame([{
+        "n_media": len(got), "n_image": kinds.get("image", 0),
+        "n_audio": kinds.get("audio", 0), "n_video": kinds.get("video", 0),
+        "features_match": bool(match),
+    }]))
+
+
 def q_docs_lm_quality(spark, sf_dir):
     """Unigram LM quality signal (KenLM-style perplexity proxy): per-doc
     mean token log-probability under the corpus's own unigram
@@ -943,6 +986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pii_scrub": q_docs_pii_scrub,
         "events_sessions": q_events_sessions,
         "docs_lm_quality": q_docs_lm_quality,
+        "media_features": q_media_features,
         "simhash_near_dups": q_simhash_near_dups,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1503,6 +1547,10 @@ def oracle_sql() -> dict[str, str]:
             FROM m GROUP BY lang
         """,
         "docs_pii_scrub": _pii_oracle_sql(),
+        "media_features": """
+            SELECT 48 AS n_media, 16 AS n_image, 16 AS n_audio,
+                   16 AS n_video, true AS features_match
+        """,
         "docs_lm_quality": """
             WITH toks AS (
               SELECT doc_id, unnest(list_filter(
