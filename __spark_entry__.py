@@ -691,7 +691,7 @@ def q_media_features(spark, sf_dir):
         elif row["kind"] == "image":
             b = decode_image(payload)
             exp = (len(payload), float(np.round(b.mean(), 6)), b.size)
-        elif payload[:4] == b"RIFF":
+        elif payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
             f, _ = decode_video(payload)
             exp = (len(payload), float(np.round(f.mean(), 6)), f.size)
         else:

@@ -955,13 +955,15 @@ def test_image_decoders_reject_malformed_quickly():
         for n in (0, 1, 7, 64, 513):
             payload = magic + rng.bytes(n)
             try:
-                decode_image(payload)
+                block = decode_image(payload)
             except (ValueError, NotImplementedError, struct.error,
                     IndexError, KeyError):
                 pass
             else:
                 # a parse that "succeeds" must at least be a sane block
-                pass
+                assert block.ndim == 3 and block.shape[2] == 3
+                assert block.size > 0 and np.isfinite(block).all()
+                assert block.min() >= 0 and block.max() <= 255
             fake = decode_image(payload, deterministic_fake=True)
             assert fake.shape[0] > 0
 

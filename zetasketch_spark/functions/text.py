@@ -116,13 +116,21 @@ UNICODE_WS = (r"[\s\u001c-\u001f\u0085\u00a0\u1680"
               r"\u2000-\u200a\u2028\u2029\u202f\u205f\u3000]+")
 
 
+def unicode_words(text: str | Column) -> Column:
+    """The ONE word-tokenization expression (split on UNICODE_WS, drop
+    empties) shared by every operator and the DuckDB oracles' _WS_CLASS —
+    change it here or nowhere."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(c, UNICODE_WS), lambda w: w != "")
+
+
 def gopher_quality_flags(text_col: str) -> dict[str, Column]:
     """The document-level Gopher quality rules (Rae et al. 2021, table A1
     subset) as pure Catalyst expressions — word count bounds, mean word
     length bounds, and alphabetic-word ratio. Returns named boolean
     columns; a doc passes the filter when all are true. No Python, no
     shuffle: composes with any scan."""
-    words = F.filter(F.split(F.col(text_col), UNICODE_WS), lambda w: w != "")
+    words = unicode_words(text_col)
     n_words = F.size(words)
     total_chars = F.aggregate(words, F.lit(0),
                               lambda acc, w: acc + F.length(w))

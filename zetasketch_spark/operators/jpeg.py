@@ -462,9 +462,14 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at {pos}")
+        while data[pos + 1] == 0xFF:  # fill bytes before a marker (B.1.1.2)
+            pos += 1
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM/RSTn: no length
+            pos += 2
+            continue
         seglen, = struct.unpack_from(">H", data, pos + 2)
         body = data[pos + 4 : pos + 2 + seglen]
         pos += 2 + seglen
@@ -502,6 +507,9 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 raise NotImplementedError("only 8-bit precision")
             if h * w > 100_000_000 or not h or not w:
                 raise ValueError(f"implausible JPEG dimensions {w}x{h}")
+            if nc not in (1, 3):
+                raise NotImplementedError(
+                    f"{nc}-component JPEG (CMYK/YCCK) unsupported")
             comps = []
             for i in range(nc):
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]

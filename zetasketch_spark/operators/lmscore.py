@@ -20,14 +20,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from zetasketch_spark.functions.text import UNICODE_WS
+from zetasketch_spark.functions.text import unicode_words
 
 
 def _tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    words = F.filter(F.split(F.col(text_col), UNICODE_WS),
-                     lambda w: w != "")
     return docs.select(F.col(id_col),
-                       F.explode(words).alias("token"))
+                       F.explode(unicode_words(text_col)).alias("token"))
 
 
 def unigram_logprob(docs: DataFrame, text_col: str = "text",

@@ -292,7 +292,7 @@ def _decode_png(payload: bytes) -> np.ndarray:
     dobj = zlib.decompressobj()
     raw = np.frombuffer(dobj.decompress(bytes(idat), expected),
                         dtype=np.uint8)
-    if raw.size != expected:
+    if raw.size != expected or dobj.unconsumed_tail or dobj.flush():
         raise ValueError("PNG IDAT size mismatch")
     raw = raw.reshape(h, w * nch + 1)
     recon = np.zeros((h, w * nch), dtype=np.int32)
@@ -413,23 +413,32 @@ def probe_mp4(payload: bytes) -> dict:
                 nxt = end
             if size != 0 and (nxt <= pos or nxt > end):
                 raise ValueError(f"mp4 box {tag!r} overruns its parent")
+            def need(n: int) -> None:
+                if body + n > nxt:
+                    raise ValueError(f"mp4 box {tag!r} too short for its fields")
             if tag == b"ftyp":
+                need(4)
                 out["brand"] = payload[body : body + 4].decode("ascii", "replace")
             elif tag in (b"moov", b"trak"):
                 walk(body, nxt)
                 if tag == b"trak":
                     out["n_tracks"] += 1
             elif tag == b"mvhd":
+                need(1)
                 ver = payload[body]
                 if ver == 1:
+                    need(32)
                     ts, dur = struct.unpack_from(">IQ", payload, body + 20)
                 else:
+                    need(20)
                     ts, dur = struct.unpack_from(">II", payload, body + 12)
                 if ts:
                     out["duration_ms"] = int(dur * 1000 // ts)
             elif tag == b"tkhd":
+                need(1)
                 ver = payload[body]
                 off = body + (88 if ver == 1 else 76)
+                need(off - body + 8)
                 w, h = struct.unpack_from(">II", payload, off)
                 w, h = w >> 16, h >> 16  # 16.16 fixed point
                 if w and h:
@@ -496,10 +505,11 @@ def synthesize_media(spark, n: int = 256, seed: int = 42) -> DataFrame:
                 from zetasketch_spark.operators.jpeg import encode_jpeg
                 payload, mime = encode_jpeg(rgb, quality=92), "image/jpeg"
             else:
-                enc = (encode_ppm, encode_bmp, encode_png)[i % 3]
+                # image rows occur at i % 3 == 0, so cycle on i // 3
+                enc = (encode_ppm, encode_bmp, encode_png)[(i // 3) % 3]
                 payload = enc(rgb)
                 mime = ("image/x-portable-pixmap", "image/bmp",
-                        "image/png")[i % 3]
+                        "image/png")[(i // 3) % 3]
             dur = 0
         elif kind == "audio":
             dur = int(rng.integers(100, 2000))
