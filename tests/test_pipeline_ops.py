@@ -1057,3 +1057,28 @@ def test_unigram_logprob_exact(spark):
     assert abs(got[2]["avg_logprob"] - (lp(1) + lp(1)) / 2) < 1e-12
     # gibberish (rare tokens) scores strictly below fluent (common tokens)
     assert got[2]["avg_logprob"] < got[0]["avg_logprob"]
+
+
+def test_jpeg_marker_edge_cases():
+    """Spec-conformance edges: fill bytes before markers (T.81 B.1.1.2)
+    decode fine; 4-component (CMYK) files refuse instead of returning
+    wrong colors."""
+    import struct
+
+    from zetasketch_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.tile(np.arange(16, dtype=np.uint8) * 16, (16, 1))
+    good = encode_jpeg(img, quality=90)
+
+    # insert a fill 0xFF before the APP0 marker
+    app0 = good.index(b"\xff\xe0")
+    filled = good[:app0] + b"\xff" + good[app0:]
+    assert (decode_jpeg(filled) == decode_jpeg(good)).all()
+
+    # rewrite SOF0 to claim 4 components -> NotImplementedError
+    rgb = np.zeros((8, 8, 3), np.uint8)
+    data = bytearray(encode_jpeg(rgb, quality=90))
+    sof = data.index(b"\xff\xc0")
+    data[sof + 9] = 4  # component count byte in SOF0
+    with pytest.raises((NotImplementedError, ValueError)):
+        decode_jpeg(bytes(data))
