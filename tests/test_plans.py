@@ -131,3 +131,30 @@ def test_bounded_bucket_hot_list_broadcasts(spark):
     # the anti-join side (cold filter) must also be broadcast, not shuffled
     assert "LeftAnti, BuildRight" in plan or "LeftAnti BuildRight" in plan \
         or ("LeftAnti" in plan and "Broadcast" in plan)
+
+
+def test_new_operator_plan_shapes(spark):
+    """Round-3b queries keep their designed plan shapes: PII is a pruned
+    scan + one aggregation shuffle (regexes evaluated in the projection,
+    no Python); sessionization shuffles on compact keys only; LM scoring
+    is the 3-shuffle token plan; sessions/PII scans read only the columns
+    they use."""
+    import __spark_entry__ as entry
+
+    from zetasketch_spark.plans.explain import exchange_count
+
+    pii = entry.q_docs_pii_scrub(spark, SF_DIR)
+    for cols in read_schema_columns(pii):
+        assert set(cols) <= {"doc_id", "text", "lang"}, cols
+    assert "BatchEvalPython" not in physical_plan(pii)
+    assert exchange_count(pii) <= 1  # only the per-lang aggregation
+
+    sess = entry.q_events_sessions(spark, SF_DIR)
+    for cols in read_schema_columns(sess):
+        assert set(cols) <= {"user_id", "ts"}, cols
+    assert exchange_count(sess) <= 2  # user window + day aggregation
+
+    lm = entry.q_docs_lm_quality(spark, SF_DIR)
+    assert "BatchEvalPython" not in physical_plan(lm)
+    # token freq, token join, per-doc agg, per-lang agg — never more
+    assert exchange_count(lm) <= 4

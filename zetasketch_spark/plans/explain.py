@@ -46,3 +46,10 @@ def codegen_stage_count(df: DataFrame) -> int:
     plan = physical_plan(df)
     ids = set(re.findall(r"\*\((\d+)\)", plan))
     return len(ids) + plan.count("WholeStageCodegen (")
+
+
+def exchange_count(df: DataFrame) -> int:
+    """Number of hash-shuffle Exchange operators in the physical plan
+    (broadcast and single-partition exchanges excluded — those move
+    bounded data)."""
+    return physical_plan(df).count("Exchange hashpartitioning")
