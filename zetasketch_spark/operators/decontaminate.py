@@ -137,9 +137,11 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
     """Exact contamination report: ``(doc_id, n_shared_grams)`` for every
     training doc sharing at least ``min_shared`` distinct word-k-gram
     shingles with ANY benchmark document."""
-    from zetasketch_spark.operators.parallelize import ensure_parallelism
-
-    docs = ensure_parallelism(docs)
+    # NOTE deliberately NOT ensure_parallelism'd: the Bloom-probe kernel
+    # is light (one membership test per shingle), so at bench scale the
+    # spread costs more in per-worker stage constants than it saves
+    # (measured 3.6 s -> 8.2 s warm at sf0.1); a real corpus arrives
+    # multi-split anyway.
     blob = benchmark_shingle_bloom(benchmark, text_col, shingle_k,
                                    m=bloom_m, k=bloom_k)
     bloom_hits = _bloom_hits_udf(docs.sparkSession, blob, shingle_k)
@@ -195,9 +197,6 @@ def intra_doc_repetition(docs: DataFrame, text_col: str = "text",
     needed)."""
     from zetasketch_spark.hashing import (
         kgram_window_hashes, unique_counts_per_doc)
-    from zetasketch_spark.operators.parallelize import ensure_parallelism
-
-    docs = ensure_parallelism(docs)
 
     @pandas_udf("struct<n_grams:long, n_distinct:long>")
     def rep_udf(texts: pd.Series) -> pd.DataFrame:

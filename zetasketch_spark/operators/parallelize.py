@@ -8,6 +8,12 @@ under-parallelized relative to the cluster: at 100 TB the scan already
 has thousands of splits and this is a no-op; at gate/bench scale it
 spreads the kernel across every core for the price of shuffling a few
 megabytes of text once.
+
+Apply it ONLY where the per-row kernel cost is heavy enough to amortize
+this box's per-worker stage constants — minhash/simhash signatures and
+shingle sets (measured sf1 wins: minhash 19.5->8.7 s). For light kernels
+(Bloom membership probes) the spread measurably LOSES (decontaminate
+3.6 s -> 8.2 s warm at sf0.1), so those call sites deliberately skip it.
 """
 
 from __future__ import annotations
