@@ -1082,3 +1082,18 @@ def test_jpeg_marker_edge_cases():
     data[sof + 9] = 4  # component count byte in SOF0
     with pytest.raises((NotImplementedError, ValueError)):
         decode_jpeg(bytes(data))
+
+
+def test_ensure_parallelism(spark):
+    """Repartitions an under-split frame up to defaultParallelism; never
+    repartitions an already-parallel one downward (keeps the scan's own
+    partitioning)."""
+    from zetasketch_spark.operators.parallelize import ensure_parallelism
+
+    target = spark.sparkContext.defaultParallelism
+    small = spark.range(100).coalesce(1)
+    assert ensure_parallelism(small).rdd.getNumPartitions() == target
+
+    wide = spark.range(1000).repartition(target * 2)
+    out = ensure_parallelism(wide)
+    assert out is wide  # untouched, not shuffled down
