@@ -705,6 +705,33 @@ def q_media_features(spark, sf_dir):
     }]))
 
 
+def q_docs_weighted_sample(spark, sf_dir):
+    """Deterministic mixture sampling: per-source keep fractions decided
+    by an md5-derived uniform of doc_id — the same rows are kept in any
+    engine, so membership is exactly verifiable (per-source counts + id
+    checksums)."""
+    from zetasketch_spark.operators.sampling import weighted_sample
+
+    d = _t(spark, sf_dir, "documents")
+    weights = {f"src{i}": (i % 4 + 1) / 4.0 for i in range(20)}
+    kept = weighted_sample(d, weights, group_col="source", id_col="doc_id")
+    return (
+        kept.groupBy("source")
+        .agg(F.count("*").alias("n_kept"),
+             F.sum("doc_id").alias("sum_ids"))
+    )
+
+
+def q_docs_pack_sequences(spark, sf_dir):
+    """Sequence packing (concat-then-chunk, 512-token budget per source
+    shard): exact window arithmetic over the shared tokenizer, so DuckDB
+    recomputes chunk counts, split docs, and fill ratios directly."""
+    from zetasketch_spark.operators.packing import packing_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return packing_stats(d, budget=512).orderBy("group")
+
+
 def q_docs_lm_quality(spark, sf_dir):
     """Unigram LM quality signal (KenLM-style perplexity proxy): per-doc
     mean token log-probability under the corpus's own unigram
@@ -986,6 +1013,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pii_scrub": q_docs_pii_scrub,
         "events_sessions": q_events_sessions,
         "docs_lm_quality": q_docs_lm_quality,
+        "docs_weighted_sample": q_docs_weighted_sample,
+        "docs_pack_sequences": q_docs_pack_sequences,
         "media_features": q_media_features,
         "simhash_near_dups": q_simhash_near_dups,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1550,6 +1579,43 @@ def oracle_sql() -> dict[str, str]:
         "media_features": """
             SELECT 48 AS n_media, 16 AS n_image, 16 AS n_audio,
                    16 AS n_video, true AS features_match
+        """,
+        "docs_weighted_sample": """
+            WITH u AS (
+              SELECT source, doc_id,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) / 4294967296.0 AS unif,
+                     (CAST(substr(source, 4) AS BIGINT) % 4 + 1) / 4.0 AS frac
+              FROM documents
+            )
+            SELECT source, count(*) AS n_kept, sum(doc_id) AS sum_ids
+            FROM u WHERE unif < frac GROUP BY source
+        """,
+        "docs_pack_sequences": """
+            WITH t AS (
+              SELECT source AS grp, doc_id,
+                     len(list_filter(regexp_split_to_array(text, '""" + _WS_CLASS + """'),
+                                     x -> x <> '')) AS n_tokens
+              FROM documents
+            ), c AS (
+              SELECT grp, doc_id, n_tokens,
+                     sum(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING) AS cum_after
+              FROM t
+            ), p AS (
+              SELECT grp, n_tokens,
+                     (cum_after - n_tokens) // 512 AS start_chunk,
+                     (cum_after - 1) // 512 AS end_chunk
+              FROM c
+            )
+            SELECT grp AS "group", count(*) AS n_docs,
+                   sum(n_tokens) AS n_tokens,
+                   max(end_chunk) + 1 AS n_chunks,
+                   sum(CASE WHEN start_chunk <> end_chunk THEN 1 ELSE 0 END)
+                     AS n_split_docs,
+                   round(sum(n_tokens)::DOUBLE / ((max(end_chunk) + 1) * 512), 4)
+                     AS fill_ratio
+            FROM p GROUP BY grp ORDER BY grp
         """,
         "docs_lm_quality": """
             WITH toks AS (

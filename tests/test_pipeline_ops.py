@@ -1097,3 +1097,50 @@ def test_ensure_parallelism(spark):
     wide = spark.range(1000).repartition(target * 2)
     out = ensure_parallelism(wide)
     assert out is wide  # untouched, not shuffled down
+
+
+def test_weighted_sample(spark):
+    """Deterministic mixture sampling: kept fraction tracks the weight,
+    reruns keep the SAME rows, and the 0/1 edge weights are exact."""
+    from zetasketch_spark.operators.sampling import weighted_sample
+
+    df = (spark.range(4000)
+          .select(F.col("id").alias("doc_id"),
+                  F.concat(F.lit("s"), (F.col("id") % 4).cast("string"))
+                  .alias("source")))
+    w = {"s0": 0.0, "s1": 0.25, "s2": 0.75, "s3": 1.0}
+    kept = weighted_sample(df, w).groupBy("source").count()
+    counts = {r["source"]: r["count"] for r in kept.collect()}
+    assert "s0" not in counts          # weight 0: nothing kept
+    assert counts["s3"] == 1000       # weight 1: everything kept
+    assert abs(counts["s1"] / 1000 - 0.25) < 0.06
+    assert abs(counts["s2"] / 1000 - 0.75) < 0.06
+
+    ids1 = sorted(r["doc_id"] for r in
+                  weighted_sample(df, w).select("doc_id").collect())
+    ids2 = sorted(r["doc_id"] for r in
+                  weighted_sample(df, w).select("doc_id").collect())
+    assert ids1 == ids2  # same rows every run
+
+
+def test_pack_sequences_exact(spark):
+    """Hand-computed packing: 10-token budget over docs of 4/5/6/7 tokens
+    -> cumulative spans 0-4, 4-9, 9-15, 15-22; doc 3 crosses the cut at
+    10 (split), doc 4 crosses 20 (split); 3 chunks."""
+    from zetasketch_spark.operators.packing import (
+        pack_sequences, packing_stats)
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n), "s") for i, n in
+         enumerate([4, 5, 6, 7])],
+        "doc_id long, text string, source string")
+    p = {r["id"]: r for r in pack_sequences(docs, budget=10).collect()}
+    assert (p[0]["start_chunk"], p[0]["end_chunk"], p[0]["is_split"]) == (0, 0, False)
+    assert (p[1]["start_chunk"], p[1]["end_chunk"], p[1]["is_split"]) == (0, 0, False)
+    assert (p[2]["start_chunk"], p[2]["end_chunk"], p[2]["is_split"]) == (0, 1, True)
+    assert (p[3]["start_chunk"], p[3]["end_chunk"], p[3]["is_split"]) == (1, 2, True)
+
+    s = packing_stats(docs, budget=10).collect()[0]
+    assert (s["n_docs"], s["n_tokens"], s["n_chunks"], s["n_split_docs"]) \
+        == (4, 22, 3, 2)
+    assert s["fill_ratio"] == round(22 / 30, 4)

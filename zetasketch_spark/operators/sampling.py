@@ -1,0 +1,39 @@
+"""Deterministic sampling for training-data mixtures.
+
+``weighted_sample``: per-source keep fractions (mixture weights) decided
+by a hash of the row id — reproducible across runs, engines, and
+cluster sizes (no RNG state, no seed plumbing): the SAME rows are kept
+wherever the job runs, which is what makes train/val splits and
+mixture re-runs auditable. Pure Catalyst: one projection + filter, no
+shuffle; the md5-derived uniform is the same expression DuckDB
+evaluates, so membership is exactly verifiable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_uniform(id_col: str | Column) -> Column:
+    """Deterministic uniform in [0, 1): the first 8 md5 hex chars of the
+    id as a 32-bit integer, scaled. Identical in any engine with md5."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return (F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10)
+            .cast("double") / float(1 << 32))
+
+
+def weighted_sample(df: DataFrame, weights: dict[str, float],
+                    group_col: str = "source",
+                    id_col: str = "doc_id",
+                    default_weight: float = 0.0) -> DataFrame:
+    """Keep each row with its group's probability, deterministically by
+    id hash. ``weights`` maps group value -> keep fraction in [0, 1];
+    unlisted groups use ``default_weight``. The weight table is tiny by
+    definition (one row per source) and folds into the plan as a literal
+    CASE — no join, no shuffle."""
+    u = hash_uniform(id_col)
+    frac = F.lit(float(default_weight))
+    for k, v in sorted(weights.items()):
+        frac = F.when(F.col(group_col) == k, F.lit(float(v))).otherwise(frac)
+    return df.filter(u < frac)
