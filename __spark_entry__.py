@@ -732,6 +732,41 @@ def q_docs_pack_sequences(spark, sf_dir):
     return packing_stats(d, budget=512).orderBy("group")
 
 
+def q_docs_filter_report(spark, sf_dir):
+    """The composed quality-filter pipeline a training run actually
+    executes: Gopher document rules AND low intra-doc repetition AND
+    corpus-LM score above threshold, in one pass with per-lang
+    keep/reject accounting. Every signal is exact, so the whole report
+    is hash-verified (LM score rounded to 6 decimals on both engines
+    before thresholding — the decision must not hinge on summation
+    order)."""
+    from zetasketch_spark.functions.text import gopher_quality_flags
+    from zetasketch_spark.operators.decontaminate import intra_doc_repetition
+    from zetasketch_spark.operators.lmscore import unigram_logprob
+
+    d = _t(spark, sf_dir, "documents")
+    flags = gopher_quality_flags("text")
+    base = d.select("doc_id", "lang",
+                    *(c.alias(n) for n, c in flags.items()))
+    rep = intra_doc_repetition(d, ngram=3).select("doc_id", "rep_ratio")
+    lp = (unigram_logprob(d)
+          .select("doc_id", F.round("avg_logprob", 6).alias("lp6")))
+    j = base.join(rep, "doc_id").join(lp, "doc_id")
+    gopher_ok = (F.col("words_ok") & F.col("mean_len_ok")
+                 & F.col("alpha_ok"))
+    rep_ok = F.col("rep_ratio") <= 0.01
+    lm_ok = F.col("lp6") >= -3.4015
+    keep = gopher_ok & rep_ok & lm_ok
+    return (
+        j.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum(keep.cast("long")).alias("n_kept"),
+             F.sum((~gopher_ok).cast("long")).alias("n_fail_gopher"),
+             F.sum((~rep_ok).cast("long")).alias("n_fail_rep"),
+             F.sum((~lm_ok).cast("long")).alias("n_fail_lm"))
+    )
+
+
 def q_docs_lm_quality(spark, sf_dir):
     """Unigram LM quality signal (KenLM-style perplexity proxy): per-doc
     mean token log-probability under the corpus's own unigram
@@ -1013,6 +1048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pii_scrub": q_docs_pii_scrub,
         "events_sessions": q_events_sessions,
         "docs_lm_quality": q_docs_lm_quality,
+        "docs_filter_report": q_docs_filter_report,
         "docs_weighted_sample": q_docs_weighted_sample,
         "docs_pack_sequences": q_docs_pack_sequences,
         "media_features": q_media_features,
@@ -1616,6 +1652,56 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(n_tokens)::DOUBLE / ((max(end_chunk) + 1) * 512), 4)
                      AS fill_ratio
             FROM p GROUP BY grp ORDER BY grp
+        """,
+        "docs_filter_report": """
+            WITH w AS (
+              SELECT doc_id, lang,
+                     list_filter(regexp_split_to_array(text, '""" + _WS_CLASS + """'),
+                                 x -> x <> '') AS ws
+              FROM documents
+            ), gopher AS (
+              SELECT doc_id, lang,
+                     (len(ws) BETWEEN 50 AND 100000)
+                     AND (CASE WHEN len(ws) > 0 THEN
+                           list_sum(list_transform(ws, x -> len(x)))::DOUBLE
+                             / len(ws) ELSE 0.0 END BETWEEN 3 AND 10)
+                     AND (CASE WHEN len(ws) > 0 THEN
+                           len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE
+                             / len(ws) ELSE 0.0 END >= 0.8) AS gopher_ok
+              FROM w
+            ), g3 AS (
+              SELECT doc_id,
+                     list_transform(
+                         range(1, CASE WHEN len(ws) = 0 THEN 1
+                                      ELSE len(ws) - least(3, len(ws)) + 2 END),
+                         i -> array_to_string(ws[i:i+least(3,len(ws))-1], chr(31))) AS grams
+              FROM w
+            ), rep AS (
+              SELECT doc_id,
+                     CASE WHEN len(grams) > 0
+                          THEN round(1.0 - len(list_distinct(grams))::DOUBLE
+                                     / len(grams), 4)
+                          ELSE 0.0 END <= 0.01 AS rep_ok
+              FROM g3
+            ), toks AS (
+              SELECT doc_id, unnest(ws) AS token FROM w
+            ), freq AS (
+              SELECT token, count(*) AS tf FROM toks GROUP BY token
+            ), tot AS (SELECT sum(tf) AS total FROM freq
+            ), lm AS (
+              SELECT t.doc_id,
+                     round(avg(ln(f.tf::DOUBLE / (SELECT total FROM tot))), 6)
+                       >= -3.4015 AS lm_ok
+              FROM toks t JOIN freq f USING (token) GROUP BY t.doc_id
+            )
+            SELECT g.lang, count(*) AS n_docs,
+                   sum(CASE WHEN gopher_ok AND rep_ok AND lm_ok
+                            THEN 1 ELSE 0 END) AS n_kept,
+                   sum(CASE WHEN NOT gopher_ok THEN 1 ELSE 0 END) AS n_fail_gopher,
+                   sum(CASE WHEN NOT rep_ok THEN 1 ELSE 0 END) AS n_fail_rep,
+                   sum(CASE WHEN NOT lm_ok THEN 1 ELSE 0 END) AS n_fail_lm
+            FROM gopher g JOIN rep USING (doc_id) JOIN lm USING (doc_id)
+            GROUP BY g.lang
         """,
         "docs_lm_quality": """
             WITH toks AS (

@@ -147,7 +147,7 @@ def main():
     # round-over-round totals stay comparable with r01/r02
     EXTRA = ["docs_decontaminate", "docs_top_tokens", "minhash_boilerplate_cap",
              "docs_pii_scrub", "events_sessions", "docs_lm_quality",
-             "docs_weighted_sample", "docs_pack_sequences"]
+             "docs_weighted_sample", "docs_pack_sequences", "docs_filter_report"]
     extra_timings: dict[str, float] = {}
     for name in EXTRA:
         t0 = time.time()
