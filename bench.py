@@ -150,10 +150,14 @@ def main():
              "docs_weighted_sample", "docs_pack_sequences", "docs_filter_report"]
     extra_timings: dict[str, float] = {}
     for name in EXTRA:
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        df.count() if hasattr(df, "count") else len(df)
-        extra_timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(N_HEADLINE_TRIALS):  # same noise floor as headline
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            df.count() if hasattr(df, "count") else len(df)
+            el = time.time() - t0
+            best = el if best is None else min(best, el)
+        extra_timings[name] = round(best, 3)
 
     # sf1 section (10x data, deterministic, generated once into data/sf1):
     # measures the kernels instead of the sandbox's fixed per-stage costs.
