@@ -751,11 +751,13 @@ def q_docs_filter_report(spark, sf_dir):
     rep = intra_doc_repetition(d, ngram=3).select("doc_id", "rep_ratio")
     lp = (unigram_logprob(d)
           .select("doc_id", F.round("avg_logprob", 6).alias("lp6")))
-    j = base.join(rep, "doc_id").join(lp, "doc_id")
+    # LEFT join: a zero-token doc emits no LM row but must still be
+    # counted (it fails the LM criterion, not the accounting)
+    j = base.join(rep, "doc_id").join(lp, "doc_id", "left")
     gopher_ok = (F.col("words_ok") & F.col("mean_len_ok")
                  & F.col("alpha_ok"))
     rep_ok = F.col("rep_ratio") <= 0.01
-    lm_ok = F.col("lp6") >= -3.4015
+    lm_ok = F.coalesce(F.col("lp6") >= -3.4015, F.lit(False))
     keep = gopher_ok & rep_ok & lm_ok
     return (
         j.groupBy("lang")
@@ -1641,16 +1643,19 @@ def oracle_sql() -> dict[str, str]:
             ), p AS (
               SELECT grp, n_tokens,
                      (cum_after - n_tokens) // 512 AS start_chunk,
-                     (cum_after - 1) // 512 AS end_chunk
+                     greatest((cum_after - n_tokens) // 512,
+                              (cum_after - 1) // 512) AS end_chunk
               FROM c
             )
             SELECT grp AS "group", count(*) AS n_docs,
                    sum(n_tokens) AS n_tokens,
-                   max(end_chunk) + 1 AS n_chunks,
+                   CAST(ceil(sum(n_tokens) / 512.0) AS BIGINT) AS n_chunks,
                    sum(CASE WHEN start_chunk <> end_chunk THEN 1 ELSE 0 END)
                      AS n_split_docs,
-                   round(sum(n_tokens)::DOUBLE / ((max(end_chunk) + 1) * 512), 4)
-                     AS fill_ratio
+                   CASE WHEN sum(n_tokens) > 0 THEN
+                     round(sum(n_tokens)::DOUBLE
+                           / (CAST(ceil(sum(n_tokens) / 512.0) AS BIGINT) * 512), 4)
+                   ELSE 0.0 END AS fill_ratio
             FROM p GROUP BY grp ORDER BY grp
         """,
         "docs_filter_report": """
@@ -1695,12 +1700,15 @@ def oracle_sql() -> dict[str, str]:
               FROM toks t JOIN freq f USING (token) GROUP BY t.doc_id
             )
             SELECT g.lang, count(*) AS n_docs,
-                   sum(CASE WHEN gopher_ok AND rep_ok AND lm_ok
+                   sum(CASE WHEN gopher_ok AND rep_ok
+                            AND COALESCE(lm_ok, false)
                             THEN 1 ELSE 0 END) AS n_kept,
                    sum(CASE WHEN NOT gopher_ok THEN 1 ELSE 0 END) AS n_fail_gopher,
                    sum(CASE WHEN NOT rep_ok THEN 1 ELSE 0 END) AS n_fail_rep,
-                   sum(CASE WHEN NOT lm_ok THEN 1 ELSE 0 END) AS n_fail_lm
-            FROM gopher g JOIN rep USING (doc_id) JOIN lm USING (doc_id)
+                   sum(CASE WHEN NOT COALESCE(lm_ok, false)
+                            THEN 1 ELSE 0 END) AS n_fail_lm
+            FROM gopher g JOIN rep USING (doc_id)
+            LEFT JOIN lm USING (doc_id)
             GROUP BY g.lang
         """,
         "docs_lm_quality": """

@@ -1144,3 +1144,42 @@ def test_pack_sequences_exact(spark):
     assert (s["n_docs"], s["n_tokens"], s["n_chunks"], s["n_split_docs"]) \
         == (4, 22, 3, 2)
     assert s["fill_ratio"] == round(22 / 30, 4)
+
+
+def test_pack_sequences_zero_token_docs(spark):
+    """Zero-token documents occupy no span: end==start, never split,
+    empty shards need 0 chunks, and fill_ratio never divides by zero."""
+    from zetasketch_spark.operators.packing import (
+        pack_sequences, packing_stats)
+
+    docs = spark.createDataFrame(
+        [(0, "", "a"), (1, " ".join(["w"] * 5), "a"),
+         (2, "   ", "b")],  # shard b: only whitespace
+        "doc_id long, text string, source string")
+    p = {r["id"]: r for r in pack_sequences(docs, budget=10).collect()}
+    assert (p[0]["start_chunk"], p[0]["end_chunk"], p[0]["is_split"]) == (0, 0, False)
+    assert p[2]["is_split"] is False
+
+    s = {r["group"]: r for r in packing_stats(docs, budget=10).collect()}
+    assert (s["a"]["n_chunks"], s["a"]["n_split_docs"]) == (1, 0)
+    assert (s["b"]["n_chunks"], s["b"]["fill_ratio"]) == (0, 0.0)
+
+
+def test_filter_report_counts_zero_token_docs(spark):
+    """A whitespace-only doc must appear in the accounting (failing, not
+    vanishing from the inner join)."""
+    import __spark_entry__ as entry
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(["word"] * 60), "en", "src0", 300),
+         (1, "   ", "en", "src0", 3)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    path = f"file:///tmp/_filter_report_test_{id(docs)}"
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = entry.q_docs_filter_report(spark, d).collect()
+    row = {r["lang"]: r for r in out}["en"]
+    assert row["n_docs"] == 2          # the empty doc is counted
+    assert row["n_fail_gopher"] >= 1   # and fails the word-count rule
+    assert row["n_fail_lm"] >= 1       # and the LM criterion

@@ -38,8 +38,11 @@ def pack_sequences(docs: DataFrame, budget: int,
          .withColumn("cum_after", F.sum("n_tokens").over(w))
          .withColumn("cum_before", F.col("cum_after") - F.col("n_tokens"))
          .withColumn("start_chunk", F.floor(F.col("cum_before") / budget))
+         # a zero-token doc occupies no span: clamp so end >= start (and
+         # engines agree — floor(-1/b) differs between SQL dialects)
          .withColumn("end_chunk",
-                     F.floor((F.col("cum_after") - 1) / budget)))
+                     F.greatest(F.col("start_chunk"),
+                                F.floor((F.col("cum_after") - 1) / budget))))
     return (d.withColumn("is_split", F.col("start_chunk") != F.col("end_chunk"))
             .drop("cum_after"))
 
@@ -50,11 +53,12 @@ def packing_stats(docs: DataFrame, budget: int,
     """Per-shard packing report: docs, tokens, chunks needed, split
     documents, and mean chunk fill (total_tokens / (n_chunks*budget))."""
     p = pack_sequences(docs, budget, text_col, id_col, group_col)
+    n_chunks = F.ceil(F.sum("n_tokens") / budget)  # 0 for an empty shard
     return (p.groupBy("group")
             .agg(F.count("*").alias("n_docs"),
                  F.sum("n_tokens").alias("n_tokens"),
-                 (F.max("end_chunk") + 1).alias("n_chunks"),
+                 n_chunks.alias("n_chunks"),
                  F.sum(F.col("is_split").cast("long")).alias("n_split_docs"),
-                 F.round(F.sum("n_tokens")
-                         / ((F.max("end_chunk") + 1) * budget), 4)
-                 .alias("fill_ratio")))
+                 F.when(n_chunks > 0,
+                        F.round(F.sum("n_tokens") / (n_chunks * budget), 4))
+                 .otherwise(F.lit(0.0)).alias("fill_ratio")))

@@ -49,7 +49,9 @@ def codegen_stage_count(df: DataFrame) -> int:
 
 
 def exchange_count(df: DataFrame) -> int:
-    """Number of hash-shuffle Exchange operators in the physical plan
-    (broadcast and single-partition exchanges excluded — those move
-    bounded data)."""
-    return physical_plan(df).count("Exchange hashpartitioning")
+    """Number of data-moving Exchange operators (hash AND range
+    partitioning) in the physical plan; broadcast and single-partition
+    exchanges are excluded — those move bounded data."""
+    plan = physical_plan(df)
+    return (plan.count("Exchange hashpartitioning")
+            + plan.count("Exchange rangepartitioning"))
