@@ -338,6 +338,21 @@ def q_hll_users_by_type_pure(spark, sf_dir):
     return hll_count_distinct(e, ["event_type"], "user_id", precision=14)
 
 
+def q_hll_pair_distinct(spark, sf_dir):
+    """Multi-column distinct (COUNT(DISTINCT user_id, event_type)) via the
+    string-domain composition: the tuple is serialized with a US
+    separator into ONE string column, so the standard HLL string recipe
+    applies unchanged — the engine answer for tuple distinct without a
+    new sketch type. Envelope-checked against the exact count."""
+    from zetasketch_spark.operators.verify import hll_verified
+
+    e = (_t(spark, sf_dir, "events")
+         .withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+         .withColumn("pair", F.concat_ws(
+             "\u001f", F.col("user_id").cast("string"), F.col("event_type"))))
+    return hll_verified(e, ["day"], "pair", precision=14)
+
+
 def q_hll_users_by_type_day(spark, sf_dir):
     """Finer grain + salted two-level (tree) merge, envelope-checked."""
     from zetasketch_spark.operators.verify import hll_verified
@@ -1034,6 +1049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sketch queries, self-verifying (hard driver-gate signal: exact
         # companion columns + guarantee booleans; see module docstring)
         "hll_users_by_type": q_hll_users_by_type,
+        "hll_pair_distinct": q_hll_pair_distinct,
         "hll_users_by_type_day": q_hll_users_by_type_day,
         "cm_heavy_hitter_users": q_cm_heavy_hitter_users,
         "kll_value_quantiles": q_kll_value_quantiles,
@@ -1393,6 +1409,13 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS exact_distinct,
                    true AS within_envelope
             FROM events GROUP BY event_type
+        """,
+        "hll_pair_distinct": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_rows,
+                   count(DISTINCT concat_ws(chr(31), CAST(user_id AS VARCHAR),
+                                            event_type)) AS exact_distinct,
+                   true AS within_envelope
+            FROM events GROUP BY day
         """,
         "hll_users_by_type_day": """
             SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
