@@ -344,12 +344,12 @@ def q_hll_pair_distinct(spark, sf_dir):
     separator into ONE string column, so the standard HLL string recipe
     applies unchanged — the engine answer for tuple distinct without a
     new sketch type. Envelope-checked against the exact count."""
+    from zetasketch_spark.functions.sketch_udfs import tuple_distinct_col
     from zetasketch_spark.operators.verify import hll_verified
 
     e = (_t(spark, sf_dir, "events")
          .withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
-         .withColumn("pair", F.concat_ws(
-             "\u001f", F.col("user_id").cast("string"), F.col("event_type"))))
+         .withColumn("pair", tuple_distinct_col("user_id", "event_type")))
     return hll_verified(e, ["day"], "pair", precision=14)
 
 

@@ -362,3 +362,35 @@ def test_streaming_sessionization_matches_batch(spark, tmp_path):
     got = sorted(map(tuple, spark.sql(
         "select user, session_start, n_events from sessions").collect()))
     assert got == batch and len(batch) > 40
+
+
+def test_streaming_pii_scrub(spark, tmp_path):
+    """pii_scrub is a pure projection, so it runs unchanged on a stream —
+    the ingest-time scrub shape. Streamed output rows equal the batch
+    scrub exactly."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from zetasketch_spark.functions.pii import pii_scrub, plant_pii
+
+    src = str(tmp_path / "pii_src")
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(200),
+        "text": [f"doc {i} body text" for i in range(200)],
+    }))
+    plant_pii(docs).repartition(4).write.parquet(src)
+
+    batch = sorted(map(tuple, pii_scrub(spark.read.parquet(src))
+                       .select("doc_id", "has_pii", "redacted").collect()))
+
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (pii_scrub(stream).select("doc_id", "has_pii", "redacted")
+         .writeStream.outputMode("append").format("memory")
+         .queryName("pii_stream").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql(
+        "select doc_id, has_pii, redacted from pii_stream").collect()))
+    assert got == batch
+    assert any(r[1] for r in got)  # planted PII present and detected

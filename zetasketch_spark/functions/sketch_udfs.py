@@ -352,3 +352,16 @@ def register_sql(spark) -> None:
             False)
 
     spark.udf.register("bloom_contains", _bloom_contains)
+
+
+def tuple_distinct_col(*cols) -> "Column":
+    """Serialize a column tuple into ONE string column for multi-column
+    distinct counting (``COUNT(DISTINCT a, b, ...)``): US-separated
+    string concatenation, so the standard HLL string recipe applies
+    unchanged and states stay wire-compatible. NULL fields are skipped by
+    concat_ws (match that in any exact companion)."""
+    import pyspark.sql.functions as F
+
+    return F.concat_ws(
+        "\u001f", *[(F.col(c) if isinstance(c, str) else c).cast("string")
+                     for c in cols])
