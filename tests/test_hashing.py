@@ -227,3 +227,74 @@ def test_dictionary_float_nan_value_masked():
     assert (vp == vd).all()          # NaN slots invalid on both fabrics
     assert (hp[vp] == hd[vd]).all()
     assert list(vd) == [True, False, True, False, True, False]
+
+
+# --- narrow fixed-width recipes (proto/aggregator.proto:77-120) -------------
+
+NARROW_TSV = os.path.join(os.path.dirname(__file__), "..", "tools",
+                          "fp_narrow_golden.tsv")
+
+
+def _load_narrow():
+    rows = []
+    with open(NARROW_TSV) as f:
+        for line in f:
+            kind, key, val = line.rstrip("\n").split("\t")
+            rows.append((kind, int(key), int(val)))
+    return rows
+
+
+def test_int8_recipe_guava_golden():
+    from zetasketch_spark.hashing import fingerprint_int8_array
+
+    cases = [(k, v) for kind, k, v in _load_narrow() if kind == "int8"]
+    assert len(cases) >= 8
+    got = fingerprint_int8_array(np.array([k for k, _ in cases], dtype=np.int8))
+    assert [int(h) for h in got] == [v for _, v in cases]
+
+
+def test_int16_recipe_guava_golden():
+    from zetasketch_spark.hashing import fingerprint_int16_array
+
+    cases = [(k, v) for kind, k, v in _load_narrow() if kind == "int16"]
+    assert len(cases) >= 12
+    got = fingerprint_int16_array(np.array([k for k, _ in cases], dtype=np.int16))
+    assert [int(h) for h in got] == [v for _, v in cases]
+
+
+def test_unsigned_widths_share_byte_recipe():
+    """UINT8/UINT16 hash the same byte strings as INT8/INT16 at equal bit
+    pattern (the proto specifies the byte string, not the sign), and both
+    equal fingerprint2011 of the raw bytes."""
+    from zetasketch_spark.hashing import (
+        fingerprint_int8_array,
+        fingerprint_int16_array,
+        fingerprint_uint8_array,
+        fingerprint_uint16_array,
+    )
+
+    s8 = np.array([0, 1, -1, 127, -128], dtype=np.int8)
+    u8 = s8.view(np.uint8)
+    assert (fingerprint_int8_array(s8) == fingerprint_uint8_array(u8)).all()
+    for v in u8:
+        assert fingerprint_uint8_array(np.array([v], dtype=np.uint8))[0] == \
+            fingerprint_bytes(bytes([int(v)]))
+
+    s16 = np.array([0, 1, -1, 32767, -32768, 255, 256], dtype=np.int16)
+    u16 = s16.view(np.uint16)
+    assert (fingerprint_int16_array(s16) == fingerprint_uint16_array(u16)).all()
+    for v in u16:
+        assert fingerprint_uint16_array(np.array([v], dtype=np.uint16))[0] == \
+            fingerprint_bytes(int(v).to_bytes(2, "little"))
+
+
+def test_signed_wide_ids_reuse_pinned_kernels():
+    """INT32/INT64 (ids 3/4) specify byte-identical hashes to UINT32/UINT64:
+    the proto's 'little endian bytes of 2s complement' IS the unsigned LE
+    byte string at equal bit pattern."""
+    vals32 = np.array([0, 42, -15, 2**31 - 1, -(2**31)], dtype=np.int32)
+    vals64 = np.array([0, 42, -15, 2**63 - 1, -(2**63)], dtype=np.int64)
+    assert (fingerprint_int_array(vals32) ==
+            fingerprint_int_array(vals32.view(np.uint32).view(np.int32))).all()
+    assert (fingerprint_long_array(vals64) ==
+            fingerprint_long_array(vals64.view(np.uint64).view(np.int64))).all()

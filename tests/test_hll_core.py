@@ -203,6 +203,56 @@ def test_type_incompatibility():
         c.add_longs([1]) or c.add_ints([2])
 
 
+def test_narrow_and_signed_value_types_full_matrix():
+    """The six non-Java DefaultOpsType ids (INT8..UINT16, signed INT32/64):
+    distinct ids survive serde, merges enforce exact-id equality (signed vs
+    unsigned of the same width is incompatible even though the hash recipe
+    is byte-identical), and estimates count the underlying byte strings."""
+    import numpy as np
+
+    from zetasketch_spark import hll as H
+
+    adders = [
+        ("add_int8s", H.VALUE_TYPE_INT8, np.arange(-128, 128, dtype=np.int8)),
+        ("add_uint8s", H.VALUE_TYPE_UINT8, np.arange(0, 256, dtype=np.uint8)),
+        ("add_int16s", H.VALUE_TYPE_INT16, np.arange(-500, 500, dtype=np.int16)),
+        ("add_uint16s", H.VALUE_TYPE_UINT16, np.arange(0, 1000, dtype=np.uint16)),
+        ("add_int32s", H.VALUE_TYPE_INT32, np.arange(0, 1000, dtype=np.int32)),
+        ("add_int64s", H.VALUE_TYPE_INT64, np.arange(0, 1000, dtype=np.int64)),
+    ]
+    sketches = {}
+    for name, vt, vals in adders:
+        sk = HllSketch(precision=13)
+        getattr(sk, name)(vals)
+        assert sk.value_type == vt
+        rt = HllSketch.deserialize(sk.serialize())
+        assert rt.value_type == vt
+        assert rt.estimate() == sk.estimate()
+        # exact in the sparse/LC regime for these small domains
+        assert abs(sk.estimate() - len(vals)) <= 0.02 * len(vals) + 2
+        sketches[vt] = sk
+
+    # same-width signed vs unsigned: identical hash domain bytes, but the
+    # ids are distinct so the reference's exact-match rule must reject
+    with pytest.raises(ValueError):
+        sketches[H.VALUE_TYPE_INT8].merge(sketches[H.VALUE_TYPE_UINT8])
+    with pytest.raises(ValueError):
+        sketches[H.VALUE_TYPE_INT64].merge(HllSketch.deserialize(
+            _build(lambda s: s.add_longs(np.arange(10)))))
+
+    # same id merges fine and stays exact on the union
+    a = HllSketch(precision=13)
+    a.add_int16s(np.arange(0, 600, dtype=np.int16))
+    a.merge(sketches[H.VALUE_TYPE_INT16])
+    assert abs(a.estimate() - 1100) <= 25  # union of [-500,500) and [0,600)
+
+
+def _build(fn):
+    sk = HllSketch(precision=13)
+    fn(sk)
+    return sk.serialize()
+
+
 # --- register-level merge goldens (NormalRepresentationTest.java:199-240) -----
 
 def _normal_with_hashes(p, hashes):

@@ -9,6 +9,10 @@ recipes specified in `proto/aggregator.proto:88-136`:
 * int64  -> fingerprint2011 of the 8 little-endian bytes
 * string -> fingerprint2011 of the UTF-8 bytes (NOT normalized)
 * bytes  -> fingerprint2011 of the raw bytes
+* int8/uint8   -> fingerprint2011 of the single 2s-complement byte
+* int16/uint16 -> fingerprint2011 of the 2 little-endian bytes
+  (the narrow C++ DefaultOps<T> recipes of aggregator.proto:77-110;
+  goldens in tools/fp_narrow_golden.tsv)
 
 The algorithm below is re-implemented from the public, Apache-2.0-licensed
 Guava source (``com.google.common.hash.Fingerprint2011``) and validated
@@ -195,8 +199,19 @@ def fingerprint_int_array(values: np.ndarray) -> np.ndarray:
     len==4: murmur remainder-only path; u = v = K0 in the final mix.
     """
     x = np.ascontiguousarray(values, dtype=np.int32).view(np.uint32).astype(np.uint64)
-    h = _SEED4
-    h = (h ^ x) * K3
+    return _fingerprint_fixed_narrow(x, 4)
+
+
+def _fingerprint_fixed_narrow(bits: np.ndarray, nbytes: int) -> np.ndarray:
+    """fingerprint2011 of each row's ``nbytes`` (1..7) little-endian bytes,
+    given per-row ``bits`` = the bytes loaded little-endian into a uint64.
+
+    Closed form of the <=32-byte murmur path for a fixed sub-word length:
+    zero aligned words, one remainder load (the value's unsigned bit
+    pattern), then the u = v = K0 final mix (len < 8 never overwrites u/v).
+    """
+    h = U64((int(_SEED) ^ (nbytes * int(K3))) & _MASK)
+    h = (h ^ bits) * K3
     h = _shift_mix(h) * K3
     h = _shift_mix(h)
     res = _hash128to64(h + K0, K0)
@@ -204,6 +219,35 @@ def fingerprint_int_array(values: np.ndarray) -> np.ndarray:
     if bad.any():
         res = np.where(bad, res + U64(_MASK - 1), res)
     return res
+
+
+def fingerprint_int8_array(values: np.ndarray) -> np.ndarray:
+    """fingerprint2011 of the single 2s-complement byte — the INT8 recipe
+    (`proto/aggregator.proto:77-80`, DefaultOpsType.Id.INT8 = 1; UINT8 = 5
+    shares the byte recipe). Goldens: tools/fp_narrow_golden.tsv."""
+    x = np.ascontiguousarray(values, dtype=np.int8).view(np.uint8).astype(np.uint64)
+    return _fingerprint_fixed_narrow(x, 1)
+
+
+def fingerprint_uint8_array(values: np.ndarray) -> np.ndarray:
+    """UINT8 recipe (`proto/aggregator.proto:102-105`): same single-byte
+    string as INT8 at equal bit pattern."""
+    x = np.ascontiguousarray(values, dtype=np.uint8).astype(np.uint64)
+    return _fingerprint_fixed_narrow(x, 1)
+
+
+def fingerprint_int16_array(values: np.ndarray) -> np.ndarray:
+    """fingerprint2011 of the two little-endian 2s-complement bytes — the
+    INT16 recipe (`proto/aggregator.proto:82-86`, DefaultOpsType.Id.INT16 =
+    2; UINT16 = 6 shares the byte recipe)."""
+    x = np.ascontiguousarray(values, dtype=np.int16).view(np.uint16).astype(np.uint64)
+    return _fingerprint_fixed_narrow(x, 2)
+
+
+def fingerprint_uint16_array(values: np.ndarray) -> np.ndarray:
+    """UINT16 recipe (`proto/aggregator.proto:107-110`)."""
+    x = np.ascontiguousarray(values, dtype=np.uint16).astype(np.uint64)
+    return _fingerprint_fixed_narrow(x, 2)
 
 
 # ---------------------------------------------------------------------------

@@ -34,13 +34,23 @@ import numpy as np
 
 from . import hll_data
 from .hashing import (
+    fingerprint_int8_array,
+    fingerprint_int16_array,
     fingerprint_int_array,
     fingerprint_long_array,
     fingerprint_str_series,
+    fingerprint_uint8_array,
+    fingerprint_uint16_array,
 )
 
 # --- value types (proto/aggregator.proto:73-139) ---------------------------
 VALUE_TYPE_UNKNOWN = 0
+VALUE_TYPE_INT8 = 1
+VALUE_TYPE_INT16 = 2
+VALUE_TYPE_INT32 = 3
+VALUE_TYPE_INT64 = 4
+VALUE_TYPE_UINT8 = 5
+VALUE_TYPE_UINT16 = 6
 VALUE_TYPE_UINT32 = 7
 VALUE_TYPE_UINT64 = 8
 VALUE_TYPE_FLOAT = 9
@@ -394,6 +404,42 @@ class HllSketch:
     def add_strings(self, values) -> None:
         self._check_type(VALUE_TYPE_BYTES_OR_UTF8_STRING)
         self.add_hashes(fingerprint_str_series(values))
+
+    # Narrow / signed fixed-width recipes of `proto/aggregator.proto:77-120`
+    # (C++ DefaultOps<T> parity). The Java reference exposes only
+    # int/long/string/bytes (`HyperLogLogPlusPlus.java:337-341`, widening
+    # narrower values to UINT32), so these six are spec-surface beyond the
+    # Java API: signed and unsigned widths share a byte recipe per width but
+    # keep DISTINCT value-type ids, and merges enforce exact-id equality
+    # just as the reference does for its four.
+
+    def add_int8s(self, values) -> None:
+        """INT8 recipe: fingerprint2011 of the single 2s-complement byte."""
+        self._check_type(VALUE_TYPE_INT8)
+        self.add_hashes(fingerprint_int8_array(np.asarray(values, dtype=np.int8)))
+
+    def add_uint8s(self, values) -> None:
+        self._check_type(VALUE_TYPE_UINT8)
+        self.add_hashes(fingerprint_uint8_array(np.asarray(values, dtype=np.uint8)))
+
+    def add_int16s(self, values) -> None:
+        """INT16 recipe: fingerprint2011 of the 2 LE 2s-complement bytes."""
+        self._check_type(VALUE_TYPE_INT16)
+        self.add_hashes(fingerprint_int16_array(np.asarray(values, dtype=np.int16)))
+
+    def add_uint16s(self, values) -> None:
+        self._check_type(VALUE_TYPE_UINT16)
+        self.add_hashes(fingerprint_uint16_array(np.asarray(values, dtype=np.uint16)))
+
+    def add_int32s(self, values) -> None:
+        """INT32 id (3): same 4-LE-byte hash as UINT32 but the signed id."""
+        self._check_type(VALUE_TYPE_INT32)
+        self.add_hashes(fingerprint_int_array(np.asarray(values, dtype=np.int32)))
+
+    def add_int64s(self, values) -> None:
+        """INT64 id (4): same 8-LE-byte hash as UINT64 but the signed id."""
+        self._check_type(VALUE_TYPE_INT64)
+        self.add_hashes(fingerprint_long_array(np.asarray(values, dtype=np.int64)))
 
     def add_custom(self, hashes: np.ndarray, type_id: int) -> None:
         """Add pre-hashed values under a CUSTOM value type: an integer id
