@@ -849,6 +849,56 @@ def q_hll_set_ops(spark, sf_dir):
                  "union_within_envelope", "intersection_within_envelope"]))
 
 
+def q_theta_set_ops(spark, sf_dir):
+    """Theta (KMV) sketches: DIRECT union / intersection / a-not-b
+    estimates (`sketches/theta.py`) — the set-operation capability HLL
+    inclusion-exclusion lacks. Per-type sketches build distributed via
+    the theta_init_agg UDAF; the driver only combines two k-bounded
+    states. Booleans assert the published envelopes: union within
+    4/sqrt(k-1) (KMV RSE), ∩ and ∖ within 4x the binomial-thinning sd."""
+    import pandas as pd
+
+    from zetasketch_spark.functions.sketch_udfs import theta_init_agg
+    from zetasketch_spark.sketches.theta import ThetaSketch
+
+    # overlapping quantity bands over lineitem orderkeys: ~13k distinct
+    # keys per side at sf0.01, so k=4096 sketches are genuinely in
+    # estimation mode (theta < 1) and the envelope booleans have teeth
+    li = _t(spark, sf_dir, "lineitem")
+    sides = li.select(
+        F.when(F.col("l_quantity") <= 25, F.lit("lo")).alias("side_lo"),
+        F.when(F.col("l_quantity") >= 20, F.lit("hi")).alias("side_hi"),
+        "l_orderkey",
+    )
+    banded = (sides.select(F.col("side_lo").alias("side"), "l_orderkey")
+              .union(sides.select(F.col("side_hi").alias("side"), "l_orderkey"))
+              .filter(F.col("side").isNotNull()))
+    sk = {r["side"]: ThetaSketch.deserialize(bytes(r["sk"])) for r in
+          banded.groupBy("side").agg(
+              theta_init_agg("l_orderkey", 4096).alias("sk")).collect()}
+    a, b = sk["lo"], sk["hi"]
+    union = ThetaSketch.deserialize(a.serialize())
+    union.merge(b)
+    inter = a.intersect(b)
+    anb = a.a_not_b(b)
+
+    lo = li.filter(F.col("l_quantity") <= 25).select("l_orderkey")
+    hi = li.filter(F.col("l_quantity") >= 20).select("l_orderkey")
+    exact_union = lo.union(hi).distinct().count()
+    exact_inter = lo.intersect(hi).count()
+    exact_anb = exact_union - hi.distinct().count()
+
+    union_ok = abs(union.estimate() / max(exact_union, 1) - 1.0) <= 4 * union.rse()
+    inter_ok = abs(inter.estimate() - exact_inter) <= 4 * inter.estimate_sd() + 1
+    anb_ok = abs(anb.estimate() - exact_anb) <= 4 * anb.estimate_sd() + 1
+    return spark.createDataFrame(pd.DataFrame(
+        [[exact_union, exact_inter, exact_anb,
+          bool(union_ok), bool(inter_ok), bool(anb_ok)]],
+        columns=["exact_union", "exact_intersection", "exact_a_not_b",
+                 "union_within_envelope", "intersection_within_envelope",
+                 "a_not_b_within_envelope"]))
+
+
 def q_events_topk_rerank(spark, sf_dir):
     """Distributed EXACT top-k: Count-Min-bounded candidates + exact
     re-rank (operators/topk.py) — output is exact, so DuckDB's plain
@@ -1079,6 +1129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dup_clusters": q_docs_dup_clusters,
         "events_topk_rerank": q_events_topk_rerank,
         "hll_set_ops": q_hll_set_ops,
+        "theta_set_ops": q_theta_set_ops,
     }
 
 
@@ -1809,5 +1860,17 @@ def oracle_sql() -> dict[str, str]:
                        AS exact_intersection,
                    true AS union_within_envelope,
                    true AS intersection_within_envelope
+        """,
+        "theta_set_ops": """
+            WITH c AS (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_quantity <= 25),
+                 p AS (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_quantity >= 20),
+                 u AS (SELECT count(*) AS n FROM (SELECT l_orderkey FROM c UNION SELECT l_orderkey FROM p)),
+                 i AS (SELECT count(*) AS n FROM (SELECT l_orderkey FROM c INTERSECT SELECT l_orderkey FROM p))
+            SELECT (SELECT n FROM u) AS exact_union,
+                   (SELECT n FROM i) AS exact_intersection,
+                   (SELECT n FROM u) - (SELECT count(*) FROM p) AS exact_a_not_b,
+                   true AS union_within_envelope,
+                   true AS intersection_within_envelope,
+                   true AS a_not_b_within_envelope
         """,
     }

@@ -328,7 +328,7 @@ def test_topk_provably_complete_flag(spark):
     assert all(not r["provably_complete"] for r in rows)
 
 
-@pytest.mark.parametrize("family", ["countmin", "kll", "tdigest", "bloom"])
+@pytest.mark.parametrize("family", ["countmin", "kll", "tdigest", "bloom", "theta"])
 def test_wire_format_versioned_forward_compat(family):
     """Every non-HLL family carries an explicit encoding_version and, like
     the proto surface (reference StateTest unknown-field case), tolerates a
@@ -367,7 +367,7 @@ def test_wire_format_versioned_forward_compat(family):
         fam.deserialize(bytes(blob[:4]) + bytes([0]) + bytes(blob[5:]))
 
 
-@pytest.mark.parametrize("family", ["countmin", "kll", "tdigest", "bloom"])
+@pytest.mark.parametrize("family", ["countmin", "kll", "tdigest", "bloom", "theta"])
 def test_truncated_blob_fails_loudly(family):
     """Every truncation of a serialized state must raise (ValueError /
     struct.error) — never return a silently-corrupt sketch. At 100 TB a
@@ -416,3 +416,101 @@ def test_truncated_hll_blob_fails_loudly():
         except (ValueError, IndexError):
             continue
         assert got.serialize() == full, f"silent partial parse at {cut}"
+
+
+# --- Theta (KMV / QuickSelect) ------------------------------------------------
+
+def _theta_of(values, k=4096):
+    from zetasketch_spark.sketches.theta import ThetaSketch
+
+    sk = ThetaSketch(k=k)
+    sk.add_series(pd.Series(values))
+    return sk
+
+
+def test_theta_exact_mode_and_estimator_bound():
+    """Below k the sketch is exact; above, |est/true - 1| <= 4/sqrt(k-1)
+    (4x the published KMV RSE) on seeded streams."""
+    small = _theta_of([f"u{i}" for i in range(1000)], k=4096)
+    assert small.theta_frac == 1.0 and small.estimate() == 1000
+    assert small.num_values == 1000
+
+    for seed in (1, 2, 3):
+        n = 200_000
+        rng = np.random.default_rng(seed)
+        keys = pd.Series(rng.integers(0, 2**62, size=n)).astype(str)
+        true = keys.nunique()
+        sk = _theta_of(keys, k=4096)
+        assert sk.theta_frac < 1.0
+        rel = abs(sk.estimate() / true - 1.0)
+        assert rel <= 4 * sk.rse(), (seed, rel, 4 * sk.rse())
+
+
+def test_theta_merge_equals_direct_and_laws():
+    """Union == direct build at the STATE level (same retained set and
+    theta), and merge is commutative + associative on serialized states."""
+    from zetasketch_spark.sketches.theta import ThetaSketch
+
+    a_keys = [f"a{i}" for i in range(30_000)]
+    b_keys = [f"b{i}" for i in range(30_000)]
+    c_keys = [f"a{i}" for i in range(15_000, 45_000)]
+    k = 1024
+    direct = _theta_of(a_keys + b_keys + c_keys, k=k)
+
+    def build(keys):
+        return _theta_of(keys, k=k)
+
+    ab = build(a_keys); ab.merge(build(b_keys)); ab.merge(build(c_keys))
+    ba = build(c_keys); ba.merge(build(a_keys)); ba.merge(build(b_keys))
+    # same theta and retained set regardless of order; theta may differ
+    # from the direct build's (QuickSelect history differs) but estimates
+    # must agree within the envelope of the smaller theta
+    assert ab.theta == ba.theta
+    assert np.array_equal(ab.retained, ba.retained)
+    true = len(set(a_keys + b_keys + c_keys))
+    for sk in (ab, direct):
+        assert abs(sk.estimate() / true - 1.0) <= 4 * sk.rse()
+
+    # round-tripping through bytes preserves the state exactly
+    rt = ThetaSketch.deserialize(ab.serialize())
+    assert rt.theta == ab.theta and np.array_equal(rt.retained, ab.retained)
+    assert rt.num_values == ab.num_values
+
+
+def test_theta_set_operations_direct_estimates():
+    """Intersection / a-not-b estimates land within 4x the binomial-
+    thinning sd (sketches/theta.py::estimate_sd) of the exact sizes —
+    the capability HLL inclusion-exclusion cannot provide directly."""
+    n = 120_000
+    overlap_lo, overlap_hi = 60_000, 120_000
+    a = _theta_of([f"k{i}" for i in range(n)], k=4096)
+    b = _theta_of([f"k{i}" for i in range(overlap_lo, overlap_lo + n)], k=4096)
+
+    inter = a.intersect(b)
+    exact_inter = overlap_hi - overlap_lo
+    assert abs(inter.estimate() - exact_inter) <= 4 * inter.estimate_sd() + 1
+
+    anb = a.a_not_b(b)
+    exact_anb = overlap_lo
+    assert abs(anb.estimate() - exact_anb) <= 4 * anb.estimate_sd() + 1
+
+    # disjoint sets: empty intersection estimates 0
+    c = _theta_of([f"z{i}" for i in range(50_000)], k=1024)
+    assert a.intersect(c).estimate() <= 3 * a.intersect(c).estimate_sd()
+
+
+def test_theta_null_and_empty_merge_noops_and_min_k():
+    from zetasketch_spark.sketches.theta import ThetaSketch
+
+    sk = _theta_of([f"u{i}" for i in range(100)], k=256)
+    before = sk.serialize()
+    sk.merge(None)
+    sk.merge(ThetaSketch(k=256))
+    assert sk.serialize() == before
+
+    # merging across nominal sizes degrades to the smaller k
+    big = _theta_of([f"x{i}" for i in range(100_000)], k=4096)
+    sm = _theta_of([f"y{i}" for i in range(100_000)], k=512)
+    big.merge(sm)
+    assert big.k == 512 and len(big.retained) <= 512
+    assert abs(big.estimate() / 200_000 - 1.0) <= 4 / np.sqrt(512 - 1)

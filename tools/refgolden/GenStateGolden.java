@@ -98,6 +98,10 @@ public class GenStateGolden {
       {13, 16, 10}, {13, 16, 500}, {13, 16, 2500}, {13, 16, 3000}, {13, 16, 50000},
       {15, 25, 3}, {15, 25, 1000}, {15, 25, 6000}, {15, 25, 8000}, {15, 25, 100000},
       {20, 25, 1000}, {20, 25, 50000},
+      // maximum normal precision (north_rule: precisions 10-24). Sparse
+      // states only: a dense p=24 proto is 16 MiB of registers — the
+      // sparse encodings and the downgrade path are what is p-specific
+      {24, 25, 100}, {24, 25, 5000},
     };
     for (int[] c : pn) {
       emit("longs_p" + c[0] + "_sp" + c[1] + "_n" + c[2], longs(c[0], c[1], 1000, c[2]));
@@ -122,5 +126,6 @@ public class GenStateGolden {
     emitMerged("merge_sp_only_s13sp18_s13sp16", longs(13, 18, 1, 400), longs(13, 16, 200, 400));
     emitMerged("merge_sp_only_s13sp16_s13sp18", longs(13, 16, 200, 400), longs(13, 18, 1, 400));
     emitMerged("merge_sp_only_n15sp25_s15sp20", longs(15, 25, 1, 100000), longs(15, 20, 50, 800));
+    emitMerged("merge_sparse_downgrade_s24_s20", longs(24, 25, 1, 2000), longs(20, 25, 1000, 2000));
   }
 }

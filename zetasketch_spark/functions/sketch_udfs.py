@@ -151,6 +151,45 @@ def hll_num_values(col):
     return _num_values_udf()(F.col(col) if isinstance(col, str) else col)
 
 
+def theta_init_agg(col, k: int = 4096):
+    """Grouped-aggregate: build a theta (KMV) sketch from a key column —
+    the set-operation-capable distinct counter (`sketches/theta.py`).
+    Keys go through the same string-canonical domain as Count-Min/Bloom."""
+
+    @pandas_udf("binary")
+    def _init(values: pd.Series) -> bytes:
+        from zetasketch_spark.sketches.theta import ThetaSketch
+
+        sk = ThetaSketch(k=k)
+        sk.add_series(_canon_keys(values).dropna())
+        return sk.serialize()
+
+    return _init(F.col(col) if isinstance(col, str) else col)
+
+
+def theta_merge_agg(col):
+    """Grouped-aggregate: union serialized theta sketches."""
+    from zetasketch_spark.sketches.theta import ThetaSketch
+
+    return _merge_agg_udf(ThetaSketch.deserialize)(
+        F.col(col) if isinstance(col, str) else col)
+
+
+def theta_estimate(col):
+    """Scalar: distinct estimate from a serialized theta sketch."""
+
+    @pandas_udf("long")
+    def _est(states: pd.Series) -> pd.Series:
+        from zetasketch_spark.sketches.theta import ThetaSketch
+
+        return pd.Series([
+            ThetaSketch.deserialize(bytes(b)).estimate() if b is not None else 0
+            for b in states
+        ])
+
+    return _est(F.col(col) if isinstance(col, str) else col)
+
+
 def _canon_keys(s: pd.Series) -> pd.Series:
     """Canonical string form for SQL-surface sketch keys.
 
@@ -352,6 +391,27 @@ def register_sql(spark) -> None:
             False)
 
     spark.udf.register("bloom_contains", _bloom_contains)
+
+    from zetasketch_spark.sketches.theta import ThetaSketch
+
+    spark.udf.register("theta_merge_agg", _merge_agg_udf(ThetaSketch.deserialize))
+
+    @pandas_udf("binary")
+    def _theta_init(values: pd.Series, k: pd.Series) -> bytes:
+        sk = ThetaSketch(k=int(k.iloc[0]) if len(k) else 4096)
+        sk.add_series(_canon_keys(values).dropna())
+        return sk.serialize()
+
+    spark.udf.register("theta_init_agg", _theta_init)
+
+    @pandas_udf("long")
+    def _theta_est(states: pd.Series) -> pd.Series:
+        return pd.Series([
+            ThetaSketch.deserialize(bytes(b)).estimate() if b is not None else 0
+            for b in states
+        ])
+
+    spark.udf.register("theta_estimate", _theta_est)
 
 
 def tuple_distinct_col(*cols) -> "Column":

@@ -233,7 +233,7 @@ def get_family(name: str, **cfg) -> SketchFamily:
         # lazily import the module that registers this family
         import importlib
 
-        for mod in ("countmin", "kll", "tdigest", "bloom"):
+        for mod in ("countmin", "kll", "tdigest", "bloom", "theta"):
             importlib.import_module(f"zetasketch_spark.sketches.{mod}")
     if name not in _REGISTRY:
         raise KeyError(f"unknown sketch family {name!r}; known: {sorted(_REGISTRY)}")
