@@ -599,6 +599,19 @@ def q_docs_hash_sample(spark, sf_dir):
     )
 
 
+def q_docs_uniform_sample(spark, sf_dir):
+    """EXACT-k deterministic uniform sample (operators/sampling.py::
+    bottomk_sample): the 200 docs with the smallest md5(doc_id). Executes
+    as TakeOrderedAndProject (per-partition top-k + k-row combine — no
+    global sort); membership is portable, so DuckDB reproduces the exact
+    row set."""
+    from zetasketch_spark.operators.sampling import bottomk_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return (bottomk_sample(d, k=200, id_col="doc_id")
+            .select("doc_id", "lang", "source"))
+
+
 def q_docs_repetition(spark, sf_dir):
     """Gopher-style repetition filter signal: per-doc duplicate word
     3-gram ratio — an exact function of the text, so DuckDB recomputes it
@@ -899,6 +912,35 @@ def q_theta_set_ops(spark, sf_dir):
                  "a_not_b_within_envelope"]))
 
 
+def q_theta_set_ops_pure(spark, sf_dir):
+    """Bench twin of q_theta_set_ops: sketch build + set-op estimates
+    only (the gate version's exact countDistinct twins would dominate
+    the timing)."""
+    import pandas as pd
+
+    from zetasketch_spark.functions.sketch_udfs import theta_init_agg
+    from zetasketch_spark.sketches.theta import ThetaSketch
+
+    li = _t(spark, sf_dir, "lineitem")
+    sides = li.select(
+        F.when(F.col("l_quantity") <= 25, F.lit("lo")).alias("side_lo"),
+        F.when(F.col("l_quantity") >= 20, F.lit("hi")).alias("side_hi"),
+        "l_orderkey",
+    )
+    banded = (sides.select(F.col("side_lo").alias("side"), "l_orderkey")
+              .union(sides.select(F.col("side_hi").alias("side"), "l_orderkey"))
+              .filter(F.col("side").isNotNull()))
+    sk = {r["side"]: ThetaSketch.deserialize(bytes(r["sk"])) for r in
+          banded.groupBy("side").agg(
+              theta_init_agg("l_orderkey", 4096).alias("sk")).collect()}
+    a, b = sk["lo"], sk["hi"]
+    union = ThetaSketch.deserialize(a.serialize())
+    union.merge(b)
+    return spark.createDataFrame(pd.DataFrame(
+        [[union.estimate(), a.intersect(b).estimate(), a.a_not_b(b).estimate()]],
+        columns=["union_est", "intersection_est", "a_not_b_est"]))
+
+
 def q_events_topk_rerank(spark, sf_dir):
     """Distributed EXACT top-k: Count-Min-bounded candidates + exact
     re-rank (operators/topk.py) — output is exact, so DuckDB's plain
@@ -1111,6 +1153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_decontaminate": q_docs_decontaminate,
         "docs_top_tokens": q_docs_top_tokens,
         "docs_hash_sample": q_docs_hash_sample,
+        "docs_uniform_sample": q_docs_uniform_sample,
         "docs_repetition": q_docs_repetition,
         "docs_gopher_filters": q_docs_gopher_filters,
         "docs_pii_scrub": q_docs_pii_scrub,
@@ -1150,6 +1193,7 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_sql_surface": q_hll_sql_surface_pure,
         "ann_lsh_topk": q_ann_lsh_topk_pure,
         "ann_ivf_topk": q_ann_ivf_topk_pure,
+        "theta_set_ops": q_theta_set_ops_pure,
     }
     return {**queries(), **pure}
 
@@ -1637,6 +1681,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, count(*) AS n_sampled,
                    min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
             FROM b WHERE bucket < 10 GROUP BY lang
+        """,
+        "docs_uniform_sample": """
+            SELECT doc_id, lang, source FROM documents
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 200
         """,
         "docs_repetition": """
             WITH w AS (

@@ -147,8 +147,32 @@ def main():
     # round-over-round totals stay comparable with r01/r02
     EXTRA = ["docs_decontaminate", "docs_top_tokens", "minhash_boilerplate_cap",
              "docs_pii_scrub", "events_sessions", "docs_lm_quality",
-             "docs_weighted_sample", "docs_pack_sequences", "docs_filter_report"]
+             "docs_weighted_sample", "docs_pack_sequences", "docs_filter_report",
+             "theta_set_ops", "docs_uniform_sample"]
     extra_timings: dict[str, float] = {}
+
+    # the remaining north-star query shapes on the SAME transcripts table:
+    # heavy-hitter tool frequencies (Count-Min) and turn-length quantiles
+    # (KLL), via the DataFrame sketch-agg pipeline
+    from zetasketch_spark.operators.agg import sketch_agg
+    from zetasketch_spark.sketches.countmin import CountMinFamily
+    from zetasketch_spark.sketches.kll import KllFamily
+
+    tdf = spark.read.parquet(tdir)
+    for name, frame, col, fam in [
+        ("transcripts_cm_tools", tdf, "tool",
+         CountMinFamily(width=4096, depth=5, max_candidates=256)),
+        ("transcripts_len_quantiles",
+         tdf.withColumn("turn_len", F.length("text").cast("double")),
+         "turn_len", KllFamily(k=200, quantiles=(0.5, 0.9, 0.99))),
+    ]:
+        best = None
+        for _ in range(N_HEADLINE_TRIALS):
+            t0 = time.time()
+            sketch_agg(frame, ["role"], col, fam).count()
+            el = time.time() - t0
+            best = el if best is None else min(best, el)
+        extra_timings[name] = round(best, 3)
     for name in EXTRA:
         best = None
         for _ in range(N_HEADLINE_TRIALS):  # same noise floor as headline

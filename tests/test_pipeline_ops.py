@@ -1123,6 +1123,26 @@ def test_weighted_sample(spark):
     assert ids1 == ids2  # same rows every run
 
 
+def test_bottomk_sample_exact_mergeable_no_sort(spark):
+    """Exact-k bottom-k-by-hash sample: membership is invariant to the
+    input partitioning (the merge property that makes it distributed),
+    and the plan is TakeOrderedAndProject — per-partition top-k, never a
+    global sort."""
+    from zetasketch_spark.operators.sampling import bottomk_sample
+
+    df = spark.range(5000).select(F.col("id").alias("doc_id"))
+    base = [r["doc_id"] for r in bottomk_sample(df, 100).collect()]
+    assert len(base) == 100 and len(set(base)) == 100
+    for parts in (1, 7, 32):
+        got = [r["doc_id"] for r in
+               bottomk_sample(df.repartition(parts), 100).collect()]
+        assert got == base  # same members, same (hash) order
+
+    plan = bottomk_sample(df, 100)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no global sort stage
+
+
 def test_pack_sequences_exact(spark):
     """Hand-computed packing: 10-token budget over docs of 4/5/6/7 tokens
     -> cumulative spans 0-4, 4-9, 9-15, 15-22; doc 3 crosses the cut at

@@ -23,6 +23,31 @@ def hash_uniform(id_col: str | Column) -> Column:
             .cast("double") / float(1 << 32))
 
 
+def bottomk_sample(df: DataFrame, k: int, id_col: str = "doc_id") -> DataFrame:
+    """EXACT-k deterministic uniform sample: the k rows with the smallest
+    md5(id) — a distributed bottom-k ("KMV") sample.
+
+    Properties that matter at 100 TB:
+
+    * mergeable: bottom-k of a union == bottom-k of per-partition
+      bottom-ks, so Spark executes it as per-partition top-k + a k-row
+      driver/single-partition combine (``TakeOrderedAndProject``) — NO
+      global sort, NO full shuffle; each executor ships at most k rows.
+    * deterministic: same members on any cluster size / engine (md5 is
+      portable), so the sample is auditable and re-runnable, unlike
+      ``df.sample`` whose membership depends on partitioning.
+    * uniform: md5 order is independent of any data attribute.
+
+    Ties on the full 32-hex digest are impossible for distinct ids; the
+    id itself breaks ties between identical ids."""
+    h = F.md5((F.col(id_col) if isinstance(id_col, str) else id_col)
+              .cast("string"))
+    return (df.withColumn("__h", h)
+            .orderBy("__h", id_col)
+            .limit(k)
+            .drop("__h"))
+
+
 def weighted_sample(df: DataFrame, weights: dict[str, float],
                     group_col: str = "source",
                     id_col: str = "doc_id",
