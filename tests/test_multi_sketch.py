@@ -17,14 +17,27 @@ def test_multi_sketch_one_pass(spark, transcripts_path):
     df = load_transcripts(spark, transcripts_path).withColumn(
         "turn_len", F.length("text").cast("double"))
 
+    from zetasketch_spark.sketches.theta import ThetaFamily, ThetaSketch
+
     hll = HllFamily(precision=13)
     kll = KllFamily(k=200, quantiles=(0.5, 0.9))
+    theta = ThetaFamily(k=512)
     out = multi_sketch_agg(df, ["role"], {
         "convs": ("conv_id", hll),
         "lens": ("turn_len", kll),
+        "tconvs": ("conv_id", theta),
     })
     rows = {r["role"]: r for r in out.collect()}
     assert set(rows) == {"user", "assistant", "tool"}
+
+    # theta estimates equal a local single-threaded build (same keys)
+    import pandas as pd
+
+    pdf = df.select("role", "conv_id").toPandas()
+    for role, grp in pdf.groupby("role"):
+        sk = ThetaSketch(k=512)
+        sk.add_series(pd.Series(grp["conv_id"]))
+        assert rows[role]["tconvs_estimate"] == sk.estimate()
 
     # HLL estimates equal the single-sketch pipeline (same states)
     single = {r["role"]: r["estimate"] for r in

@@ -54,6 +54,45 @@ def test_streaming_hll_matches_batch(spark, tmp_path):
     assert got == want
 
 
+def test_streaming_theta_matches_batch(spark, tmp_path):
+    """The streaming fabric is family-generic: theta (KMV) group states
+    converge to the batch-built states — same estimate, same retained-set
+    size — after the last micro-batch."""
+    import pandas as pd
+
+    from zetasketch_spark.sketches.theta import ThetaSketch
+    from zetasketch_spark.sources.transcripts import write_transcripts_parquet
+    from zetasketch_spark.streaming.agg import streaming_sketch_agg
+    from zetasketch_spark.sketches.theta import ThetaFamily
+
+    path = str(tmp_path / "theta_src")
+    write_transcripts_parquet(path, n_turns=30_000, seed=9, rows_per_file=10_000)
+    schema = spark.read.parquet(path).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(path)
+              .select("role", "conv_id"))
+    fam = ThetaFamily(k=512)
+    out = streaming_sketch_agg(stream, ["role"], "conv_id", fam)
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName("theta_stream").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["role"]: r["estimate"] for r in
+           spark.sql("""
+             select role, estimate from (
+               select role, estimate, rows_seen,
+                      row_number() over (partition by role order by rows_seen desc) rk
+               from theta_stream) where rk = 1
+           """).collect()}
+
+    batch = spark.read.parquet(path).select("role", "conv_id").toPandas()
+    want = {}
+    for role, grp in batch.groupby("role"):
+        sk = ThetaSketch(k=512)
+        sk.add_series(pd.Series(grp["conv_id"].astype(str)))
+        want[role] = sk.estimate()
+    assert got == want
+
+
 def test_streaming_restart_recovers_state(spark, tmp_path):
     """Kill the query between micro-batches and restart with the same
     checkpointLocation: the state store must restore the sketches and the

@@ -26,8 +26,11 @@ from zetasketch_spark.sketches.base import SketchFamily
 
 def multi_sketch_partial(df: DataFrame, keys: list[str],
                          specs: dict[str, tuple[str, SketchFamily]]) -> DataFrame:
-    """Stage 1. ``specs``: {output_name: (value_col, family)}; all families
-    must support the Arrow fast path."""
+    """Stage 1. ``specs``: {output_name: (value_col, family)}. Families
+    with a vectorized Arrow kernel (supports_arrow) hash the batch once;
+    the rest go through the generic per-batch pandas fallback
+    (`sketches/base.py::_SeriesPrepared`) — state-equal to the pandas
+    fabric, just not zero-copy."""
     names = list(specs)
     cols = sorted({c for c, _ in specs.values()})
     out_schema = StructType(

@@ -21,6 +21,19 @@ import numpy as np
 import pandas as pd
 
 
+class _SeriesPrepared:
+    """Positional-slice view over a pandas Series (the generic
+    prepare_arrow fallback)."""
+
+    __slots__ = ("series",)
+
+    def __init__(self, series: pd.Series):
+        self.series = series
+
+    def __getitem__(self, idx):
+        return self.series.take(idx)
+
+
 class SketchFamily:
     """Base class; subclasses define the five operations."""
 
@@ -34,11 +47,16 @@ class SketchFamily:
     def prepare_arrow(self, arr) -> Any:
         """Vectorize the whole Arrow column once per batch (e.g. hash it);
         the harness then group-slices the prepared value with numpy
-        indices. Return any object supporting ``prepared[indices]``."""
-        raise NotImplementedError
+        indices. Return any object supporting ``prepared[indices]``.
+
+        Default: materialize the column as ONE pandas Series per batch
+        and slice it per group — state-equal to the pandas fabric by
+        construction (update_prepared routes to update()). Families with
+        a vectorized hash kernel override both (supports_arrow = True)."""
+        return _SeriesPrepared(arr.to_pandas())
 
     def update_prepared(self, state: Any, prepared_slice: Any) -> Any:
-        raise NotImplementedError
+        return self.update(state, prepared_slice)
 
     def make(self) -> Any:
         raise NotImplementedError
