@@ -912,6 +912,43 @@ def q_theta_set_ops(spark, sf_dir):
                  "a_not_b_within_envelope"]))
 
 
+def q_events_analyze(spark, sf_dir):
+    """Sketch-powered ANALYZE TABLE (operators/analyze.py): per-column
+    n_rows / n_nulls (exact by construction — rows_seen and the sketches'
+    num_values), HLL distinct and KLL quartiles from ONE scan. Output is
+    oracled: exact companions DuckDB recomputes, plus envelope booleans
+    for the estimates (distinct within 3·1.04/√2^13; reported q50's true
+    rank within 0.5 ± 3·1.5/k)."""
+    import pandas as pd
+
+    from zetasketch_spark.operators.analyze import analyze_table
+
+    e = _t(spark, sf_dir, "events")
+    cols = ["user_id", "event_type", "value"]
+    stats = {r["column"]: r for r in analyze_table(e, cols=cols).collect()}
+
+    env = 3 * 1.04 / (2 ** 13) ** 0.5
+    exact = e.agg(
+        *[F.countDistinct(c).alias(c) for c in cols],
+        F.count(F.lit(1)).alias("__rows"),
+        F.sum(F.col("value").isNull().cast("long")).alias("__vnulls"),
+    ).collect()[0]
+    # true normalized rank of the reported q50 for the numeric column
+    q50 = float(stats["value"]["q50"])
+    rank = (e.filter(F.col("value") <= q50).count()
+            / max(exact["__rows"] - exact["__vnulls"], 1))
+    out = []
+    for c in cols:
+        r = stats[c]
+        ok = abs(r["approx_distinct"] / max(exact[c], 1) - 1.0) <= env
+        qok = abs(rank - 0.5) <= 3 * 1.5 / 200 if c == "value" else True
+        out.append([c, int(r["n_rows"]), int(r["n_nulls"]), int(exact[c]),
+                    bool(ok), bool(qok)])
+    return spark.createDataFrame(pd.DataFrame(
+        out, columns=["column", "n_rows", "n_nulls", "exact_distinct",
+                      "distinct_within_envelope", "q50_within_rank_bound"]))
+
+
 def q_theta_set_ops_pure(spark, sf_dir):
     """Bench twin of q_theta_set_ops: sketch build + set-op estimates
     only (the gate version's exact countDistinct twins would dominate
@@ -1173,6 +1210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_topk_rerank": q_events_topk_rerank,
         "hll_set_ops": q_hll_set_ops,
         "theta_set_ops": q_theta_set_ops,
+        "events_analyze": q_events_analyze,
     }
 
 
@@ -1908,6 +1946,20 @@ def oracle_sql() -> dict[str, str]:
                        AS exact_intersection,
                    true AS union_within_envelope,
                    true AS intersection_within_envelope
+        """,
+        "events_analyze": """
+            SELECT c.col AS "column",
+                   (SELECT count(*) FROM events) AS n_rows,
+                   CASE c.col WHEN 'value'
+                        THEN (SELECT count(*) FROM events WHERE value IS NULL)
+                        ELSE 0 END AS n_nulls,
+                   CASE c.col
+                        WHEN 'user_id' THEN (SELECT count(DISTINCT user_id) FROM events)
+                        WHEN 'event_type' THEN (SELECT count(DISTINCT event_type) FROM events)
+                        ELSE (SELECT count(DISTINCT value) FROM events) END AS exact_distinct,
+                   true AS distinct_within_envelope,
+                   true AS q50_within_rank_bound
+            FROM (VALUES ('user_id'), ('event_type'), ('value')) AS c(col)
         """,
         "theta_set_ops": """
             WITH c AS (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_quantity <= 25),

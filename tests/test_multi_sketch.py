@@ -74,3 +74,34 @@ def test_multi_sketch_single_scan_plan(spark, transcripts_path):
     scans = read_schema_columns(p)
     assert len(scans) == 1
     assert set(scans[0]) == {"role", "conv_id", "tool"}
+
+
+def test_analyze_table_one_scan_stats(spark):
+    """Sketch-powered ANALYZE: one pass yields per-column n_rows / n_nulls
+    (exact, from rows_seen and the sketches' own num_values), HLL distinct
+    within the envelope, and KLL quartiles within rank error."""
+    import pandas as pd
+
+    from zetasketch_spark.operators.analyze import analyze_table
+
+    n = 20_000
+    pdf = pd.DataFrame({
+        "k": [f"u{i % 1337}" for i in range(n)],
+        "v": [float(i % 1000) if i % 10 else None for i in range(n)],
+        "g": [i % 7 for i in range(n)],
+    })
+    df = spark.createDataFrame(pdf)
+    stats = {r["column"]: r for r in analyze_table(df).collect()}
+    assert set(stats) == {"k", "v", "g"}
+    for c in stats:
+        assert stats[c]["n_rows"] == n
+    assert stats["k"]["n_nulls"] == 0
+    assert stats["v"]["n_nulls"] == n // 10
+    env = 3 * 1.04 / (2 ** 13) ** 0.5
+    assert abs(stats["k"]["approx_distinct"] / 1337 - 1) <= env
+    assert abs(stats["g"]["approx_distinct"] - 7) <= 1
+    # v quartiles: values 1..999 uniform-ish -> q50 near 500 (rank err 1.5%)
+    assert abs(stats["v"]["q50"] - 500) <= 40
+    assert stats["k"]["q50"] is None  # non-numeric: no quantiles
+    # g is numeric: quartiles of 0..6
+    assert 0 <= stats["g"]["q25"] <= stats["g"]["q50"] <= stats["g"]["q75"] <= 6

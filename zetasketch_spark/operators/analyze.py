@@ -1,0 +1,91 @@
+"""Sketch-powered ANALYZE TABLE: per-column statistics in ONE scan.
+
+Planning-grade column statistics — approximate distinct count for every
+column, quantiles for numeric columns, null counts and row count — all
+from a single pass over the table via the multi-sketch fabric
+(`operators/multi.py`). At 100 TB the scan dominates; a per-column
+ANALYZE loop would re-read the table N times for N columns. Here every
+executor updates all sketches per Arrow batch, and only the fixed-size
+sketch states (KiB per column) travel to the merge stage, so cost is
+one scan + one O(columns) shuffle regardless of row count.
+
+The final reshape (wide single row -> one row per column) happens on
+exactly one collected row of sketch states — bounded by construction,
+independent of table size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ByteType, DoubleType, FloatType, IntegerType, LongType, ShortType)
+
+from zetasketch_spark.operators.multi import multi_sketch_agg
+from zetasketch_spark.sketches.base import HllFamily
+from zetasketch_spark.sketches.kll import KllFamily
+
+_NUMERIC = (ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType)
+_QUANTILES = (0.25, 0.5, 0.75)
+
+
+class _HllWithN(HllFamily):
+    """HLL that also reports how many non-null values it absorbed
+    (`HllSketch.num_values`, the reference's numValues) — null counts per
+    column then fall out of rows_seen - n with no extra aggregation."""
+
+    result_fields = [("estimate", "bigint"), ("n", "bigint")]
+
+    def result(self, state):
+        return (int(state.estimate()), int(state.num_values))
+
+
+def analyze_table(df: DataFrame, cols: list[str] | None = None,
+                  precision: int = 13, kll_k: int = 200) -> DataFrame:
+    """One-scan column statistics. Returns one row per analyzed column:
+
+    ``column, n_rows, n_nulls, approx_distinct, q25, q50, q75``
+
+    (quantiles NULL for non-numeric columns). ``approx_distinct`` is an
+    HLL++ estimate at ``precision`` (envelope 1.04/sqrt(2^p)); quantiles
+    come from a KLL sketch at ``kll_k`` (normalized rank error ~1.5/k).
+    """
+    spark = df.sparkSession
+    if cols is None:
+        cols = [f.name for f in df.schema.fields
+                if not str(f.dataType).startswith(("ArrayType", "MapType",
+                                                   "StructType", "BinaryType"))]
+    numeric = {f.name for f in df.schema.fields
+               if isinstance(f.dataType, _NUMERIC) and f.name in cols}
+
+    specs = {}
+    proj = []
+    for c in cols:
+        proj.append(F.col(c))
+        specs[f"{c}__d"] = (c, _HllWithN(precision=precision))
+        if c in numeric:
+            qcol = f"{c}__num"
+            proj.append(F.col(c).cast("double").alias(qcol))
+            specs[f"{c}__q"] = (qcol, KllFamily(k=kll_k, quantiles=_QUANTILES))
+
+    wide = multi_sketch_agg(
+        df.select(*proj).withColumn("__g", F.lit(1)), ["__g"], specs
+    ).collect()[0]  # exactly one row: the global group
+
+    # n_rows comes from the fabric's rows_seen; per-column null counts
+    # fall out of the sketches' own num_values (non-null values absorbed),
+    # so NOTHING here needed a second scan
+    n_rows = int(wide["rows_seen"])
+    rows = []
+    for c in cols:
+        q = [None, None, None]
+        if c in numeric:
+            q = [float(wide[f"{c}__q_q{round(p * 100):02d}"]) for p in _QUANTILES]
+        rows.append((c, n_rows, n_rows - int(wide[f"{c}__d_n"]),
+                     int(wide[f"{c}__d_estimate"]), *q))
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["column", "n_rows", "n_nulls",
+                                    "approx_distinct", "q25", "q50", "q75"])
+        .astype({"q25": "float64", "q50": "float64", "q75": "float64"}))
