@@ -28,6 +28,14 @@ def main(argv=None):
     ap.add_argument("--col", default="conv_id")
     ap.add_argument("--precision", type=int, default=15)
     ap.add_argument("--sparse-precision", type=int, default=None)
+    ap.add_argument("--family", default="hll",
+                    choices=["hll", "theta", "kll", "tdigest", "countmin",
+                             "bloom"],
+                    help="sketch family; hll takes --precision/"
+                         "--sparse-precision, theta takes --k, the rest "
+                         "use their defaults (kll/tdigest need a numeric "
+                         "--col)")
+    ap.add_argument("--k", type=int, default=4096, help="theta nominal size")
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--output", default=None)
     ap.add_argument("--tree-levels", type=int, default=1)
@@ -42,8 +50,17 @@ def main(argv=None):
     from zetasketch_spark.sources.tables import with_day
     from zetasketch_spark.sources.transcripts import load_transcripts
 
-    fam = HllFamily(precision=args.precision,
-                    sparse_precision=args.sparse_precision)
+    if args.family == "hll":
+        fam = HllFamily(precision=args.precision,
+                        sparse_precision=args.sparse_precision)
+    elif args.family == "theta":
+        from zetasketch_spark.sketches.theta import ThetaFamily
+
+        fam = ThetaFamily(k=args.k)
+    else:
+        from zetasketch_spark.sketches.base import get_family
+
+        fam = get_family(args.family)
     keys = [k.strip() for k in args.keys.split(",") if k.strip()]
 
     df = load_transcripts(spark, args.input)

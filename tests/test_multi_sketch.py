@@ -105,3 +105,14 @@ def test_analyze_table_one_scan_stats(spark):
     assert stats["k"]["q50"] is None  # non-numeric: no quantiles
     # g is numeric: quartiles of 0..6
     assert 0 <= stats["g"]["q25"] <= stats["g"]["q50"] <= stats["g"]["q75"] <= 6
+
+
+def test_analyze_table_empty_input(spark):
+    from zetasketch_spark.operators.analyze import analyze_table
+
+    df = spark.range(0).select(F.col("id").alias("a"),
+                               F.col("id").cast("string").alias("b"))
+    rows = {r["column"]: r for r in analyze_table(df).collect()}
+    assert set(rows) == {"a", "b"}
+    for r in rows.values():
+        assert r["n_rows"] == 0 and r["approx_distinct"] == 0

@@ -514,3 +514,19 @@ def test_theta_null_and_empty_merge_noops_and_min_k():
     big.merge(sm)
     assert big.k == 512 and len(big.retained) <= 512
     assert abs(big.estimate() / 200_000 - 1.0) <= 4 / np.sqrt(512 - 1)
+
+
+def test_theta_jaccard_estimate():
+    """J(A,B) on the common sample: planted overlap of 50% union ->
+    J = 1/3; estimate within 4*sqrt(J(1-J)/k)."""
+    n = 90_000
+    a = _theta_of([f"k{i}" for i in range(n)], k=4096)          # [0, n)
+    b = _theta_of([f"k{i}" for i in range(n // 2, n + n // 2)], k=4096)
+    true_j = (n // 2) / (n + n // 2)
+    est = a.jaccard(b)
+    sd = (true_j * (1 - true_j) / 4096) ** 0.5
+    assert abs(est - true_j) <= 4 * sd + 0.01
+    # identical sketches -> exactly 1; disjoint -> ~0
+    assert a.jaccard(a) == 1.0
+    c = _theta_of([f"z{i}" for i in range(50_000)], k=4096)
+    assert a.jaccard(c) <= 0.02

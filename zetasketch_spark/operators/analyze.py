@@ -68,9 +68,18 @@ def analyze_table(df: DataFrame, cols: list[str] | None = None,
             proj.append(F.col(c).cast("double").alias(qcol))
             specs[f"{c}__q"] = (qcol, KllFamily(k=kll_k, quantiles=_QUANTILES))
 
-    wide = multi_sketch_agg(
+    got = multi_sketch_agg(
         df.select(*proj).withColumn("__g", F.lit(1)), ["__g"], specs
-    ).collect()[0]  # exactly one row: the global group
+    ).collect()  # at most one row: the global group
+    if not got:  # empty table: all-zero stats, no quantiles
+        import pandas as pd
+
+        return spark.createDataFrame(
+            pd.DataFrame([(c, 0, 0, 0, None, None, None) for c in cols],
+                         columns=["column", "n_rows", "n_nulls",
+                                  "approx_distinct", "q25", "q50", "q75"])
+            .astype({"q25": "float64", "q50": "float64", "q75": "float64"}))
+    wide = got[0]
 
     # n_rows comes from the fabric's rows_seen; per-column null counts
     # fall out of the sketches' own num_values (non-null values absorbed),

@@ -143,6 +143,19 @@ class ThetaSketch:
         out.num_values = self.num_values
         return out
 
+    def jaccard(self, other: "ThetaSketch") -> float:
+        """Jaccard similarity of the two key SETS: |A∩B| / |A∪B| estimated
+        on the common sample (both ratios under min-theta, so the
+        thinning rate cancels). sd ≈ sqrt(J(1-J)/n_union_retained)."""
+        theta = min(self.theta, other.theta)
+        t = np.uint64(theta) if theta < _FULL else None
+        a = self.retained if t is None else self.retained[self.retained < t]
+        b = other.retained if t is None else other.retained[other.retained < t]
+        n_union = len(np.union1d(a, b))
+        if n_union == 0:
+            return 0.0
+        return len(np.intersect1d(a, b)) / n_union
+
     def estimate_sd(self) -> float:
         """Standard deviation of ``estimate()`` from binomial thinning:
         retained ~ Binomial(true, theta_frac), so
