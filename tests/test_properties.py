@@ -207,3 +207,48 @@ def test_jpeg_roundtrip_bounded_error_property(h, w, quality, seed):
     # after orthonormal scaling, 1/2*1/2, plus the DC 1/sqrt2 factors)
     bound = q.sum() / 2.0 / 4.0 + 1.0  # +1 for uint8 rounding
     assert np.abs(out - gray).max() <= bound
+
+
+def _theta(values, k=64):
+    from zetasketch_spark.sketches.theta import ThetaSketch
+
+    sk = ThetaSketch(k=k)
+    if len(values):
+        sk.add_series(pd.Series([str(v) for v in values]))
+    return sk
+
+
+@settings(max_examples=40, deadline=None)
+@given(a=streams, b=streams, k=st.sampled_from([16, 64, 256]))
+def test_theta_merge_commutes_at_state_level(a, b, k):
+    ab = _theta(a, k)
+    ab.merge(_theta(b, k))
+    ba = _theta(b, k)
+    ba.merge(_theta(a, k))
+    assert ab.serialize() == ba.serialize()
+
+
+@settings(max_examples=30, deadline=None)
+@given(vals=streams, k=st.sampled_from([16, 64]),
+       cuts=st.lists(st.integers(0, 300), max_size=4))
+def test_theta_partitioning_invariance_and_serde_fixpoint(vals, k, cuts):
+    """Any split of the stream merges to a state whose retained set and
+    theta match the direct build (QuickSelect keeps the same bottom-k
+    regardless of arrival order), and serde is a fixpoint."""
+    from zetasketch_spark.sketches.theta import ThetaSketch
+
+    direct = _theta(vals, k)
+    bounds = sorted({min(c, len(vals)) for c in cuts} | {0, len(vals)})
+    acc = ThetaSketch(k=k)
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        acc.merge(_theta(vals[lo:hi], k))
+    # merged theta can only be <= direct's (more QuickSelect steps), and
+    # the retained set must agree below the smaller theta
+    t = min(acc.theta, direct.theta)
+    da = direct.retained[direct.retained < np.uint64(t)] if t < (1 << 64) \
+        else direct.retained
+    aa = acc.retained[acc.retained < np.uint64(t)] if t < (1 << 64) \
+        else acc.retained
+    assert np.array_equal(aa, da)
+    rt = ThetaSketch.deserialize(acc.serialize())
+    assert rt.serialize() == acc.serialize()
