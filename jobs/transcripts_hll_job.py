@@ -53,14 +53,11 @@ def main(argv=None):
     if args.family == "hll":
         fam = HllFamily(precision=args.precision,
                         sparse_precision=args.sparse_precision)
-    elif args.family == "theta":
-        from zetasketch_spark.sketches.theta import ThetaFamily
-
-        fam = ThetaFamily(k=args.k)
     else:
         from zetasketch_spark.sketches.base import get_family
 
-        fam = get_family(args.family)
+        fam = get_family(args.family,
+                         **({"k": args.k} if args.family == "theta" else {}))
     keys = [k.strip() for k in args.keys.split(",") if k.strip()]
 
     df = load_transcripts(spark, args.input)

@@ -116,3 +116,26 @@ def test_analyze_table_empty_input(spark):
     assert set(rows) == {"a", "b"}
     for r in rows.values():
         assert r["n_rows"] == 0 and r["approx_distinct"] == 0
+
+
+def test_analyze_table_bool_and_decimal_columns(spark):
+    """Types outside the native hash kernels (boolean, decimal) distinct-
+    count through a deterministic string cast instead of crashing the
+    executor stage."""
+    import pandas as pd
+    from decimal import Decimal
+
+    from zetasketch_spark.operators.analyze import analyze_table
+
+    df = spark.createDataFrame(
+        pd.DataFrame({
+            "flag": [True, False, True, None] * 25,
+            "amount": [Decimal("1.50"), Decimal("2.25"), None, Decimal("1.50")] * 25,
+            "n": list(range(100)),
+        }))
+    stats = {r["column"]: r for r in analyze_table(df).collect()}
+    assert stats["flag"]["approx_distinct"] == 2
+    assert stats["flag"]["n_nulls"] == 25
+    assert stats["amount"]["approx_distinct"] == 2
+    assert stats["amount"]["n_nulls"] == 25
+    assert stats["n"]["approx_distinct"] == 100

@@ -530,3 +530,34 @@ def test_theta_jaccard_estimate():
     assert a.jaccard(a) == 1.0
     c = _theta_of([f"z{i}" for i in range(50_000)], k=4096)
     assert a.jaccard(c) <= 0.02
+
+
+def test_theta_nullable_int_batches_one_domain():
+    """Arrow delivers a nullable int column as int64 in null-free batches
+    and float64 in null-containing ones; the per-value canonical domain
+    must hash the SAME key identically in both (was: estimate doubled and
+    cross-surface intersections returned 0)."""
+    from zetasketch_spark.sketches.theta import ThetaSketch
+
+    a = ThetaSketch(k=256)
+    a.add_series(pd.Series([1, 2, 3], dtype="int64"))
+    a.add_series(pd.Series([1.0, 2.0, 3.0, None], dtype="float64"))
+    assert a.estimate() == 3
+
+    b = ThetaSketch(k=256)
+    b.add_series(pd.Series(["1", "2", "3"]))  # the SQL surface's rendering
+    assert a.intersect(b).estimate() == 3
+    assert a.jaccard(b) == 1.0
+
+
+def test_countmin_nullable_int_batches_one_domain():
+    """Same per-value canonical domain for Count-Min: counters AND the
+    Misra-Gries candidates must agree across promoted batches."""
+    cm = CountMinSketch(width=512, depth=5)
+    cm.add_series(pd.Series([7, 7, 8], dtype="int64"))
+    cm.add_series(pd.Series([7.0, None, 8.0], dtype="float64"))
+    est = cm.point_query_series(pd.Series(["7", "8"]))
+    assert est[0] == 3 and est[1] == 2
+    assert cm.candidates.get("7") == 3 and cm.candidates.get("8") == 2
+    # and no mass leaked into a '7.0' rendering
+    assert "7.0" not in cm.candidates

@@ -151,6 +151,29 @@ def hll_num_values(col):
     return _num_values_udf()(F.col(col) if isinstance(col, str) else col)
 
 
+def _theta_build(values: pd.Series, k: int) -> bytes:
+    """One shared build body for both surfaces (DataFrame + SQL), so the
+    key canonicalization / null handling can never drift between them."""
+    from zetasketch_spark.sketches.theta import ThetaSketch
+
+    sk = ThetaSketch(k=k)
+    sk.add_series(_canon_keys(values).dropna())
+    return sk.serialize()
+
+
+def _theta_estimate_udf():
+    @pandas_udf("long")
+    def _est(states: pd.Series) -> pd.Series:
+        from zetasketch_spark.sketches.theta import ThetaSketch
+
+        return pd.Series([
+            ThetaSketch.deserialize(bytes(b)).estimate() if b is not None else 0
+            for b in states
+        ])
+
+    return _est
+
+
 def theta_init_agg(col, k: int = 4096):
     """Grouped-aggregate: build a theta (KMV) sketch from a key column —
     the set-operation-capable distinct counter (`sketches/theta.py`).
@@ -158,11 +181,7 @@ def theta_init_agg(col, k: int = 4096):
 
     @pandas_udf("binary")
     def _init(values: pd.Series) -> bytes:
-        from zetasketch_spark.sketches.theta import ThetaSketch
-
-        sk = ThetaSketch(k=k)
-        sk.add_series(_canon_keys(values).dropna())
-        return sk.serialize()
+        return _theta_build(values, k)
 
     return _init(F.col(col) if isinstance(col, str) else col)
 
@@ -177,72 +196,18 @@ def theta_merge_agg(col):
 
 def theta_estimate(col):
     """Scalar: distinct estimate from a serialized theta sketch."""
-
-    @pandas_udf("long")
-    def _est(states: pd.Series) -> pd.Series:
-        from zetasketch_spark.sketches.theta import ThetaSketch
-
-        return pd.Series([
-            ThetaSketch.deserialize(bytes(b)).estimate() if b is not None else 0
-            for b in states
-        ])
-
-    return _est(F.col(col) if isinstance(col, str) else col)
+    return _theta_estimate_udf()(F.col(col) if isinstance(col, str) else col)
 
 
 def _canon_keys(s: pd.Series) -> pd.Series:
-    """Canonical string form for SQL-surface sketch keys.
+    """Canonical string form for SQL-surface sketch keys — the shared
+    per-value rule in `hashing.canon_key_series` (Arrow promotes nullable
+    int columns to float64 per batch, so the SAME key can reach an init
+    UDF as 123.0 and a probe UDF as 123 — different hash domains, silent
+    misses, unless canonicalized per value)."""
+    from zetasketch_spark.hashing import canon_key_series
 
-    Arrow promotes nullable integer columns to float64 on the way into a
-    pandas UDF, so the SAME key can reach an init UDF as 123.0 and a probe
-    UDF as 123 — different hash domains, silent misses. Canonicalization is
-    PER VALUE (never per batch): a batch-level integral test would render
-    1.0 as '1' in an all-integral build batch but '1.0' in a mixed probe
-    batch — the exact cross-domain miss this helper exists to prevent.
-    Integral finite floats render as integers; other floats via repr();
-    everything else via str(); nulls stay None (no identity).
-
-    Vectorized: the integral-float fast path (the whole point of the
-    helper — promoted nullable ints) renders through numpy int64->str;
-    only genuinely fractional values fall back to a per-value repr()."""
-    import numpy as np
-
-    if str(s.dtype) in ("float64", "float32", "Float64", "Float32"):
-        arr = s.to_numpy(dtype=np.float64, na_value=np.nan)
-        out = pd.Series([None] * len(s), index=s.index, dtype=object)
-        finite = np.isfinite(arr)
-        with np.errstate(invalid="ignore"):
-            integral = finite & (np.mod(arr, 1.0) == 0) & (np.abs(arr) < 2.0**63)
-        if integral.any():
-            out[integral] = arr[integral].astype(np.int64).astype(str)
-        frac = finite & ~integral
-        if frac.any():
-            out[frac] = [repr(float(v)) for v in arr[frac]]
-        inf = np.isinf(arr)
-        if inf.any():
-            out[inf] = [repr(float(v)) for v in arr[inf]]
-        return out
-
-    if s.dtype == object:
-        def canon(v):
-            if pd.isna(v):
-                return None
-            if isinstance(v, (float, np.floating)):
-                f = float(v)
-                # same guards as the vectorized branch: the SAME value must
-                # render identically whatever dtype carried it
-                if np.isfinite(f) and abs(f) < 2.0**63 and f == int(f):
-                    return str(int(f))
-                return repr(f)
-            return str(v)
-
-        return s.map(canon)
-
-    # integer / boolean / string dtypes: vectorized str, nulls masked
-    mask = s.isna()
-    out = s.astype(str).astype(object)
-    out[mask] = None
-    return out
+    return canon_key_series(s)
 
 
 def _merge_agg_udf(deserialize):
@@ -398,20 +363,10 @@ def register_sql(spark) -> None:
 
     @pandas_udf("binary")
     def _theta_init(values: pd.Series, k: pd.Series) -> bytes:
-        sk = ThetaSketch(k=int(k.iloc[0]) if len(k) else 4096)
-        sk.add_series(_canon_keys(values).dropna())
-        return sk.serialize()
+        return _theta_build(values, int(k.iloc[0]) if len(k) else 4096)
 
     spark.udf.register("theta_init_agg", _theta_init)
-
-    @pandas_udf("long")
-    def _theta_est(states: pd.Series) -> pd.Series:
-        return pd.Series([
-            ThetaSketch.deserialize(bytes(b)).estimate() if b is not None else 0
-            for b in states
-        ])
-
-    spark.udf.register("theta_estimate", _theta_est)
+    spark.udf.register("theta_estimate", _theta_estimate_udf())
 
 
 def tuple_distinct_col(*cols) -> "Column":

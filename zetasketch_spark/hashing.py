@@ -42,7 +42,6 @@ K2 = U64(0xC47B6E9E3A970ED3)
 K3 = U64(0xC6A4A7935BD1E995)  # murmur-style multiplier
 _SEED = U64(K0 ^ K1 ^ K2)  # seed for the <=32-byte murmur path
 _SEED8 = U64((int(_SEED) ^ (8 * int(K3))) & _MASK)  # murmur h0 for len=8
-_SEED4 = U64((int(_SEED) ^ (4 * int(K3))) & _MASK)  # murmur h0 for len=4
 
 _SHIFT47 = U64(47)
 
@@ -464,6 +463,71 @@ def _fingerprint_bytes_chunk(buf, off, length):
     if bad.any():
         result = np.where(bad, result + U64(_MASK - 1), result)
     return result
+
+
+def canon_key_series(s) -> "pd.Series":
+    """Canonical string form for string-domain sketch keys (Count-Min,
+    Bloom, theta — every family that hashes keys through ONE string
+    domain regardless of column dtype).
+
+    Canonicalization is PER VALUE, never per batch: Arrow promotes a
+    nullable int column to float64 only in null-containing batches, so a
+    naive ``astype(str)`` renders the SAME key as '1' in one batch and
+    '1.0' in another — two hash domains, broken state equality across
+    batch boundaries and fabrics (the CLAUDE.md invariant). Integral
+    finite floats render as integers; other floats via repr(); everything
+    else via str(); nulls stay None (no identity)."""
+    import pandas as pd
+
+    s = pd.Series(s) if not isinstance(s, pd.Series) else s
+    if str(s.dtype) in ("float64", "float32", "Float64", "Float32"):
+        arr = s.to_numpy(dtype=np.float64, na_value=np.nan)
+        out = pd.Series([None] * len(s), index=s.index, dtype=object)
+        finite = np.isfinite(arr)
+        with np.errstate(invalid="ignore"):
+            integral = finite & (np.mod(arr, 1.0) == 0) & (np.abs(arr) < 2.0**63)
+        if integral.any():
+            out[integral] = arr[integral].astype(np.int64).astype(str)
+        frac = finite & ~integral
+        if frac.any():
+            out[frac] = [repr(float(v)) for v in arr[frac]]
+        inf = np.isinf(arr)
+        if inf.any():
+            out[inf] = [repr(float(v)) for v in arr[inf]]
+        return out
+
+    if s.dtype == object:
+        # hot path: an all-string batch is ALREADY canonical (str(v) == v)
+        # — keep it zero-copy for the downstream Arrow hash kernel instead
+        # of a per-value rendering loop (infer_dtype is C-implemented)
+        inferred = pd.api.types.infer_dtype(s, skipna=True)
+        if inferred in ("string", "empty"):
+            mask = s.isna()
+            if not mask.any():
+                return s
+            out = s.copy()
+            out[mask] = None
+            return out
+
+        def canon(v):
+            if pd.isna(v):
+                return None
+            if isinstance(v, (float, np.floating)):
+                f = float(v)
+                # the SAME value must render identically whatever dtype
+                # carried it (match the vectorized branch exactly)
+                if np.isfinite(f) and abs(f) < 2.0**63 and f == int(f):
+                    return str(int(f))
+                return repr(f)
+            return str(v)
+
+        return s.map(canon)
+
+    # integer / boolean / string dtypes: vectorized str, nulls masked
+    mask = s.isna()
+    out = s.astype(str).astype(object)
+    out[mask] = None
+    return out
 
 
 def fingerprint_str_series(series) -> np.ndarray:

@@ -19,7 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    ByteType, DoubleType, FloatType, IntegerType, LongType, ShortType)
+    ByteType, DateType, DoubleType, FloatType, IntegerType, LongType,
+    ShortType, StringType, TimestampType)
 
 from zetasketch_spark.operators.multi import multi_sketch_agg
 from zetasketch_spark.sketches.base import HllFamily
@@ -55,14 +56,23 @@ def analyze_table(df: DataFrame, cols: list[str] | None = None,
         cols = [f.name for f in df.schema.fields
                 if not str(f.dataType).startswith(("ArrayType", "MapType",
                                                    "StructType", "BinaryType"))]
-    numeric = {f.name for f in df.schema.fields
-               if isinstance(f.dataType, _NUMERIC) and f.name in cols}
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    numeric = {c for c in cols if isinstance(by_name[c], _NUMERIC)}
+    # types the HLL Arrow kernel hashes natively; everything else
+    # (boolean, decimal, ...) distinct-counts through its string form —
+    # a deterministic cast, so the estimate is over the same value set
+    hashable = (_NUMERIC + (StringType, TimestampType, DateType))
 
     specs = {}
     proj = []
     for c in cols:
-        proj.append(F.col(c))
-        specs[f"{c}__d"] = (c, _HllWithN(precision=precision))
+        if isinstance(by_name[c], hashable):
+            proj.append(F.col(c))
+            specs[f"{c}__d"] = (c, _HllWithN(precision=precision))
+        else:
+            scol = f"{c}__str"
+            proj.append(F.col(c).cast("string").alias(scol))
+            specs[f"{c}__d"] = (scol, _HllWithN(precision=precision))
         if c in numeric:
             qcol = f"{c}__num"
             proj.append(F.col(c).cast("double").alias(qcol))

@@ -38,6 +38,14 @@ def optimal_params(n: int, fpr: float) -> tuple[int, int]:
 
 
 def _hash_series(values: pd.Series) -> np.ndarray:
+    """TYPED recipes (dtype -> wire-spec hash), pinned equal to the Arrow
+    fabric by test_bloom_float_columns. Contract caveat: a NULLABLE int
+    column on the pandas fabric reaches null-containing batches as
+    float64 (Arrow promotion), which hashes via the DOUBLE recipe and can
+    fork the domain across batches — route such columns through the SQL
+    surface (`bloom_init_agg`/`bloom_contains`, which canonicalize per
+    value) or drop nulls before the sketch. String/object columns (the
+    dedup hot path) are unaffected."""
     from zetasketch_spark.hashing import (
         fingerprint_double_array, fingerprint_float_array)
 

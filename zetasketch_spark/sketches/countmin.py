@@ -35,12 +35,15 @@ _ENCODING_VERSION = 1
 
 
 def _hash_series(values: pd.Series) -> np.ndarray:
-    """CM hashes every key through its STRING form — one canonical domain,
-    so updates, point queries, and the candidate set always address the
-    same counter cells regardless of the column's dtype."""
-    if values.dtype == object:
-        return fingerprint_str_series(values)
-    return fingerprint_str_series(values.astype(str))
+    """CM hashes every key through its STRING form — one canonical
+    PER-VALUE rendering (`hashing.canon_key_series`), so updates, point
+    queries, and the candidate set always address the same counter cells
+    regardless of the column's dtype OR which batch carried the value
+    (Arrow's nullable-int -> float64 promotion must not fork the
+    domain)."""
+    from zetasketch_spark.hashing import canon_key_series
+
+    return fingerprint_str_series(canon_key_series(values))
 
 
 class CountMinSketch:
@@ -59,13 +62,16 @@ class CountMinSketch:
     # -- update --------------------------------------------------------------
 
     def add_series(self, values: pd.Series) -> None:
-        values = values.dropna()
+        from zetasketch_spark.hashing import canon_key_series
+
+        # canonicalize BEFORE counting so counter cells AND candidate keys
+        # share one per-value rendering (see _hash_series)
+        values = canon_key_series(values).dropna()
         if len(values) == 0:
             return
         # aggregate duplicates within the batch first: one counter bump per
-        # key; keys canonicalize to strings (see _hash_series)
+        # key
         vc = values.value_counts()
-        vc.index = vc.index.astype(str)
         counts = vc.to_numpy(dtype=np.int64)
         self._add_hashed(fingerprint_str_series(vc.index.to_series()), counts)
         self.total += int(counts.sum())

@@ -50,11 +50,13 @@ _FULL = 1 << 64  # theta of an exact-mode sketch (no hash discarded)
 
 def _hash_series(values: pd.Series) -> np.ndarray:
     """String-canonical key domain, same rule as Count-Min/Bloom: one
-    domain for every dtype so cross-column/cross-fabric sketches of the
-    same logical keys intersect correctly."""
-    if values.dtype == object:
-        return fingerprint_str_series(values)
-    return fingerprint_str_series(values.astype(str))
+    PER-VALUE canonical rendering (`hashing.canon_key_series`) for every
+    dtype, so cross-column/cross-fabric/cross-batch sketches of the same
+    logical keys intersect correctly (Arrow's nullable-int -> float64
+    batch promotion must not fork the domain)."""
+    from zetasketch_spark.hashing import canon_key_series
+
+    return fingerprint_str_series(canon_key_series(values))
 
 
 class ThetaSketch:
@@ -128,19 +130,22 @@ class ThetaSketch:
         self._quickselect()
 
     def intersect(self, other: "ThetaSketch") -> "ThetaSketch":
+        """Derived set-operation sketches carry num_values = 0: numValues
+        means 'values absorbed by THIS sketch's update stream', and no
+        stream produced the intersection/difference (union merge, by
+        contrast, genuinely absorbs both streams and sums)."""
         out = ThetaSketch(k=min(self.k, other.k))
         out.theta = min(self.theta, other.theta)
         both = np.intersect1d(self.retained, other.retained)
         out.retained = both[both < np.uint64(out.theta)] if out.theta < _FULL else both
-        out.num_values = self.num_values + other.num_values
         return out
 
     def a_not_b(self, other: "ThetaSketch") -> "ThetaSketch":
+        """See intersect() for the num_values = 0 convention."""
         out = ThetaSketch(k=self.k)
         out.theta = min(self.theta, other.theta)
         only = np.setdiff1d(self.retained, other.retained)
         out.retained = only[only < np.uint64(out.theta)] if out.theta < _FULL else only
-        out.num_values = self.num_values
         return out
 
     def jaccard(self, other: "ThetaSketch") -> float:
