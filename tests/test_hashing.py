@@ -298,3 +298,26 @@ def test_signed_wide_ids_reuse_pinned_kernels():
             fingerprint_int_array(vals32.view(np.uint32).view(np.int32))).all()
     assert (fingerprint_long_array(vals64) ==
             fingerprint_long_array(vals64.view(np.uint64).view(np.int64))).all()
+
+
+def test_boolean_arrow_matches_pandas_fabric():
+    """Bool columns: arrow fabric renders 'True'/'False' exactly like the
+    pandas fabric's str() fallback (was: TypeError), nulls masked."""
+    import pyarrow as pa
+
+    from zetasketch_spark.hashing import fingerprint_arrow_array
+    from zetasketch_spark.sketches.base import HllFamily
+
+    arr = pa.array([True, False, None, True])
+    h, valid = fingerprint_arrow_array(arr)
+    assert list(valid) == [True, True, False, True]
+    assert h[0] == fingerprint_str_series(pd.Series(["True"]))[0]
+    assert h[1] == fingerprint_str_series(pd.Series(["False"]))[0]
+
+    fam = HllFamily(precision=12)
+    via_arrow = fam.make()
+    prepared = fam.prepare_arrow(arr)
+    fam.update_prepared(via_arrow, prepared[np.arange(len(arr))])
+    via_pandas = fam.make()
+    fam.update(via_pandas, pd.Series([True, False, None, True]))
+    assert via_arrow.serialize() == via_pandas.serialize()

@@ -606,6 +606,15 @@ def fingerprint_arrow_array(arr) -> tuple[np.ndarray, np.ndarray | None]:
         off = offsets[:-1].astype(np.int64)
         ln = np.diff(offsets).astype(np.int64)
         return fingerprint_bytes_batch(data, off, ln), valid
+    if pa.types.is_boolean(typ):
+        # pandas-fabric parity: a bool Series reaches HllFamily.update's
+        # string fallback as str(True)/str(False) — render identically so
+        # the two fabrics build byte-equal states (was: TypeError)
+        import pyarrow.compute as pc
+
+        rendered = pc.if_else(arr, pa.scalar("True"), pa.scalar("False"))
+        h, _ = fingerprint_arrow_array(rendered)
+        return h, valid
     if pa.types.is_int64(typ) or pa.types.is_uint64(typ) or pa.types.is_timestamp(typ):
         ints = arr.cast(pa.int64()) if not pa.types.is_int64(typ) else arr
         if ints.null_count:

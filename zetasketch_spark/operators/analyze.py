@@ -19,8 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    ByteType, DateType, DoubleType, FloatType, IntegerType, LongType,
-    ShortType, StringType, TimestampType)
+    BooleanType, ByteType, DateType, DoubleType, FloatType, IntegerType,
+    LongType, ShortType, StringType, TimestampType)
 
 from zetasketch_spark.operators.multi import multi_sketch_agg
 from zetasketch_spark.sketches.base import HllFamily
@@ -59,9 +59,9 @@ def analyze_table(df: DataFrame, cols: list[str] | None = None,
     by_name = {f.name: f.dataType for f in df.schema.fields}
     numeric = {c for c in cols if isinstance(by_name[c], _NUMERIC)}
     # types the HLL Arrow kernel hashes natively; everything else
-    # (boolean, decimal, ...) distinct-counts through its string form —
-    # a deterministic cast, so the estimate is over the same value set
-    hashable = (_NUMERIC + (StringType, TimestampType, DateType))
+    # (decimal, ...) distinct-counts through its string form — a
+    # deterministic cast, so the estimate is over the same value set
+    hashable = (_NUMERIC + (StringType, TimestampType, DateType, BooleanType))
 
     specs = {}
     proj = []

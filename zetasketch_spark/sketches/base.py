@@ -187,6 +187,12 @@ class HllFamily(SketchFamily):
             # hash the epoch-microsecond int64 (matches the arrow fabric,
             # where Spark timestamps arrive as timestamp[us] -> int64)
             state.add_longs(values.to_numpy().astype("datetime64[us]").view(np.int64))
+        elif dtype == bool or str(dtype) == "boolean" or (
+                dtype == object
+                and pd.api.types.infer_dtype(values, skipna=True) == "boolean"):
+            # canonical bool rendering 'True'/'False' in BOTH fabrics
+            # (nullable bool batches arrive as object; plain as bool dtype)
+            state.add_strings(values.astype(str))
         else:
             state.add_strings(values)
         return state

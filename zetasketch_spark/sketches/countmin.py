@@ -64,14 +64,20 @@ class CountMinSketch:
     def add_series(self, values: pd.Series) -> None:
         from zetasketch_spark.hashing import canon_key_series
 
-        # canonicalize BEFORE counting so counter cells AND candidate keys
-        # share one per-value rendering (see _hash_series)
-        values = canon_key_series(values).dropna()
+        values = values.dropna()
         if len(values) == 0:
             return
-        # aggregate duplicates within the batch first: one counter bump per
-        # key
+        # aggregate duplicates within the batch first (value_counts on the
+        # RAW dtype — int64 groupby is far cheaper than string groupby),
+        # then canonicalize only the UNIQUE keys: canon is a pure per-value
+        # function, so counter cells and candidate keys still share one
+        # rendering across batches (see _hash_series). An object batch can
+        # in principle hold values that only collide post-canon (7 vs
+        # '7'), so re-group if the canonical index is not unique.
         vc = values.value_counts()
+        vc.index = canon_key_series(pd.Series(vc.index.to_numpy())).to_numpy()
+        if not vc.index.is_unique:
+            vc = vc.groupby(level=0).sum()
         counts = vc.to_numpy(dtype=np.int64)
         self._add_hashed(fingerprint_str_series(vc.index.to_series()), counts)
         self.total += int(counts.sum())
