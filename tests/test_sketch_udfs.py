@@ -410,3 +410,48 @@ def test_sql_registered_init_typed(spark):
           SELECT g, hll_init_agg(user_id, 13, typeof(user_id)) AS sk
           FROM typed_init GROUP BY g)""").collect()
     assert est["u"] == 5
+
+
+def test_theta_setop_scalars_per_group(spark):
+    """Distributed per-group set ops: theta sketches built per (day, side)
+    and combined row-wise with the scalar UDFs match exact per-day set
+    sizes (small domains -> exact mode -> equality, not just envelope)."""
+    import pandas as pd
+
+    from zetasketch_spark.functions.sketch_udfs import (
+        theta_a_not_b_estimate, theta_init_agg, theta_intersection_estimate,
+        theta_jaccard, theta_union_estimate)
+
+    rows = []
+    for day in (1, 2, 3):
+        for u in range(0, 60 + day):            # side A: [0, 60+day)
+            rows.append((day, "a", u))
+        for u in range(30, 100):                # side B: [30, 100)
+            rows.append((day, "b", u))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["day", "side", "uid"]))
+    sk = (df.groupBy("day", "side")
+          .agg(theta_init_agg("uid", 256).alias("sk"))
+          .groupBy("day")
+          .pivot("side", ["a", "b"]).agg(F.first("sk")))
+    out = {r["day"]: r for r in sk.select(
+        "day",
+        theta_union_estimate("a", "b").alias("u"),
+        theta_intersection_estimate("a", "b").alias("i"),
+        theta_a_not_b_estimate("a", "b").alias("d"),
+        theta_jaccard("a", "b").alias("j"),
+    ).collect()}
+    for day in (1, 2, 3):
+        n_a = 60 + day
+        exact_u, exact_i, exact_d = 100, n_a - 30, 30
+        r = out[day]
+        assert r["u"] == exact_u and r["i"] == exact_i and r["d"] == exact_d
+        assert abs(r["j"] - exact_i / exact_u) < 1e-9
+
+    # null side follows empty-set semantics
+    one = (df.filter("side = 'a' and day = 1")
+           .groupBy("day").agg(theta_init_agg("uid", 256).alias("a"))
+           .withColumn("b", F.lit(None).cast("binary")))
+    r = one.select(theta_union_estimate("a", "b").alias("u"),
+                   theta_intersection_estimate("a", "b").alias("i"),
+                   theta_a_not_b_estimate("a", "b").alias("d")).collect()[0]
+    assert r["u"] == 61 and r["i"] == 0 and r["d"] == 61

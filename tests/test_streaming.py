@@ -93,7 +93,47 @@ def test_streaming_theta_matches_batch(spark, tmp_path):
     assert got == want
 
 
+def test_streaming_countmin_matches_batch(spark, tmp_path):
+    """Count-Min through the streaming fabric: heavy-hitter candidate
+    counts converge to a single-threaded batch build (string-canonical
+    key domain holds across micro-batches)."""
+    import pandas as pd
+
+    from zetasketch_spark.sketches.countmin import CountMinFamily, CountMinSketch
+    from zetasketch_spark.sources.transcripts import write_transcripts_parquet
+    from zetasketch_spark.streaming.agg import streaming_sketch_agg
+
+    path = str(tmp_path / "cm_src")
+    write_transcripts_parquet(path, n_turns=30_000, seed=11, rows_per_file=10_000)
+    schema = spark.read.parquet(path).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(path)
+              .select("role", "tool"))
+    fam = CountMinFamily(width=1024, depth=5, max_candidates=64)
+    out = streaming_sketch_agg(stream, ["role"], "tool", fam)
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName("cm_stream").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    # the fabric's result row for CM is (top keys); compare final states'
+    # point queries instead: rebuild the final state per role from the
+    # LAST update of each group is not exposed, so check the result cols
+    got = {r["role"]: r for r in spark.sql("""
+        select * from (
+          select *, row_number() over (partition by role order by rows_seen desc) rk
+          from cm_stream) where rk = 1
+        """).collect()}
+
+    batch = spark.read.parquet(path).select("role", "tool").toPandas()
+    for role, grp in batch.groupby("role"):
+        cm = CountMinSketch(width=1024, depth=5, max_candidates=64)
+        cm.add_series(pd.Series(grp["tool"]))
+        want = fam.result(cm)
+        have = tuple(got[role][n] for n, _ in fam.result_fields)
+        assert have == want, (role, have, want)
+
+
 def test_streaming_restart_recovers_state(spark, tmp_path):
+
     """Kill the query between micro-batches and restart with the same
     checkpointLocation: the state store must restore the sketches and the
     final estimates must equal the batch answer."""

@@ -199,6 +199,60 @@ def theta_estimate(col):
     return _theta_estimate_udf()(F.col(col) if isinstance(col, str) else col)
 
 
+def _theta_setop_udf(op: str, rettype: str):
+    """Factory for the binary theta set-op scalars: evaluate ``op`` on
+    each (state_a, state_b) row pair. Null on either side follows set
+    semantics against the empty sketch: union -> the other side's
+    estimate, intersect/jaccard -> 0, a_not_b -> a's estimate."""
+
+    @pandas_udf(rettype)
+    def _f(a: pd.Series, b: pd.Series) -> pd.Series:
+        from zetasketch_spark.sketches.theta import ThetaSketch
+
+        out = []
+        for ba, bb in zip(a, b):
+            sa = ThetaSketch.deserialize(bytes(ba)) if ba is not None else ThetaSketch()
+            sb = ThetaSketch.deserialize(bytes(bb)) if bb is not None else ThetaSketch()
+            if op == "union":
+                sa.merge(sb)
+                out.append(sa.estimate())
+            elif op == "intersect":
+                out.append(sa.intersect(sb).estimate())
+            elif op == "a_not_b":
+                out.append(sa.a_not_b(sb).estimate())
+            else:  # jaccard
+                out.append(float(sa.jaccard(sb)))
+        return pd.Series(out)
+
+    return _f
+
+
+def theta_union_estimate(a, b):
+    """Scalar: distinct estimate of A ∪ B from two serialized theta
+    sketch columns — per-ROW, so grouped set ops run distributed."""
+    c = [F.col(x) if isinstance(x, str) else x for x in (a, b)]
+    return _theta_setop_udf("union", "long")(*c)
+
+
+def theta_intersection_estimate(a, b):
+    """Scalar: distinct estimate of A ∩ B (direct, not
+    inclusion-exclusion) from two serialized theta sketch columns."""
+    c = [F.col(x) if isinstance(x, str) else x for x in (a, b)]
+    return _theta_setop_udf("intersect", "long")(*c)
+
+
+def theta_a_not_b_estimate(a, b):
+    """Scalar: distinct estimate of A ∖ B."""
+    c = [F.col(x) if isinstance(x, str) else x for x in (a, b)]
+    return _theta_setop_udf("a_not_b", "long")(*c)
+
+
+def theta_jaccard(a, b):
+    """Scalar: Jaccard similarity of the two key sets."""
+    c = [F.col(x) if isinstance(x, str) else x for x in (a, b)]
+    return _theta_setop_udf("jaccard", "double")(*c)
+
+
 def _canon_keys(s: pd.Series) -> pd.Series:
     """Canonical string form for SQL-surface sketch keys — the shared
     per-value rule in `hashing.canon_key_series` (Arrow promotes nullable
@@ -367,6 +421,12 @@ def register_sql(spark) -> None:
 
     spark.udf.register("theta_init_agg", _theta_init)
     spark.udf.register("theta_estimate", _theta_estimate_udf())
+    spark.udf.register("theta_union_estimate", _theta_setop_udf("union", "long"))
+    spark.udf.register("theta_intersection_estimate",
+                       _theta_setop_udf("intersect", "long"))
+    spark.udf.register("theta_a_not_b_estimate",
+                       _theta_setop_udf("a_not_b", "long"))
+    spark.udf.register("theta_jaccard", _theta_setop_udf("jaccard", "double"))
 
 
 def tuple_distinct_col(*cols) -> "Column":
