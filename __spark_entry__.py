@@ -949,6 +949,40 @@ def q_events_analyze(spark, sf_dir):
                       "distinct_within_envelope", "q50_within_rank_bound"]))
 
 
+def q_join_profile(spark, sf_dir):
+    """Pre-join key-overlap profile (operators/joinprofile.py): lineitem
+    orderkeys vs orders orderkeys — a foreign key, so containment of
+    lineitem-keys in orders is exactly 1.0, while ~2% of orders have no
+    lineitems (asymmetric containment is the interesting signal). Exact
+    companions DuckDB recomputes; booleans pin the theta envelopes
+    (distincts within 4·rse, containments within 0.05)."""
+    import pandas as pd
+
+    from zetasketch_spark.operators.joinprofile import join_key_profile
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    prof = join_key_profile(li, "l_orderkey", o, "o_orderkey", k=4096) \
+        .collect()[0]
+
+    exact_a = li.select("l_orderkey").distinct().count()
+    exact_b = o.select("o_orderkey").distinct().count()
+    exact_ov = (li.select(F.col("l_orderkey").alias("k")).distinct()
+                .intersect(o.select(F.col("o_orderkey").alias("k")).distinct())
+                .count())
+    rse = float(prof["rse"])
+    a_ok = abs(prof["distinct_a"] / max(exact_a, 1) - 1.0) <= 4 * rse
+    b_ok = abs(prof["distinct_b"] / max(exact_b, 1) - 1.0) <= 4 * rse
+    ca_ok = abs(prof["containment_a_in_b"] - exact_ov / max(exact_a, 1)) <= 0.05
+    cb_ok = abs(prof["containment_b_in_a"] - exact_ov / max(exact_b, 1)) <= 0.05
+    return spark.createDataFrame(pd.DataFrame(
+        [[exact_a, exact_b, exact_ov,
+          bool(a_ok), bool(b_ok), bool(ca_ok and cb_ok)]],
+        columns=["exact_distinct_lineitem", "exact_distinct_orders",
+                 "exact_overlap", "distinct_a_within_envelope",
+                 "distinct_b_within_envelope", "containment_within_bound"]))
+
+
 def q_theta_set_ops_pure(spark, sf_dir):
     """Bench twin of q_theta_set_ops: sketch build + set-op estimates
     only (the gate version's exact countDistinct twins would dominate
@@ -1211,6 +1245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_set_ops": q_hll_set_ops,
         "theta_set_ops": q_theta_set_ops,
         "events_analyze": q_events_analyze,
+        "join_profile": q_join_profile,
     }
 
 
@@ -1946,6 +1981,20 @@ def oracle_sql() -> dict[str, str]:
                        AS exact_intersection,
                    true AS union_within_envelope,
                    true AS intersection_within_envelope
+        """,
+        "join_profile": """
+            SELECT (SELECT count(DISTINCT l_orderkey) FROM lineitem)
+                       AS exact_distinct_lineitem,
+                   (SELECT count(DISTINCT o_orderkey) FROM orders)
+                       AS exact_distinct_orders,
+                   (SELECT count(*) FROM
+                      (SELECT DISTINCT l_orderkey FROM lineitem
+                       INTERSECT
+                       SELECT DISTINCT o_orderkey FROM orders))
+                       AS exact_overlap,
+                   true AS distinct_a_within_envelope,
+                   true AS distinct_b_within_envelope,
+                   true AS containment_within_bound
         """,
         "events_analyze": """
             SELECT c.col AS "column",

@@ -455,3 +455,21 @@ def test_theta_setop_scalars_per_group(spark):
                    theta_intersection_estimate("a", "b").alias("i"),
                    theta_a_not_b_estimate("a", "b").alias("d")).collect()[0]
     assert r["u"] == 61 and r["i"] == 0 and r["d"] == 61
+
+
+def test_join_key_profile_planted_overlap(spark):
+    """join_key_profile on planted sets: A=[0,3000), B=[2000,6000) ->
+    exact-mode sketches give exact distincts/overlap/differences and the
+    asymmetric containments."""
+    import pandas as pd
+
+    from zetasketch_spark.operators.joinprofile import join_key_profile
+
+    a = spark.createDataFrame(pd.DataFrame({"ka": list(range(3000)) * 2}))
+    b = spark.createDataFrame(pd.DataFrame({"kb": list(range(2000, 6000))}))
+    r = join_key_profile(a, "ka", b, "kb", k=8192).collect()[0]
+    assert r["distinct_a"] == 3000 and r["distinct_b"] == 4000
+    assert r["overlap"] == 1000 and r["a_not_b"] == 2000 and r["b_not_a"] == 3000
+    assert abs(r["containment_a_in_b"] - 1000 / 3000) < 1e-9
+    assert abs(r["containment_b_in_a"] - 1000 / 4000) < 1e-9
+    assert abs(r["jaccard"] - 1000 / 6000) < 1e-9
