@@ -983,6 +983,22 @@ def q_join_profile(spark, sf_dir):
                  "distinct_b_within_envelope", "containment_within_bound"]))
 
 
+def q_events_analyze_pure(spark, sf_dir):
+    """Bench twin: the one-scan ANALYZE itself, no exact companions."""
+    from zetasketch_spark.operators.analyze import analyze_table
+
+    return analyze_table(_t(spark, sf_dir, "events"),
+                         cols=["user_id", "event_type", "value"])
+
+
+def q_join_profile_pure(spark, sf_dir):
+    """Bench twin: the two-scan profile itself, no exact companions."""
+    from zetasketch_spark.operators.joinprofile import join_key_profile
+
+    return join_key_profile(_t(spark, sf_dir, "lineitem"), "l_orderkey",
+                            _t(spark, sf_dir, "orders"), "o_orderkey")
+
+
 def q_theta_set_ops_pure(spark, sf_dir):
     """Bench twin of q_theta_set_ops: sketch build + set-op estimates
     only (the gate version's exact countDistinct twins would dominate
@@ -1267,6 +1283,8 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk_pure,
         "ann_ivf_topk": q_ann_ivf_topk_pure,
         "theta_set_ops": q_theta_set_ops_pure,
+        "events_analyze": q_events_analyze_pure,
+        "join_profile": q_join_profile_pure,
     }
     return {**queries(), **pure}
 

@@ -148,7 +148,8 @@ def main():
     EXTRA = ["docs_decontaminate", "docs_top_tokens", "minhash_boilerplate_cap",
              "docs_pii_scrub", "events_sessions", "docs_lm_quality",
              "docs_weighted_sample", "docs_pack_sequences", "docs_filter_report",
-             "theta_set_ops", "docs_uniform_sample"]
+             "theta_set_ops", "docs_uniform_sample", "events_analyze",
+             "join_profile"]
     extra_timings: dict[str, float] = {}
 
     # the remaining north-star query shapes on the SAME transcripts table:
