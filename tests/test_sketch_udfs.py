@@ -470,6 +470,7 @@ def test_join_key_profile_planted_overlap(spark):
     r = join_key_profile(a, "ka", b, "kb", k=8192).collect()[0]
     assert r["distinct_a"] == 3000 and r["distinct_b"] == 4000
     assert r["overlap"] == 1000 and r["a_not_b"] == 2000 and r["b_not_a"] == 3000
+    assert r["union_distinct"] == 6000
     assert abs(r["containment_a_in_b"] - 1000 / 3000) < 1e-9
     assert abs(r["containment_b_in_a"] - 1000 / 4000) < 1e-9
     assert abs(r["jaccard"] - 1000 / 6000) < 1e-9

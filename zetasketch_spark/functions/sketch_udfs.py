@@ -152,12 +152,14 @@ def hll_num_values(col):
 
 
 def _theta_build(values: pd.Series, k: int) -> bytes:
-    """One shared build body for both surfaces (DataFrame + SQL), so the
-    key canonicalization / null handling can never drift between them."""
+    """One shared build body for both surfaces (DataFrame + SQL).
+    Canonicalization and null-dropping live INSIDE add_series
+    (`theta._hash_series` -> `hashing.canon_key_series`), so a second
+    pre-pass here would just pay the rendering twice."""
     from zetasketch_spark.sketches.theta import ThetaSketch
 
     sk = ThetaSketch(k=k)
-    sk.add_series(_canon_keys(values).dropna())
+    sk.add_series(values)
     return sk.serialize()
 
 
@@ -211,12 +213,23 @@ def _theta_setop_udf(op: str, rettype: str):
 
         out = []
         for ba, bb in zip(a, b):
-            sa = ThetaSketch.deserialize(bytes(ba)) if ba is not None else ThetaSketch()
-            sb = ThetaSketch.deserialize(bytes(bb)) if bb is not None else ThetaSketch()
+            sa = ThetaSketch.deserialize(bytes(ba)) if ba is not None else None
+            sb = ThetaSketch.deserialize(bytes(bb)) if bb is not None else None
             if op == "union":
+                # a null side must NOT degrade the other's k (merge takes
+                # min-k): union with the empty set is the other side
+                if sa is None and sb is None:
+                    out.append(0)
+                    continue
+                if sa is None or sb is None:
+                    out.append((sa or sb).estimate())
+                    continue
                 sa.merge(sb)
                 out.append(sa.estimate())
-            elif op == "intersect":
+                continue
+            sa = sa if sa is not None else ThetaSketch()
+            sb = sb if sb is not None else ThetaSketch()
+            if op == "intersect":
                 out.append(sa.intersect(sb).estimate())
             elif op == "a_not_b":
                 out.append(sa.a_not_b(sb).estimate())
@@ -375,7 +388,8 @@ def register_sql(spark) -> None:
     def _cm_init(values: pd.Series, width: pd.Series, depth: pd.Series) -> bytes:
         cm = CountMinSketch(width=int(width.iloc[0]) if len(width) else 2048,
                             depth=int(depth.iloc[0]) if len(depth) else 5)
-        cm.add_series(_canon_keys(values).dropna())
+        # canonicalization lives inside add_series (countmin._hash_series)
+        cm.add_series(values)
         return cm.serialize()
 
     spark.udf.register("cm_init_agg", _cm_init)

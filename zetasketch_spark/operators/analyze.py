@@ -56,6 +56,15 @@ def analyze_table(df: DataFrame, cols: list[str] | None = None,
         cols = [f.name for f in df.schema.fields
                 if not str(f.dataType).startswith(("ArrayType", "MapType",
                                                    "StructType", "BinaryType"))]
+    # resolve requested names against the schema (case-insensitive, like
+    # Spark's own resolver) so a typo raises a clear error, not a KeyError
+    fields = {f.name.lower(): f for f in df.schema.fields}
+    try:
+        cols = [fields[c.lower()].name for c in cols]
+    except KeyError as e:
+        raise ValueError(
+            f"analyze_table: no column {e.args[0]!r}; table has "
+            f"{[f.name for f in df.schema.fields]}") from None
     by_name = {f.name: f.dataType for f in df.schema.fields}
     numeric = {c for c in cols if isinstance(by_name[c], _NUMERIC)}
     # types the HLL Arrow kernel hashes natively; everything else

@@ -189,6 +189,9 @@ class HllFamily(SketchFamily):
             state.add_longs(values.to_numpy().astype("datetime64[us]").view(np.int64))
         elif dtype == bool or str(dtype) == "boolean" or (
                 dtype == object
+                # cheap first-element guard keeps the common string batch
+                # at one pass; infer_dtype only confirms all-bool batches
+                and isinstance(values.iat[0], (bool, np.bool_))
                 and pd.api.types.infer_dtype(values, skipna=True) == "boolean"):
             # canonical bool rendering 'True'/'False' in BOTH fabrics
             # (nullable bool batches arrive as object; plain as bool dtype)
