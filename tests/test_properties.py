@@ -252,3 +252,35 @@ def test_theta_partitioning_invariance_and_serde_fixpoint(vals, k, cuts):
     assert np.array_equal(aa, da)
     rt = ThetaSketch.deserialize(acc.serialize())
     assert rt.serialize() == acc.serialize()
+
+
+@settings(max_examples=30, deadline=None)
+@given(vals=st.lists(st.integers(-10**6, 10**6), max_size=120),
+       nullpos=st.lists(st.integers(0, 120), max_size=6),
+       cut=st.integers(0, 120))
+def test_canonical_domain_invariant_under_promoted_splits(vals, nullpos, cut):
+    """The per-value canonical key domain: splitting a nullable int
+    stream so that one side carries the nulls (and therefore arrives
+    float64-promoted, as Arrow delivers it) must produce the same theta
+    state as the clean int64 stream — estimates may not fork on batch
+    boundaries."""
+    from zetasketch_spark.sketches.theta import ThetaSketch
+
+    cut = min(cut, len(vals))
+    direct = ThetaSketch(k=64)
+    direct.add_series(pd.Series(vals, dtype="int64"))
+
+    left = pd.Series(vals[:cut], dtype="float64")  # promoted rendering
+    for p in nullpos:
+        if p < len(left):
+            left.iloc[p] = np.nan
+    # nulls erased some keys from the left; re-add them right so the key
+    # SET matches the direct stream
+    erased = [vals[p] for p in {p for p in nullpos if p < cut}]
+    right = pd.Series(list(vals[cut:]) + erased, dtype="int64")
+
+    split = ThetaSketch(k=64)
+    split.add_series(left)
+    split.add_series(right)
+    assert split.theta == direct.theta
+    assert np.array_equal(split.retained, direct.retained)

@@ -561,3 +561,36 @@ def test_countmin_nullable_int_batches_one_domain():
     assert cm.candidates.get("7") == 3 and cm.candidates.get("8") == 2
     # and no mass leaked into a '7.0' rendering
     assert "7.0" not in cm.candidates
+
+
+def test_theta_arrow_fabric_matches_pandas():
+    """String (and dictionary-encoded string) Arrow columns hash
+    zero-copy; states are byte-equal to the pandas fabric. Non-string
+    columns route through the generic fallback and stay equal too."""
+    import pyarrow as pa
+
+    from zetasketch_spark.sketches.theta import ThetaFamily
+
+    fam = ThetaFamily(k=256)
+    vals = [f"conv-{i % 400}" for i in range(2000)] + [None] * 7
+
+    def build_arrow(arr):
+        st = fam.make()
+        prepared = fam.prepare_arrow(arr)
+        fam.update_prepared(st, prepared[np.arange(len(arr))])
+        return fam.serialize(st)
+
+    via_pandas = fam.make()
+    fam.update(via_pandas, pd.Series(vals))
+    want = fam.serialize(via_pandas)
+
+    assert build_arrow(pa.array(vals, type=pa.string())) == want
+    assert build_arrow(pa.array(vals).dictionary_encode()) == want
+
+    # int column: generic pandas fallback, same canonical domain
+    ints = pa.array([1, 2, 3, None, 2])
+    got = fam.make()
+    fam.update_prepared(got, fam.prepare_arrow(ints)[np.arange(5)])
+    ref = fam.make()
+    fam.update(ref, pd.Series([1, 2, 3, None, 2], dtype="Int64"))
+    assert fam.serialize(got) == fam.serialize(ref)

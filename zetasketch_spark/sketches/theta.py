@@ -198,9 +198,24 @@ class ThetaSketch:
         return sk
 
 
+class _ThetaHashPrepared:
+    """Pre-hashed Arrow column: group slices return valid hashes only."""
+
+    __slots__ = ("hashes", "valid")
+
+    def __init__(self, hashes, valid):
+        self.hashes = hashes
+        self.valid = valid
+
+    def __getitem__(self, idx):
+        h = self.hashes[idx]
+        return h if self.valid is None else h[self.valid[idx]]
+
+
 class ThetaFamily(SketchFamily):
     name = "theta"
     result_fields = [("estimate", "bigint")]
+    supports_arrow = True
 
     def __init__(self, k: int = 4096):
         self.k = k
@@ -211,6 +226,31 @@ class ThetaFamily(SketchFamily):
     def update(self, state, values):
         state.add_series(values)
         return state
+
+    def prepare_arrow(self, arr):
+        """STRING columns (and dictionary-of-string — parquet's default
+        for repetitive keys) hash zero-copy off the Arrow buffers: a
+        string is its own canonical rendering, so this is byte-equal to
+        the pandas path. Every other type falls back to the generic
+        per-batch pandas materialization + canon (the rendering rules
+        live in one place, `hashing.canon_key_series`)."""
+        import pyarrow as pa
+
+        typ = arr.type
+        base_t = typ.value_type if pa.types.is_dictionary(typ) else typ
+        if pa.types.is_string(base_t) or pa.types.is_large_string(base_t):
+            from zetasketch_spark.hashing import fingerprint_arrow_array
+
+            hashes, valid = fingerprint_arrow_array(arr)
+            return _ThetaHashPrepared(np.asarray(hashes), valid)
+        return super().prepare_arrow(arr)
+
+    def update_prepared(self, state, prepared_slice):
+        if isinstance(prepared_slice, np.ndarray):  # pre-hashed strings
+            state.num_values += len(prepared_slice)
+            state.add_hashes(prepared_slice)
+            return state
+        return super().update_prepared(state, prepared_slice)
 
     def merge(self, a, b):
         a.merge(b)
