@@ -612,6 +612,18 @@ def q_docs_uniform_sample(spark, sf_dir):
             .select("doc_id", "lang", "source"))
 
 
+def q_docs_stratified_sample(spark, sf_dir):
+    """EXACT-k-per-group deterministic sample (operators/sampling.py::
+    stratified_bottomk_sample): 30 docs per language by smallest
+    md5(doc_id). One shuffle on lang; membership portable, so DuckDB
+    reproduces the exact rows via the same window."""
+    from zetasketch_spark.operators.sampling import stratified_bottomk_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return (stratified_bottomk_sample(d, k=30, group_col="lang")
+            .select("lang", "doc_id", "source"))
+
+
 def q_docs_repetition(spark, sf_dir):
     """Gopher-style repetition filter signal: per-doc duplicate word
     3-gram ratio — an exact function of the text, so DuckDB recomputes it
@@ -1241,6 +1253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_top_tokens": q_docs_top_tokens,
         "docs_hash_sample": q_docs_hash_sample,
         "docs_uniform_sample": q_docs_uniform_sample,
+        "docs_stratified_sample": q_docs_stratified_sample,
         "docs_repetition": q_docs_repetition,
         "docs_gopher_filters": q_docs_gopher_filters,
         "docs_pii_scrub": q_docs_pii_scrub,
@@ -1776,6 +1789,13 @@ def oracle_sql() -> dict[str, str]:
         "docs_uniform_sample": """
             SELECT doc_id, lang, source FROM documents
             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 200
+        """,
+        "docs_stratified_sample": """
+            SELECT lang, doc_id, source FROM (
+              SELECT lang, doc_id, source,
+                     row_number() OVER (PARTITION BY lang
+                         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+              FROM documents) WHERE rk <= 30
         """,
         "docs_repetition": """
             WITH w AS (

@@ -1203,3 +1203,21 @@ def test_filter_report_counts_zero_token_docs(spark):
     assert row["n_docs"] == 2          # the empty doc is counted
     assert row["n_fail_gopher"] >= 1   # and fails the word-count rule
     assert row["n_fail_lm"] >= 1       # and the LM criterion
+
+
+def test_stratified_bottomk_sample(spark):
+    """Exact k per group, partitioning-invariant membership, undersized
+    groups keep all their rows."""
+    from zetasketch_spark.operators.sampling import stratified_bottomk_sample
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}" if i < 900 else "tiny") for i in range(905)],
+        ["doc_id", "grp"])
+    out = stratified_bottomk_sample(df, k=50, group_col="grp")
+    counts = {r["grp"]: r["count"] for r in out.groupBy("grp").count().collect()}
+    assert counts == {"g0": 50, "g1": 50, "g2": 50, "tiny": 5}
+
+    base = sorted((r["grp"], r["doc_id"]) for r in out.collect())
+    again = sorted((r["grp"], r["doc_id"]) for r in
+                   stratified_bottomk_sample(df.repartition(17), 50, "grp").collect())
+    assert base == again

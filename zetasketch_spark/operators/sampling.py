@@ -48,6 +48,28 @@ def bottomk_sample(df: DataFrame, k: int, id_col: str = "doc_id") -> DataFrame:
             .drop("__h"))
 
 
+def stratified_bottomk_sample(df: DataFrame, k: int, group_col: str,
+                              id_col: str = "doc_id") -> DataFrame:
+    """EXACT-k-per-group deterministic uniform sample: within each group,
+    the k rows with the smallest md5(id). The balanced-mixture companion
+    to :func:`bottomk_sample` (e.g. "500 docs per language" eval sets).
+
+    Scale shape: ONE hash-partitioned shuffle on ``group_col`` + a
+    per-partition sort (rank window); no global sort, no driver state.
+    Skewed group sizes only affect the sort width of their partition —
+    for pathological single-group skew, pre-filter that group through
+    ``bottomk_sample`` instead. Same determinism/auditability guarantees
+    as bottom-k: membership is a pure function of the ids."""
+    from pyspark.sql import Window
+
+    h = F.md5((F.col(id_col) if isinstance(id_col, str) else id_col)
+              .cast("string"))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (df.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= k)
+            .drop("__rk"))
+
+
 def weighted_sample(df: DataFrame, weights: dict[str, float],
                     group_col: str = "source",
                     id_col: str = "doc_id",
