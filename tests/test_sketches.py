@@ -594,3 +594,24 @@ def test_theta_arrow_fabric_matches_pandas():
     ref = fam.make()
     fam.update(ref, pd.Series([1, 2, 3, None, 2], dtype="Int64"))
     assert fam.serialize(got) == fam.serialize(ref)
+
+
+def test_theta_dict_encoded_float_one_domain():
+    """Dictionary-encoded (Categorical) float columns must render through
+    the float canon branch ('1', not '1.0') so the Arrow fallback, the
+    pandas fabric, and int-typed batches of the same logical keys all
+    build intersecting states."""
+    import pyarrow as pa
+
+    from zetasketch_spark.sketches.theta import ThetaFamily
+
+    fam = ThetaFamily(k=64)
+    dictarr = pa.array([1.0, 2.0, 1.0, None]).dictionary_encode()
+    via_arrow = fam.make()
+    fam.update_prepared(via_arrow, fam.prepare_arrow(dictarr)[np.arange(4)])
+    via_pandas = fam.make()
+    fam.update(via_pandas, pd.Series([1.0, 2.0, 1.0, None]))
+    assert fam.serialize(via_arrow) == fam.serialize(via_pandas)
+    via_int = fam.make()
+    fam.update(via_int, pd.Series([1, 2, 1], dtype="int64"))
+    assert np.array_equal(via_arrow.retained, via_int.retained)

@@ -480,6 +480,12 @@ def canon_key_series(s) -> "pd.Series":
     import pandas as pd
 
     s = pd.Series(s) if not isinstance(s, pd.Series) else s
+    if isinstance(s.dtype, pd.CategoricalDtype):
+        # Arrow dictionary columns decode to Categorical; unwrap to the
+        # category dtype so a dict-encoded float column takes the float
+        # branch ('1', not the Categorical astype(str) '1.0') — the
+        # rendering must depend on the VALUE, never on the container
+        s = s.astype(s.cat.categories.dtype)
     if str(s.dtype) in ("float64", "float32", "Float64", "Float32"):
         arr = s.to_numpy(dtype=np.float64, na_value=np.nan)
         out = pd.Series([None] * len(s), index=s.index, dtype=object)

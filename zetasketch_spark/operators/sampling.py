@@ -59,12 +59,17 @@ def stratified_bottomk_sample(df: DataFrame, k: int, group_col: str,
     Skewed group sizes only affect the sort width of their partition —
     for pathological single-group skew, pre-filter that group through
     ``bottomk_sample`` instead. Same determinism/auditability guarantees
-    as bottom-k: membership is a pure function of the ids."""
+    as bottom-k: membership is a pure function of the ids.
+
+    Precondition (shared with :func:`bottomk_sample`): ids are unique
+    within a group — duplicate (group, id) rows exhaust the tie-break,
+    and WHICH physical duplicate survives a cutoff landing between them
+    is partition-order-dependent."""
     from pyspark.sql import Window
 
-    h = F.md5((F.col(id_col) if isinstance(id_col, str) else id_col)
-              .cast("string"))
-    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    idc = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.md5(idc.cast("string"))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), idc.asc())
     return (df.withColumn("__rk", F.row_number().over(w))
             .filter(F.col("__rk") <= k)
             .drop("__rk"))

@@ -198,20 +198,6 @@ class ThetaSketch:
         return sk
 
 
-class _ThetaHashPrepared:
-    """Pre-hashed Arrow column: group slices return valid hashes only."""
-
-    __slots__ = ("hashes", "valid")
-
-    def __init__(self, hashes, valid):
-        self.hashes = hashes
-        self.valid = valid
-
-    def __getitem__(self, idx):
-        h = self.hashes[idx]
-        return h if self.valid is None else h[self.valid[idx]]
-
-
 class ThetaFamily(SketchFamily):
     name = "theta"
     result_fields = [("estimate", "bigint")]
@@ -240,9 +226,10 @@ class ThetaFamily(SketchFamily):
         base_t = typ.value_type if pa.types.is_dictionary(typ) else typ
         if pa.types.is_string(base_t) or pa.types.is_large_string(base_t):
             from zetasketch_spark.hashing import fingerprint_arrow_array
+            from zetasketch_spark.sketches.base import _HashPrepared
 
             hashes, valid = fingerprint_arrow_array(arr)
-            return _ThetaHashPrepared(np.asarray(hashes), valid)
+            return _HashPrepared(np.asarray(hashes), valid)
         return super().prepare_arrow(arr)
 
     def update_prepared(self, state, prepared_slice):
