@@ -321,3 +321,23 @@ def test_boolean_arrow_matches_pandas_fabric():
     via_pandas = fam.make()
     fam.update(via_pandas, pd.Series([True, False, None, True]))
     assert via_arrow.serialize() == via_pandas.serialize()
+
+
+def test_decimal_arrow_matches_pandas_fabric():
+    """Decimal columns: both fabrics render str(Decimal) ('1.50', scale
+    preserved) — was a TypeError on both — and build byte-equal states."""
+    from decimal import Decimal
+
+    import pyarrow as pa
+
+    from zetasketch_spark.sketches.base import HllFamily
+
+    fam = HllFamily(precision=12)
+    vals = [Decimal("1.50"), Decimal("2.25"), None, Decimal("1.50")]
+    arr = pa.array(vals, type=pa.decimal128(10, 2))
+    via_arrow = fam.make()
+    fam.update_prepared(via_arrow, fam.prepare_arrow(arr)[np.arange(4)])
+    via_pandas = fam.make()
+    fam.update(via_pandas, pd.Series(vals))
+    assert via_arrow.serialize() == via_pandas.serialize()
+    assert via_arrow.estimate() == 2

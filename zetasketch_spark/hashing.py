@@ -612,6 +612,12 @@ def fingerprint_arrow_array(arr) -> tuple[np.ndarray, np.ndarray | None]:
         off = offsets[:-1].astype(np.int64)
         ln = np.diff(offsets).astype(np.int64)
         return fingerprint_bytes_batch(data, off, ln), valid
+    if pa.types.is_decimal(typ):
+        # pandas-fabric parity: decimal values reach the string fallback
+        # as str(Decimal) ('1.50', scale digits preserved); Arrow's
+        # decimal->string cast renders identically
+        h, _ = fingerprint_arrow_array(arr.cast(pa.string()))
+        return h, valid
     if pa.types.is_boolean(typ):
         # pandas-fabric parity: a bool Series reaches HllFamily.update's
         # string fallback as str(True)/str(False) — render identically so

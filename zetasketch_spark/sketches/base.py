@@ -197,6 +197,12 @@ class HllFamily(SketchFamily):
             # (nullable bool batches arrive as object; plain as bool dtype)
             state.add_strings(values.astype(str))
         else:
+            if dtype == object and len(values) and \
+                    not isinstance(values.iat[0], (str, bytes)):
+                # non-string objects (Decimal, UUID, ...) hash via their
+                # canonical str() — was a TypeError in the byte encoder;
+                # matches the Arrow fabric's decimal->string cast
+                values = values.astype(str)
             state.add_strings(values)
         return state
 
