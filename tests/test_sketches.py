@@ -615,3 +615,29 @@ def test_theta_dict_encoded_float_one_domain():
     via_int = fam.make()
     fam.update(via_int, pd.Series([1, 2, 1], dtype="int64"))
     assert np.array_equal(via_arrow.retained, via_int.retained)
+
+
+def test_bloom_nullable_int_batches_one_domain():
+    """BloomFamily pins the float64-promoted nullable-int domain like
+    HllFamily: pinned or heuristic, promoted batches hash via the int64
+    recipe so probes in the natural int dtype never false-negative."""
+    from zetasketch_spark.sketches.bloom import BloomFamily
+
+    fam = BloomFamily(m=1 << 12, k=5, value_type="long")
+    st = fam.make()
+    fam.update(st, pd.Series([1, 2, 3], dtype="int64"))
+    fam.update(st, pd.Series([4.0, None, 5.0], dtype="float64"))
+    assert st.contains_series(pd.Series([1, 2, 3, 4, 5], dtype="int64")).all()
+
+    # unpinned: the promotion signature (nulls + all-integral) routes to
+    # the int64 domain as well
+    fam2 = BloomFamily(m=1 << 12, k=5)
+    st2 = fam2.make()
+    fam2.update(st2, pd.Series([7.0, None, 8.0], dtype="float64"))
+    assert st2.contains_series(pd.Series([7, 8], dtype="int64")).all()
+
+    # genuinely-double batches (no nulls) keep the DOUBLE recipe
+    fam3 = BloomFamily(m=1 << 12, k=5)
+    st3 = fam3.make()
+    fam3.update(st3, pd.Series([1.5, 2.5]))
+    assert st3.contains_series(pd.Series([1.5, 2.5])).all()

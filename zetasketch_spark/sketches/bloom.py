@@ -39,13 +39,12 @@ def optimal_params(n: int, fpr: float) -> tuple[int, int]:
 
 def _hash_series(values: pd.Series) -> np.ndarray:
     """TYPED recipes (dtype -> wire-spec hash), pinned equal to the Arrow
-    fabric by test_bloom_float_columns. Contract caveat: a NULLABLE int
-    column on the pandas fabric reaches null-containing batches as
-    float64 (Arrow promotion), which hashes via the DOUBLE recipe and can
-    fork the domain across batches — route such columns through the SQL
-    surface (`bloom_init_agg`/`bloom_contains`, which canonicalize per
-    value) or drop nulls before the sketch. String/object columns (the
-    dedup hot path) are unaffected."""
+    fabric by test_bloom_float_columns. The nullable-int float64
+    promotion hazard is handled one level up: `BloomFamily.update` pins
+    the domain from a declared value_type (filled from the Spark schema
+    by pin_value_type) or detects the promotion signature, exactly like
+    HllFamily. Direct BloomFilter.add_series callers with nullable int
+    columns should route through the family or the SQL surface."""
     from zetasketch_spark.hashing import (
         fingerprint_double_array, fingerprint_float_array)
 
@@ -144,9 +143,19 @@ class BloomFamily(SketchFamily):
                      ("expected_fpr", "double")]
     supports_arrow = True
 
-    def __init__(self, m: int = 1 << 20, k: int = 7):
+    def __init__(self, m: int = 1 << 20, k: int = 7,
+                 value_type: str | None = None):
         self.m = m
         self.k = k
+        #: declared hash domain for float64 batches ('long' | 'int' |
+        #: 'float' | 'double' | None = auto). Same hazard and same cure
+        #: as HllFamily: Arrow promotes nullable int columns to float64
+        #: per batch, so without a declared type the same key would hash
+        #: via the INT64 recipe in null-free batches and the DOUBLE
+        #: recipe in null-containing ones — forked domains, false
+        #: negatives. pin_value_type fills this from the Spark schema at
+        #: the operator call sites.
+        self.value_type = value_type
 
     def make(self):
         return BloomFilter(self.m, self.k)
@@ -163,6 +172,39 @@ class BloomFamily(SketchFamily):
         return state
 
     def update(self, state, values):
+        from zetasketch_spark.hashing import (
+            fingerprint_float_array, fingerprint_int_array,
+            fingerprint_long_array)
+
+        values = pd.Series(values)
+        had_nulls = bool(values.isna().any())
+        values = values.dropna()
+        if len(values) == 0:
+            return state
+        dtype = values.dtype
+        if dtype == np.float64 or str(dtype) == "Float64":
+            arr = values.to_numpy(dtype=np.float64)
+            vt = self.value_type
+            if vt is None and had_nulls and len(arr) \
+                    and bool(np.all(np.mod(arr, 1.0) == 0)) \
+                    and bool(np.all(np.abs(arr) < 2.0**63)):
+                # nullable-int promotion signature (see HllFamily.update:
+                # float64 + nulls + all-integral): hash in the int64
+                # domain so null-containing batches match null-free ones
+                vt = "long"
+            if vt == "long":
+                ints = arr.astype(np.int64)
+                if not np.array_equal(ints.astype(np.float64), arr):
+                    raise ValueError(
+                        "value_type='long' but batch contains non-integral floats")
+                state.add_hashes(fingerprint_long_array(ints))
+                return state
+            if vt == "int":
+                state.add_hashes(fingerprint_int_array(arr.astype(np.int32)))
+                return state
+            if vt == "float":
+                state.add_hashes(fingerprint_float_array(arr.astype(np.float32)))
+                return state
         state.add_series(values)
         return state
 
