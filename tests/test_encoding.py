@@ -127,3 +127,54 @@ def test_compatibility_partial_order():
         SparseEncoding(4, 7).assert_compatible(SparseEncoding(5, 6))
     with pytest.raises(IncompatiblePrecisionError):
         SparseEncoding(4, 7).assert_compatible(SparseEncoding(3, 8))
+
+
+# --- delta+varint byte goldens (DifferenceEncoder/DecoderTest.java) ----------
+
+def _varint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def test_delta_varint_reference_byte_goldens():
+    """Exact byte sequences from `DifferenceEncoderTest.java:32-73`:
+    deltas of (42,), (42,42), (42,170,2903), (0,) as LEB128 varints; and
+    the decoder side's 4-element stream (`DifferenceDecoderTest.java:47-69`)."""
+    import numpy as np
+
+    from zetasketch_spark.hll import delta_varint_decode, delta_varint_encode
+
+    def enc(vals):
+        return delta_varint_encode(np.array(vals, dtype=np.int64))
+
+    assert enc([42]) == _varint(42)
+    assert enc([42, 42]) == _varint(42) + _varint(0)
+    assert enc([42, 170, 2903]) == \
+        _varint(42) + _varint(170 - 42) + _varint(2903 - 170)
+    assert enc([0]) == _varint(0)
+
+    stream = (_varint(42) + _varint(170 - 42) + _varint(2903 - 170)
+              + _varint(20160531 - 2903))
+    assert delta_varint_decode(stream).tolist() == [42, 170, 2903, 20160531]
+    assert delta_varint_decode(b"").tolist() == []
+
+
+def test_delta_varint_encode_validates_input():
+    """`DifferenceEncoderTest.java:75-96`: negative and unsorted inputs
+    raise instead of silently wrapping into garbage sparse data."""
+    import numpy as np
+    import pytest
+
+    from zetasketch_spark.hll import delta_varint_encode
+
+    with pytest.raises(ValueError, match="only positive"):
+        delta_varint_encode(np.array([-1], dtype=np.int64))
+    with pytest.raises(ValueError, match="ascending order"):
+        delta_varint_encode(np.array([42, 12], dtype=np.int64))

@@ -200,13 +200,26 @@ class SparseEncoding:
 # ---------------------------------------------------------------------------
 
 def delta_varint_encode(sorted_values: np.ndarray) -> bytes:
-    """Sorted non-negative int64 -> delta + LEB128 varint bytes."""
+    """Sorted non-negative int64 -> delta + LEB128 varint bytes.
+
+    Input contract mirrors the reference's DifferenceEncoder
+    (`DifferenceEncoderTest.java:75-96`): values must be non-negative and
+    ascending — a silent wraparound here would serialize garbage sparse
+    data, so both violations raise."""
     n = len(sorted_values)
     if n == 0:
         return b""
+    if int(sorted_values[0]) < 0:
+        raise ValueError(
+            f"only positive integers supported but got {int(sorted_values[0])}")
     deltas = np.empty(n, dtype=np.uint64)
     deltas[0] = sorted_values[0]
     np.subtract(sorted_values[1:], sorted_values[:-1], out=deltas[1:], casting="unsafe")
+    if n > 1 and bool((sorted_values[1:] < sorted_values[:-1]).any()):
+        i = int(np.argmax(sorted_values[1:] < sorted_values[:-1]))
+        raise ValueError(
+            f"{int(sorted_values[i + 1])} put after {int(sorted_values[i])} "
+            "but values are required to be in ascending order")
     nbytes = np.maximum((_bit_length_u64(deltas) + np.uint64(6)) // np.uint64(7), _U1).astype(np.int64)
     ends = np.cumsum(nbytes)
     total = int(ends[-1])
