@@ -178,3 +178,31 @@ def test_delta_varint_encode_validates_input():
         delta_varint_encode(np.array([-1], dtype=np.int64))
     with pytest.raises(ValueError, match="ascending order"):
         delta_varint_encode(np.array([42, 12], dtype=np.int64))
+
+
+def test_sparse_value_downgrade_representation_patterns():
+    """`SparseRepresentationTest.java:44-126`: adding sparse values encoded
+    at (p=11, sp=15) into a (10, 13) representation downgrades them to the
+    pinned bit patterns; values already at lower precision pass through
+    unchanged. Exercised through the same downgrade + sort + dedupe
+    pipeline a cross-precision sparse merge uses."""
+    import numpy as np
+
+    from zetasketch_spark.hll import SparseEncoding
+
+    src = SparseEncoding(11, 15)
+    dst = SparseEncoding(10, 13)
+
+    got = dst.dedupe_sorted(np.sort(src.downgrade(
+        np.array([0b000000000011111], dtype=np.int64), dst)))
+    assert got.tolist() == [0b000000000111]
+
+    got = dst.dedupe_sorted(np.sort(src.downgrade(
+        np.array([0b000000000000001, 0b000000000011111], dtype=np.int64), dst)))
+    assert got.tolist() == [0b000000000111, 0b10000000000000010]
+
+    # lower-precision values land unchanged in their own encoding
+    same = SparseEncoding(10, 13)
+    vals = np.array([0b0000000000001, 0b0000000001111], dtype=np.int64)
+    got = same.dedupe_sorted(np.sort(same.downgrade(vals, dst)))
+    assert got.tolist() == vals.tolist()
