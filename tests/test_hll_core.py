@@ -505,3 +505,43 @@ def test_deserialize_skips_unknown_fields():
     assert rt.estimate() == sk.estimate()
     assert rt.num_values == sk.num_values
     assert rt.serialize() == sk.serialize()
+
+
+def test_deserialize_accepts_out_of_order_fields():
+    """Proto wire format allows any field order (`StateTest.java` parses
+    field-by-field); a state written by another conformant writer with
+    reordered top-level fields must parse to the same sketch and
+    re-serialize to our canonical byte order."""
+    sk = HllSketch(precision=12, sparse_precision=15)
+    sk.add_longs(np.arange(500, dtype=np.int64))
+    canonical = sk.serialize()
+
+    # re-emit the top-level fields in reverse order
+    from zetasketch_spark.hll import _parse_proto
+
+    fields = _parse_proto(canonical)
+    out = bytearray()
+
+    def put_varint(v):
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            if v:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                return
+
+    for f in sorted(fields, reverse=True):
+        v = fields[f]
+        if isinstance(v, bytes):
+            put_varint((f << 3) | 2)
+            put_varint(len(v))
+            out.extend(v)
+        else:
+            put_varint((f << 3) | 0)
+            put_varint(v)
+    assert bytes(out) != canonical  # genuinely reordered
+    rt = HllSketch.deserialize(bytes(out))
+    assert rt.serialize() == canonical
+    assert rt.estimate() == sk.estimate()
