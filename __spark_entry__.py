@@ -1040,6 +1040,17 @@ def q_theta_set_ops_pure(spark, sf_dir):
         columns=["union_est", "intersection_est", "a_not_b_est"]))
 
 
+def q_events_skew_report(spark, sf_dir):
+    """Hot-key skew report (operators/skew.py): exact counts + shares for
+    the top user_ids via the CM/Misra-Gries-bounded pass — the
+    pre-join diagnosis that decides WHICH keys to salt. Exact output, so
+    DuckDB's plain top-10-with-shares is a direct oracle."""
+    from zetasketch_spark.operators.skew import key_skew_report
+
+    e = _t(spark, sf_dir, "events")
+    return key_skew_report(e, "user_id", top=10, threshold=0.008)
+
+
 def q_events_topk_rerank(spark, sf_dir):
     """Distributed EXACT top-k: Count-Min-bounded candidates + exact
     re-rank (operators/topk.py) — output is exact, so DuckDB's plain
@@ -1271,6 +1282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_sql_surface": q_hll_sql_surface,
         "docs_dup_clusters": q_docs_dup_clusters,
         "events_topk_rerank": q_events_topk_rerank,
+        "events_skew_report": q_events_skew_report,
         "hll_set_ops": q_hll_set_ops,
         "theta_set_ops": q_theta_set_ops,
         "events_analyze": q_events_analyze,
@@ -1993,6 +2005,24 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(duration_s), 4) AS avg_duration_s,
                    max(n_events) AS max_session_events
             FROM g GROUP BY day
+        """,
+        "events_skew_report": """
+            WITH t AS (SELECT count(*) AS n FROM events WHERE user_id IS NOT NULL),
+            c AS (
+              SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS exact_count
+              FROM events WHERE user_id IS NOT NULL GROUP BY 1
+            ),
+            r AS (
+              SELECT key, exact_count,
+                     row_number() OVER (ORDER BY exact_count DESC, key) AS rank
+              FROM c
+            )
+            SELECT key, exact_count,
+                   exact_count / (SELECT CAST(n AS DOUBLE) FROM t) AS share,
+                   exact_count / (SELECT CAST(n AS DOUBLE) FROM t) > 0.008 AS skewed,
+                   (SELECT min(exact_count) FROM r WHERE rank <= 10)
+                     > (SELECT n // 513 FROM t) AS provably_complete
+            FROM r WHERE rank <= 10
         """,
         "events_topk_rerank": """
             WITH c AS (

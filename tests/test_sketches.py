@@ -641,3 +641,21 @@ def test_bloom_nullable_int_batches_one_domain():
     st3 = fam3.make()
     fam3.update(st3, pd.Series([1.5, 2.5]))
     assert st3.contains_series(pd.Series([1.5, 2.5])).all()
+
+
+def test_key_skew_report_flags_planted_hot_key(spark):
+    """A planted 30%-share key is flagged skewed with its exact share;
+    uniform keys are not; the report is provably complete."""
+    import pandas as pd
+
+    from zetasketch_spark.operators.skew import key_skew_report
+
+    keys = ["hot"] * 3000 + [f"u{i % 100}" for i in range(7000)]
+    df = spark.createDataFrame(pd.DataFrame({"k": keys}))
+    rows = {r["key"]: r for r in key_skew_report(df, "k", top=5,
+                                                 threshold=0.05).collect()}
+    assert rows["hot"]["exact_count"] == 3000
+    assert abs(rows["hot"]["share"] - 0.3) < 1e-9
+    assert rows["hot"]["skewed"] and rows["hot"]["provably_complete"]
+    others = [r for k, r in rows.items() if k != "hot"]
+    assert others and all(not r["skewed"] for r in others)
