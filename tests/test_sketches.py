@@ -659,3 +659,22 @@ def test_key_skew_report_flags_planted_hot_key(spark):
     assert rows["hot"]["skewed"] and rows["hot"]["provably_complete"]
     others = [r for k, r in rows.items() if k != "hot"]
     assert others and all(not r["skewed"] for r in others)
+
+
+def test_bloom_promoted_probe_batch_no_false_negatives():
+    """A PROBE batch whose null promoted it to float64 must hash the
+    build's int64 domain (shared resolve_float64_hash_domain on both
+    paths) — zero false negatives; nullable Int64 dtype routes to the
+    long recipe on build too."""
+    from zetasketch_spark.sketches.bloom import BloomFilter
+
+    bf = BloomFilter(m=1 << 12, k=5)
+    bf.add_series(pd.Series([10, 20, 30], dtype="int64"))
+    # promoted probe: one null drags the batch to float64
+    got = bf.contains_series(pd.Series([10.0, None, 20.0], dtype="float64"))
+    assert list(got) == [True, False, True]
+
+    # nullable Int64 build batch hashes the long recipe
+    bf2 = BloomFilter(m=1 << 12, k=5)
+    bf2.add_series(pd.Series([1, 2, None], dtype="Int64"))
+    assert bf2.contains_series(pd.Series([1, 2], dtype="int64")).all()

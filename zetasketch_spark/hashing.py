@@ -465,6 +465,36 @@ def _fingerprint_bytes_chunk(buf, off, length):
     return result
 
 
+def resolve_float64_hash_domain(arr: np.ndarray, had_nulls: bool,
+                                value_type: str | None):
+    """ONE rule for hashing a float64 pandas batch in a typed (non-string)
+    domain, shared by every family (HLL, Bloom) and by probe paths, so
+    the build and probe sides of a sketch can never disagree.
+
+    Arrow promotes a nullable int column to float64 only in
+    null-containing batches; the promotion signature (nulls present +
+    every value integral + in int64 range) therefore routes to the
+    'long' domain unless a value_type was declared. Returns
+    ``(domain, values)`` with domain in {'long','int','float','double'}
+    and values cast for that domain's fingerprint kernel."""
+    vt = value_type
+    if vt is None and had_nulls and len(arr) \
+            and bool(np.all(np.mod(arr, 1.0) == 0)) \
+            and bool(np.all(np.abs(arr) < 2.0**63)):
+        vt = "long"
+    if vt == "long":
+        ints = arr.astype(np.int64)
+        if not np.array_equal(ints.astype(np.float64), arr):
+            raise ValueError(
+                "value_type='long' but batch contains non-integral floats")
+        return "long", ints
+    if vt == "int":
+        return "int", arr.astype(np.int32)
+    if vt == "float":
+        return "float", arr.astype(np.float32)
+    return "double", arr
+
+
 def canon_key_series(s) -> "pd.Series":
     """Canonical string form for string-domain sketch keys (Count-Min,
     Bloom, theta — every family that hashes keys through ONE string

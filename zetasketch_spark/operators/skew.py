@@ -27,8 +27,10 @@ def key_skew_report(df: DataFrame, key: str, top: int = 10,
                     max_candidates: int = 512) -> DataFrame:
     from zetasketch_spark.operators.topk import topk_exact_rerank
 
-    total = df.filter(F.col(key).isNotNull()).count()
-    ranked = topk_exact_rerank(df, key, k=top, max_candidates=max_candidates)
+    # the CM pass counts non-null rows exactly — no separate count scan
+    ranked, total = topk_exact_rerank(df, key, k=top,
+                                      max_candidates=max_candidates,
+                                      with_total=True)
     return (ranked
             .withColumn("share", F.col("exact_count") / F.lit(float(max(total, 1))))
             .withColumn("skewed", F.col("share") > F.lit(float(threshold)))

@@ -35,11 +35,14 @@ from pyspark.sql import DataFrame, Window
 
 def topk_exact_rerank(df: DataFrame, col: str, k: int = 10,
                       width: int = 4096, depth: int = 5,
-                      max_candidates: int = 512) -> DataFrame:
+                      max_candidates: int = 512, with_total: bool = False):
     """Exact top-k ``(key, exact_count, rank)`` (count desc, key asc
     tiebreak), computed with sketch-bounded shuffle.
 
-    Keys are compared in string form (the CM candidate domain)."""
+    Keys are compared in string form (the CM candidate domain).
+    ``with_total=True`` additionally returns ``(df, total)`` where total
+    is the exact non-null row count — the CM pass counts it anyway, so
+    callers needing it (e.g. `operators/skew.py`) save a full scan."""
     from zetasketch_spark.operators.agg import sketch_merge, sketch_partial
     from zetasketch_spark.sketches.countmin import CountMinFamily
 
@@ -68,6 +71,7 @@ def topk_exact_rerank(df: DataFrame, col: str, k: int = 10,
     # ≤ ⌊N/(m+1)⌋ (Misra-Gries survival bar), so the ranking is provably
     # complete iff the k-th (smallest returned) exact count clears it
     bound = cm.total // (max_candidates + 1)
-    return topk.withColumn(
+    out = topk.withColumn(
         "provably_complete",
         F.min("exact_count").over(Window.partitionBy()) > F.lit(bound))
+    return (out, cm.total) if with_total else out

@@ -152,35 +152,20 @@ class HllFamily(SketchFamily):
             # add(int) surface, HyperLogLogPlusPlus.java:337-341)
             state.add_ints(values.to_numpy(dtype=np.int32))
         elif dtype == np.float64 or str(dtype) == "Float64":
-            arr = values.to_numpy(dtype=np.float64)
-            vt = self.value_type
-            if vt is None and had_nulls and len(arr) \
-                    and bool(np.all(np.mod(arr, 1.0) == 0)) \
-                    and bool(np.all(np.abs(arr) < 2.0**63)):
-                # Arrow promotes int columns to float64 ONLY when the batch
-                # contains a null — so float64 + nulls + all-integral is
-                # the promotion signature, and we hash in the int64 domain
-                # so null-containing groups merge with null-free
-                # (int64-dtyped) ones. A genuinely-double column's
-                # null-FREE batches keep hashing as doubles regardless of
-                # integrality (they arrive float64 without nulls). The one
-                # residual ambiguity — a double column batch that has a
-                # null AND only integral values — is resolved by declaring
-                # value_type='double' (the operator pipeline pins it from
-                # the Spark schema automatically).
-                vt = "long"
-            if vt == "long":
-                ints = arr.astype(np.int64)
-                if not np.array_equal(ints.astype(np.float64), arr):
-                    raise ValueError(
-                        "value_type='long' but batch contains non-integral floats")
-                state.add_longs(ints)
-            elif vt == "int":
-                state.add_ints(arr.astype(np.int32))
-            elif vt == "float":
-                state.add_floats(arr.astype(np.float32))
-            else:
-                state.add_doubles(arr)
+            # Arrow promotes int columns to float64 ONLY when the batch
+            # contains a null, so float64 + nulls + all-integral is the
+            # promotion signature and routes to the int64 domain (the
+            # shared rule in hashing.resolve_float64_hash_domain — also
+            # used by Bloom's add AND contains paths). A genuinely-double
+            # column's residual ambiguity (null + all-integral batch) is
+            # resolved by declaring value_type='double' (the operator
+            # pipeline pins it from the Spark schema automatically).
+            from zetasketch_spark.hashing import resolve_float64_hash_domain
+
+            domain, vals = resolve_float64_hash_domain(
+                values.to_numpy(dtype=np.float64), had_nulls, self.value_type)
+            {"long": state.add_longs, "int": state.add_ints,
+             "float": state.add_floats, "double": state.add_doubles}[domain](vals)
         elif dtype == np.float32 or str(dtype) == "Float32":
             state.add_floats(values.to_numpy(dtype=np.float32))
         elif str(dtype).startswith("datetime64"):

@@ -37,25 +37,32 @@ def optimal_params(n: int, fpr: float) -> tuple[int, int]:
     return m, k
 
 
-def _hash_series(values: pd.Series) -> np.ndarray:
+def _hash_series(values: pd.Series, had_nulls: bool = False,
+                 value_type: str | None = None) -> np.ndarray:
     """TYPED recipes (dtype -> wire-spec hash), pinned equal to the Arrow
-    fabric by test_bloom_float_columns. The nullable-int float64
-    promotion hazard is handled one level up: `BloomFamily.update` pins
-    the domain from a declared value_type (filled from the Spark schema
-    by pin_value_type) or detects the promotion signature, exactly like
-    HllFamily. Direct BloomFilter.add_series callers with nullable int
-    columns should route through the family or the SQL surface."""
+    fabric by test_bloom_float_columns. float64 batches resolve through
+    the SHARED `hashing.resolve_float64_hash_domain` rule (declared
+    value_type, else nullable-int promotion detection) — the same rule
+    on the add AND contains paths, so a null-containing probe batch can
+    never hash a different domain than its build batches (zero-FN
+    invariant)."""
     from zetasketch_spark.hashing import (
-        fingerprint_double_array, fingerprint_float_array)
+        fingerprint_double_array, fingerprint_float_array,
+        resolve_float64_hash_domain)
 
     dtype = values.dtype
-    if dtype == np.int64:
+    if dtype == np.int64 or str(dtype) == "Int64":
         return fingerprint_long_array(values.to_numpy(dtype=np.int64))
-    if dtype == np.int32:
+    if dtype == np.int32 or str(dtype) == "Int32":
         return fingerprint_int_array(values.to_numpy(dtype=np.int32))
-    if dtype == np.float64:
-        return fingerprint_double_array(values.to_numpy(dtype=np.float64))
-    if dtype == np.float32:
+    if dtype == np.float64 or str(dtype) == "Float64":
+        domain, vals = resolve_float64_hash_domain(
+            values.to_numpy(dtype=np.float64), had_nulls, value_type)
+        return {"long": fingerprint_long_array,
+                "int": fingerprint_int_array,
+                "float": fingerprint_float_array,
+                "double": fingerprint_double_array}[domain](vals)
+    if dtype == np.float32 or str(dtype) == "Float32":
         return fingerprint_float_array(values.to_numpy(dtype=np.float32))
     return fingerprint_str_series(values)
 
@@ -79,11 +86,14 @@ class BloomFilter:
         i = np.arange(self.k, dtype=np.uint64)[:, None]
         return ((h1[None, :] + i * h2[None, :]) % np.uint64(self.m))
 
-    def add_series(self, values: pd.Series) -> None:
-        values = pd.Series(values).dropna()
+    def add_series(self, values: pd.Series,
+                   value_type: str | None = None) -> None:
+        values = pd.Series(values)
+        had_nulls = bool(values.isna().any())
+        values = values.dropna()
         if len(values) == 0:
             return
-        self.add_hashes(_hash_series(values))
+        self.add_hashes(_hash_series(values, had_nulls, value_type))
 
     def add_hashes(self, hashes: np.ndarray) -> None:
         if len(hashes) == 0:
@@ -94,11 +104,15 @@ class BloomFilter:
         np.bitwise_or.at(self.words, word, bit)
         self.n_added += len(hashes)
 
-    def contains_series(self, values: pd.Series) -> np.ndarray:
+    def contains_series(self, values: pd.Series,
+                        value_type: str | None = None) -> np.ndarray:
         values = pd.Series(values)
         mask_na = values.isna().to_numpy()
         filled = values.fillna("" if values.dtype == object else 0)
-        pos = self._positions(_hash_series(filled))
+        # same domain resolution as add_series: a probe batch whose nulls
+        # promoted it to float64 must hash the build's (long) domain
+        pos = self._positions(_hash_series(filled, bool(mask_na.any()),
+                                           value_type))
         word = (pos >> np.uint64(6)).astype(np.int64)
         bit = np.uint64(1) << (pos & np.uint64(63))
         hit = (self.words[word] & bit) != 0
@@ -172,40 +186,10 @@ class BloomFamily(SketchFamily):
         return state
 
     def update(self, state, values):
-        from zetasketch_spark.hashing import (
-            fingerprint_float_array, fingerprint_int_array,
-            fingerprint_long_array)
-
-        values = pd.Series(values)
-        had_nulls = bool(values.isna().any())
-        values = values.dropna()
-        if len(values) == 0:
-            return state
-        dtype = values.dtype
-        if dtype == np.float64 or str(dtype) == "Float64":
-            arr = values.to_numpy(dtype=np.float64)
-            vt = self.value_type
-            if vt is None and had_nulls and len(arr) \
-                    and bool(np.all(np.mod(arr, 1.0) == 0)) \
-                    and bool(np.all(np.abs(arr) < 2.0**63)):
-                # nullable-int promotion signature (see HllFamily.update:
-                # float64 + nulls + all-integral): hash in the int64
-                # domain so null-containing batches match null-free ones
-                vt = "long"
-            if vt == "long":
-                ints = arr.astype(np.int64)
-                if not np.array_equal(ints.astype(np.float64), arr):
-                    raise ValueError(
-                        "value_type='long' but batch contains non-integral floats")
-                state.add_hashes(fingerprint_long_array(ints))
-                return state
-            if vt == "int":
-                state.add_hashes(fingerprint_int_array(arr.astype(np.int32)))
-                return state
-            if vt == "float":
-                state.add_hashes(fingerprint_float_array(arr.astype(np.float32)))
-                return state
-        state.add_series(values)
+        # domain resolution (declared value_type, else promotion
+        # detection) lives in _hash_series via the shared
+        # hashing.resolve_float64_hash_domain rule
+        state.add_series(values, value_type=self.value_type)
         return state
 
     def merge(self, a, b):
