@@ -102,3 +102,34 @@ def test_partition_filter_typo_raises(spark, transcripts_path, tmp_path):
 
     with pytest.raises(ValueError, match="not partition columns"):
         plan_splits(transcripts_path, partition_filter={"day": "2024-01-01"})
+
+
+def test_rdd_fabric_family_generic_theta_and_countmin(spark, transcripts_path):
+    """The RDD fast fabric is family-generic: theta states (via the Arrow
+    string fast path) and Count-Min heavy-hitter results over the fabric
+    match the DataFrame sketch pipeline exactly."""
+    import pandas as pd
+
+    from zetasketch_spark.operators.agg import sketch_agg
+    from zetasketch_spark.operators.fastscan import sketch_agg_rdd
+    from zetasketch_spark.sketches.countmin import CountMinFamily
+    from zetasketch_spark.sketches.theta import ThetaFamily
+    from zetasketch_spark.sources.transcripts import load_transcripts
+
+    df = load_transcripts(spark, transcripts_path)
+
+    theta = ThetaFamily(k=512)
+    rdd_t = {r["role"]: r["estimate"] for r in
+             sketch_agg_rdd(spark, transcripts_path, ["role"], "conv_id",
+                            theta).collect()}
+    df_t = {r["role"]: r["estimate"] for r in
+            sketch_agg(df, ["role"], "conv_id", theta).collect()}
+    assert rdd_t == df_t and len(rdd_t) == 3
+
+    cm = CountMinFamily(width=1024, depth=5, max_candidates=64)
+    rdd_c = {r["role"]: tuple(r[n] for n, _ in cm.result_fields) for r in
+             sketch_agg_rdd(spark, transcripts_path, ["role"], "tool",
+                            cm).collect()}
+    df_c = {r["role"]: tuple(r[n] for n, _ in cm.result_fields) for r in
+            sketch_agg(df, ["role"], "tool", cm).collect()}
+    assert rdd_c == df_c
