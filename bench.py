@@ -158,6 +158,7 @@ def main():
     from zetasketch_spark.operators.agg import sketch_agg
     from zetasketch_spark.sketches.countmin import CountMinFamily
     from zetasketch_spark.sketches.kll import KllFamily
+    from zetasketch_spark.sketches.theta import ThetaFamily
 
     tdf = spark.read.parquet(tdir)
     for name, frame, col, fam in [
@@ -174,6 +175,17 @@ def main():
             el = time.time() - t0
             best = el if best is None else min(best, el)
         extra_timings[name] = round(best, 3)
+
+    # theta over the RDD fast fabric: set-op-capable distinct at the
+    # flagship throughput path (same scan shape as transcripts_hll_role_day)
+    best = None
+    for _ in range(N_HEADLINE_TRIALS):
+        t0 = time.time()
+        sketch_agg_rdd(spark, tdir, ["role"], "conv_id",
+                       ThetaFamily(k=4096)).count()
+        el = time.time() - t0
+        best = el if best is None else min(best, el)
+    extra_timings["transcripts_theta_conv"] = round(best, 3)
     for name in EXTRA:
         best = None
         for _ in range(N_HEADLINE_TRIALS):  # same noise floor as headline
