@@ -545,3 +545,91 @@ def test_deserialize_accepts_out_of_order_fields():
     rt = HllSketch.deserialize(bytes(out))
     assert rt.serialize() == canonical
     assert rt.estimate() == sk.estimate()
+
+
+def test_deserialize_rejects_sparse_data_without_sparse_precision():
+    """`fromProto_ThrowsWhenSparseIsMissingSparsePrecision` (:413-436):
+    sparse_data present with sp=0 and no dense registers must raise —
+    silently dropping it would lose counted values."""
+    sk = HllSketch(precision=15, sparse_precision=20)
+    sk.add_longs([1, 2, 3])
+    data = bytearray(sk.serialize())
+    # locate and zero the inner sparse_precision field (tag 0x20 inside
+    # the extension): rebuild the state with sp=0 instead of bit-surgery
+    from zetasketch_spark.hll import _parse_proto
+
+    fields = _parse_proto(bytes(data))
+    inner = dict(_parse_proto(fields[112]))
+    assert inner.get(4) == 20 and inner.get(6)  # sp field + sparse data
+    out = bytearray()
+
+    def put_varint(buf, v):
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            if v:
+                buf.append(b | 0x80)
+            else:
+                buf.append(b)
+                return
+
+    inner_out = bytearray()
+    for f, v in inner.items():
+        if f == 4:
+            continue  # drop sparse_precision (proto default 0)
+        if isinstance(v, bytes):
+            put_varint(inner_out, (f << 3) | 2)
+            put_varint(inner_out, len(v))
+            inner_out.extend(v)
+        else:
+            put_varint(inner_out, (f << 3) | 0)
+            put_varint(inner_out, v)
+    for f, v in fields.items():
+        if f == 112:
+            put_varint(out, (112 << 3) | 2)
+            put_varint(out, len(inner_out))
+            out.extend(inner_out)
+        elif isinstance(v, bytes):
+            put_varint(out, (f << 3) | 2)
+            put_varint(out, len(v))
+            out.extend(v)
+        else:
+            put_varint(out, (f << 3) | 0)
+            put_varint(out, v)
+    with pytest.raises(ValueError, match="sparse precision when sparse data"):
+        HllSketch.deserialize(bytes(out))
+
+
+def test_merge_unknown_type_directions():
+    """`merge_KnownIntoUnknownType` / `mergeFromProto_UnknownIntoKnownType`
+    / `_UnknownIntoUnknownType`: UNKNOWN (no adds yet) merges with any
+    type and the known type wins; unknown⊕unknown stays unknown."""
+    import numpy as np
+
+    typed = HllSketch(precision=13)
+    typed.add_longs(np.arange(100, dtype=np.int64))
+
+    unk = HllSketch(precision=13)          # never added: type UNKNOWN
+    unk.merge(typed)
+    assert unk.value_type == typed.value_type
+    assert unk.estimate() == typed.estimate()
+
+    known = HllSketch(precision=13)
+    known.add_longs(np.arange(50, dtype=np.int64))
+    known.merge(HllSketch(precision=13))   # unknown into known
+    assert known.value_type == typed.value_type
+
+    u1, u2 = HllSketch(precision=13), HllSketch(precision=13)
+    u1.merge(u2)
+    assert u1.value_type == 0              # unknown ⊕ unknown stays unknown
+
+
+def test_bytes_and_string_share_value_type():
+    """`addBytes_ToByteOrStringType` / `addString_ToByteOrStringType`:
+    bytes and UTF-8 strings are ONE type (BYTES_OR_UTF8_STRING = 11), so
+    mixing them in one sketch is legal and b'foo' == 'foo' as a value."""
+    sk = HllSketch(precision=13)
+    sk.add_strings(pd.Series([b"foo", b"bar"]))
+    sk.add_strings(pd.Series(["foo", "baz"]))  # same type, no raise
+    assert sk.value_type == 11
+    assert sk.estimate() == 3  # foo==b'foo'

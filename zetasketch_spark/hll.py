@@ -733,6 +733,11 @@ class HllSketch:
         reg_bytes = hll.get(5)
         sparse_bytes = hll.get(6)
         has_data = reg_bytes is not None and len(reg_bytes) > 0
+        if not has_data and sp == 0 and sparse_bytes:
+            # `fromProto_ThrowsWhenSparseIsMissingSparsePrecision`
+            # (HyperLogLogPlusPlusTest.java:413-436): silently dropping the
+            # sparse data here would lose counted values
+            raise ValueError("Must have a sparse precision when sparse data is set")
         if has_data or sp == 0:
             sk = cls(precision=p, sparse_precision=0, value_type=fields.get(4, 0))
             if has_data:
