@@ -678,3 +678,52 @@ def test_bloom_promoted_probe_batch_no_false_negatives():
     bf2 = BloomFilter(m=1 << 12, k=5)
     bf2.add_series(pd.Series([1, 2, None], dtype="Int64"))
     assert bf2.contains_series(pd.Series([1, 2], dtype="int64")).all()
+
+
+@pytest.mark.parametrize("family", ["countmin", "kll", "tdigest", "bloom",
+                                    "theta"])
+def test_mutation_fuzz_never_hangs_or_crashes(family):
+    """Beyond truncation: random single-byte mutations of a serialized
+    state must either parse (possibly to a different valid state) or
+    raise a clean ValueError/struct.error — never segfault, hang, or
+    allocate unboundedly from a lying length field."""
+    import struct as _struct
+
+    from zetasketch_spark.sketches.base import get_family
+
+    fam = get_family(family)
+    st = fam.make()
+    vals = pd.Series([float(i % 53) for i in range(400)]) \
+        if family in ("kll", "tdigest") else pd.Series([f"k{i % 53}" for i in range(400)])
+    fam.update(st, vals)
+    blob = bytearray(fam.serialize(st))
+    rng = np.random.default_rng(1234)
+    for _ in range(300):
+        mutant = bytearray(blob)
+        pos = int(rng.integers(0, len(mutant)))
+        mutant[pos] = int(rng.integers(0, 256))
+        try:
+            got = fam.deserialize(bytes(mutant))
+            fam.serialize(got)  # parsed states must re-serialize
+        except (ValueError, _struct.error, OverflowError):
+            continue
+
+
+def test_mutation_fuzz_hll_proto():
+    """Same single-byte mutation fuzz for the HLL AggregatorStateProto
+    parser (complements the existing truncation fuzz)."""
+    from zetasketch_spark.hll import HllSketch
+
+    sk = HllSketch(precision=12, sparse_precision=15)
+    sk.add_longs(np.arange(300, dtype=np.int64))
+    blob = bytearray(sk.serialize())
+    rng = np.random.default_rng(77)
+    for _ in range(300):
+        mutant = bytearray(blob)
+        pos = int(rng.integers(0, len(mutant)))
+        mutant[pos] = int(rng.integers(0, 256))
+        try:
+            got = HllSketch.deserialize(bytes(mutant))
+            got.serialize()
+        except (ValueError, IndexError, OverflowError):
+            continue
