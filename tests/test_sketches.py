@@ -725,5 +725,5 @@ def test_mutation_fuzz_hll_proto():
         try:
             got = HllSketch.deserialize(bytes(mutant))
             got.serialize()
-        except (ValueError, IndexError, OverflowError):
-            continue
+        except (ValueError, OverflowError):
+            continue  # IndexError would be a dirty parse -> must not leak

@@ -259,6 +259,9 @@ def delta_varint_decode(data: bytes | np.ndarray) -> np.ndarray:
     buf = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray, memoryview)) else data
     if len(buf) == 0:
         return np.empty(0, dtype=np.int64)
+    if buf[-1] & 0x80:
+        # continuation bit set on the final byte: the last varint was cut
+        raise ValueError("truncated varint in sparse data")
     is_term = (buf & 0x80) == 0
     n = int(is_term.sum())
     # group id of each byte = number of terminators strictly before it
@@ -719,7 +722,15 @@ class HllSketch:
 
     @classmethod
     def deserialize(cls, data: bytes) -> "HllSketch":
-        fields = _parse_proto(data)
+        try:
+            fields = _parse_proto(data)
+            hll_bytes_pre = fields.get(112)
+            if hll_bytes_pre is not None:
+                _parse_proto(hll_bytes_pre)
+        except IndexError:
+            # truncated varint / tag mid-read: surface the same clean
+            # error contract as every other family's wire parser
+            raise ValueError("truncated or corrupt AggregatorStateProto") from None
         agg_type = fields.get(1, AGGREGATOR_TYPE_HLL)
         if agg_type != AGGREGATOR_TYPE_HLL:
             raise ValueError(f"Expected proto of type HYPERLOGLOG_PLUS_UNIQUE but was {agg_type}")
