@@ -700,8 +700,14 @@ def test_mutation_fuzz_never_hangs_or_crashes(family):
     rng = np.random.default_rng(1234)
     for _ in range(300):
         mutant = bytearray(blob)
+        op = int(rng.integers(0, 3))
         pos = int(rng.integers(0, len(mutant)))
-        mutant[pos] = int(rng.integers(0, 256))
+        if op == 0:
+            mutant[pos] = int(rng.integers(0, 256))
+        elif op == 1:
+            mutant.insert(pos, int(rng.integers(0, 256)))
+        else:
+            del mutant[pos]
         try:
             got = fam.deserialize(bytes(mutant))
             fam.serialize(got)  # parsed states must re-serialize
@@ -720,8 +726,14 @@ def test_mutation_fuzz_hll_proto():
     rng = np.random.default_rng(77)
     for _ in range(300):
         mutant = bytearray(blob)
+        op = int(rng.integers(0, 3))
         pos = int(rng.integers(0, len(mutant)))
-        mutant[pos] = int(rng.integers(0, 256))
+        if op == 0:
+            mutant[pos] = int(rng.integers(0, 256))
+        elif op == 1:
+            mutant.insert(pos, int(rng.integers(0, 256)))
+        else:
+            del mutant[pos]
         try:
             got = HllSketch.deserialize(bytes(mutant))
             got.serialize()
