@@ -139,3 +139,25 @@ def test_analyze_table_bool_and_decimal_columns(spark):
     assert stats["amount"]["approx_distinct"] == 2
     assert stats["amount"]["n_nulls"] == 25
     assert stats["n"]["approx_distinct"] == 100
+
+
+def test_group_count_estimate(spark):
+    """Exact in the sub-k regime (the common planning case), estimator
+    envelope above it; zero columns of nulls handled by concat_ws."""
+    import pandas as pd
+
+    from zetasketch_spark.operators.analyze import group_count_estimate
+
+    n = 30_000
+    df = spark.createDataFrame(pd.DataFrame({
+        "a": [i % 40 for i in range(n)],
+        "b": [f"s{i % 25}" for i in range(n)],
+    }))
+    est, rse = group_count_estimate(df, ["a", "b"], k=4096)
+    exact = df.select("a", "b").distinct().count()
+    assert exact == 200 and est == exact  # lcm(40,25) pairs; exact mode below k
+
+    big = spark.range(200_000).selectExpr("id % 50000 AS a", "id % 7 AS b")
+    est2, rse2 = group_count_estimate(big, ["a", "b"], k=2048)
+    exact2 = big.select("a", "b").distinct().count()
+    assert abs(est2 / exact2 - 1.0) <= 4 * rse2

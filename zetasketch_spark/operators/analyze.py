@@ -30,6 +30,23 @@ _NUMERIC = (ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType)
 _QUANTILES = (0.25, 0.5, 0.75)
 
 
+def group_count_estimate(df: DataFrame, cols: list[str],
+                         k: int = 4096) -> tuple[int, float]:
+    """How many groups would ``GROUP BY cols`` produce? The number that
+    sizes shuffle partitions and decides whether a two-level merge is
+    worth it — answered BEFORE the aggregation at theta cost: the tuple
+    key renders through `tuple_distinct_col` (US-separated string
+    composition, the same rule the HLL tuple-distinct query uses) and a
+    per-partition theta partial pass counts it with NO shuffle
+    (`joinprofile._global_theta`). Returns ``(estimate, rse)``."""
+    from zetasketch_spark.functions.sketch_udfs import tuple_distinct_col
+    from zetasketch_spark.operators.joinprofile import _global_theta
+
+    keyed = df.select(tuple_distinct_col(*cols).alias("__k"))
+    sk = _global_theta(keyed, "__k", k)
+    return sk.estimate(), sk.rse()
+
+
 class _HllWithN(HllFamily):
     """HLL that also reports how many non-null values it absorbed
     (`HllSketch.num_values`, the reference's numValues) — null counts per
