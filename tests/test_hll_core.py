@@ -633,3 +633,41 @@ def test_bytes_and_string_share_value_type():
     sk.add_strings(pd.Series(["foo", "baz"]))  # same type, no raise
     assert sk.value_type == 11
     assert sk.estimate() == 3  # foo==b'foo'
+
+
+def test_deserialize_rejects_wire_type_confusion_and_lying_lengths():
+    """Fourth-review repros: (a) field 112 encoded as a varint previously
+    routed an int into bytes(int) — an attacker-controlled allocation;
+    (b) length-delimited fields claiming more bytes than remain were
+    silently truncated; (c) inner fields with swapped wire types leaked
+    TypeError. All must raise clean ValueErrors, fast."""
+    import time
+
+    # (a) extension field as a huge varint: must NOT allocate/spin
+    evil = bytearray()
+    evil += bytes([0x08, 0x70, 0x18, 0x02])       # type=112, version=2
+    evil += bytes([0x80, 0x07])                   # field 112, wire 0 (varint)
+    evil += bytes([0x80, 0x80, 0x80, 0x80, 0x08])  # ~2^35
+    t0 = time.time()
+    with pytest.raises(ValueError, match="wrong wire type"):
+        HllSketch.deserialize(bytes(evil))
+    assert time.time() - t0 < 0.5
+
+    # (b) lying length field
+    sk = HllSketch(precision=10)
+    sk.add_longs([1, 2, 3])
+    blob = bytearray(sk.serialize())
+    # field 112 header is (0x82, 0x07, len); inflate len beyond the buffer
+    i = bytes(blob).index(bytes([0x82, 0x07]))
+    blob[i + 2] = 0x7F  # claims 127 bytes; far fewer remain
+    with pytest.raises(ValueError, match="truncated proto"):
+        HllSketch.deserialize(bytes(blob))
+
+    # (c) registers field with varint wire type
+    good = HllSketch(precision=4, no_sparse=True)
+    good.add_longs([42])
+    data = bytearray(good.serialize())
+    j = bytes(data).index(bytes([0x2A, 0x10]))  # inner field 5, wire 2, len 16
+    data[j] = 0x28  # wire type 0
+    with pytest.raises(ValueError):
+        HllSketch.deserialize(bytes(data))

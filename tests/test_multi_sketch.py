@@ -161,3 +161,9 @@ def test_group_count_estimate(spark):
     est2, rse2 = group_count_estimate(big, ["a", "b"], k=2048)
     exact2 = big.select("a", "b").distinct().count()
     assert abs(est2 / exact2 - 1.0) <= 4 * rse2
+
+    # GROUP BY null semantics: (1, NULL) and (NULL, 1) are DISTINCT groups
+    nulls = spark.createDataFrame(
+        pd.DataFrame({"a": [1, None, 1], "b": [None, 1, None]}))
+    est3, _ = group_count_estimate(nulls, ["a", "b"], k=256)
+    assert est3 == 2

@@ -722,35 +722,49 @@ class HllSketch:
 
     @classmethod
     def deserialize(cls, data: bytes) -> "HllSketch":
+        def _int(fields, f, default):
+            v = fields.get(f, default)
+            if not isinstance(v, int):
+                raise ValueError(
+                    f"malformed AggregatorStateProto: field {f} has wrong wire type")
+            return v
+
+        def _bytes(fields, f):
+            v = fields.get(f)
+            if v is not None and not isinstance(v, bytes):
+                raise ValueError(
+                    f"malformed AggregatorStateProto: field {f} has wrong wire type")
+            return v
+
         try:
             fields = _parse_proto(data)
-            hll_bytes_pre = fields.get(112)
-            if hll_bytes_pre is not None:
-                _parse_proto(hll_bytes_pre)
+            hll_bytes = _bytes(fields, 112)
+            hll = _parse_proto(hll_bytes) if hll_bytes is not None else {}
         except IndexError:
             # truncated varint / tag mid-read: surface the same clean
             # error contract as every other family's wire parser
             raise ValueError("truncated or corrupt AggregatorStateProto") from None
-        agg_type = fields.get(1, AGGREGATOR_TYPE_HLL)
+        agg_type = _int(fields, 1, AGGREGATOR_TYPE_HLL)
         if agg_type != AGGREGATOR_TYPE_HLL:
             raise ValueError(f"Expected proto of type HYPERLOGLOG_PLUS_UNIQUE but was {agg_type}")
-        encoding_version = fields.get(3, 1)
+        encoding_version = _int(fields, 3, 1)
         if encoding_version != ENCODING_VERSION:
             raise ValueError(f"Expected encoding version to be 2 but was {encoding_version}")
-        hll_bytes = fields.get(112)
-        hll = _parse_proto(hll_bytes) if hll_bytes is not None else {}
-        p = hll.get(3, 0)
-        sp = hll.get(4, 0)
-        reg_bytes = hll.get(5)
-        sparse_bytes = hll.get(6)
+        p = _int(hll, 3, 0)
+        sp = _int(hll, 4, 0)
+        reg_bytes = _bytes(hll, 5)
+        sparse_bytes = _bytes(hll, 6)
         has_data = reg_bytes is not None and len(reg_bytes) > 0
-        if not has_data and sp == 0 and sparse_bytes:
+        if sp == 0 and sparse_bytes:
             # `fromProto_ThrowsWhenSparseIsMissingSparsePrecision`
             # (HyperLogLogPlusPlusTest.java:413-436): silently dropping the
-            # sparse data here would lose counted values
+            # sparse data would lose counted values. Applied to the dense
+            # case too (stricter than the reference's test, whose behavior
+            # for that malformed combination is unspecified): data XOR
+            # sparse_data is the spec, loud beats silent loss.
             raise ValueError("Must have a sparse precision when sparse data is set")
         if has_data or sp == 0:
-            sk = cls(precision=p, sparse_precision=0, value_type=fields.get(4, 0))
+            sk = cls(precision=p, sparse_precision=0, value_type=_int(fields, 4, 0))
             if has_data:
                 regs = np.frombuffer(reg_bytes, dtype=np.uint8)
                 if len(regs) != (1 << p):
@@ -759,10 +773,10 @@ class HllSketch:
                 sk.registers = regs.copy()
             sk.sp = sp
         else:
-            sk = cls(precision=p, sparse_precision=sp, value_type=fields.get(4, 0))
+            sk = cls(precision=p, sparse_precision=sp, value_type=_int(fields, 4, 0))
             if sparse_bytes:
                 sk.sparse_values = delta_varint_decode(sparse_bytes)
-        sk.num_values = fields.get(2, 0)
+        sk.num_values = _int(fields, 2, 0)
         return sk
 
 
@@ -802,6 +816,12 @@ def _parse_proto(data: bytes) -> dict:
             fields[field] = read_varint()
         elif wire == 2:
             ln = read_varint()
+            if ln > n - i:
+                # a lying length field must not silently yield a short
+                # (or, via downstream bytes(int) paths, huge) payload
+                raise ValueError(
+                    f"truncated proto: field {field} claims {ln} bytes "
+                    f"but only {n - i} remain")
             fields[field] = bytes(buf[i:i + ln])
             i += ln
         elif wire == 5:

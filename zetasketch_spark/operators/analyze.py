@@ -34,15 +34,18 @@ def group_count_estimate(df: DataFrame, cols: list[str],
                          k: int = 4096) -> tuple[int, float]:
     """How many groups would ``GROUP BY cols`` produce? The number that
     sizes shuffle partitions and decides whether a two-level merge is
-    worth it — answered BEFORE the aggregation at theta cost: the tuple
-    key renders through `tuple_distinct_col` (US-separated string
-    composition, the same rule the HLL tuple-distinct query uses) and a
-    per-partition theta partial pass counts it with NO shuffle
+    worth it — answered BEFORE the aggregation at theta cost: a
+    US-separated tuple rendering with a NUL null-sentinel and a
+    per-partition theta partial pass with NO shuffle
     (`joinprofile._global_theta`). Returns ``(estimate, rse)``."""
-    from zetasketch_spark.functions.sketch_udfs import tuple_distinct_col
     from zetasketch_spark.operators.joinprofile import _global_theta
 
-    keyed = df.select(tuple_distinct_col(*cols).alias("__k"))
+    # GROUP BY keeps (1, NULL) and (NULL, 1) as DISTINCT groups, so nulls
+    # get a sentinel — tuple_distinct_col's concat_ws would collapse both
+    # to '1' (right for COUNT(DISTINCT a, b) companions, wrong here)
+    rendered = [F.coalesce(F.col(c).cast("string"), F.lit("\u0000N"))
+                for c in cols]
+    keyed = df.select(F.concat_ws("\u001f", *rendered).alias("__k"))
     sk = _global_theta(keyed, "__k", k)
     return sk.estimate(), sk.rse()
 
