@@ -902,7 +902,7 @@ def q_theta_set_ops(spark, sf_dir):
           banded.groupBy("side").agg(
               theta_init_agg("l_orderkey", 4096).alias("sk")).collect()}
     a, b = sk["lo"], sk["hi"]
-    union = ThetaSketch.deserialize(a.serialize())
+    union = a.copy()
     union.merge(b)
     inter = a.intersect(b)
     anb = a.a_not_b(b)
@@ -1033,7 +1033,7 @@ def q_theta_set_ops_pure(spark, sf_dir):
           banded.groupBy("side").agg(
               theta_init_agg("l_orderkey", 4096).alias("sk")).collect()}
     a, b = sk["lo"], sk["hi"]
-    union = ThetaSketch.deserialize(a.serialize())
+    union = a.copy()
     union.merge(b)
     return spark.createDataFrame(pd.DataFrame(
         [[union.estimate(), a.intersect(b).estimate(), a.a_not_b(b).estimate()]],
@@ -2007,10 +2007,11 @@ def oracle_sql() -> dict[str, str]:
             FROM g GROUP BY day
         """,
         "events_skew_report": """
-            WITH t AS (SELECT count(*) AS n FROM events WHERE user_id IS NOT NULL),
+            WITH t AS (SELECT count(*) AS n FROM events),
             c AS (
-              SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS exact_count
-              FROM events WHERE user_id IS NOT NULL GROUP BY 1
+              SELECT COALESCE(CAST(user_id AS VARCHAR), '(null)') AS key,
+                     count(*) AS exact_count
+              FROM events GROUP BY 1
             ),
             r AS (
               SELECT key, exact_count,

@@ -167,3 +167,21 @@ def test_group_count_estimate(spark):
         pd.DataFrame({"a": [1, None, 1], "b": [None, 1, None]}))
     est3, _ = group_count_estimate(nulls, ["a", "b"], k=256)
     assert est3 == 2
+
+
+def test_analyze_table_dotted_and_ambiguous_names(spark):
+    """Columns with dots (JSON ingestion) must analyze, and a
+    case-ambiguous request must raise instead of guessing."""
+    import pandas as pd
+
+    from zetasketch_spark.operators.analyze import analyze_table
+
+    df = spark.createDataFrame(pd.DataFrame({"user.id": [1, 2, 2, None]}))
+    stats = {r["column"]: r for r in analyze_table(df).collect()}
+    assert stats["user.id"]["approx_distinct"] == 2
+    assert stats["user.id"]["n_nulls"] == 1
+
+    amb = spark.createDataFrame(pd.DataFrame({"AA": ["x"], "aa": [1]}))
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="case-ambiguous"):
+        analyze_table(amb, cols=["Aa"])

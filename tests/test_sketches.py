@@ -661,6 +661,24 @@ def test_key_skew_report_flags_planted_hot_key(spark):
     assert others and all(not r["skewed"] for r in others)
 
 
+def test_key_skew_report_null_keys_and_empty_input(spark):
+    """NULL is reported as the '(null)' key with its true share, and an
+    empty input yields an empty (not crashing) report."""
+    import pandas as pd
+
+    from zetasketch_spark.operators.skew import key_skew_report
+
+    keys = [None] * 6000 + [f"u{i % 50}" for i in range(4000)]
+    df = spark.createDataFrame(pd.DataFrame({"k": pd.Series(keys, dtype="object")}))
+    rows = {r["key"]: r for r in key_skew_report(df, "k", top=3,
+                                                 threshold=0.1).collect()}
+    assert rows["(null)"]["exact_count"] == 6000
+    assert abs(rows["(null)"]["share"] - 0.6) < 1e-9 and rows["(null)"]["skewed"]
+
+    empty = key_skew_report(df.filter("k = 'nope'"), "k")
+    assert empty.collect() == []
+
+
 def test_bloom_promoted_probe_batch_no_false_negatives():
     """A PROBE batch whose null promoted it to float64 must hash the
     build's int64 domain (shared resolve_float64_hash_domain on both

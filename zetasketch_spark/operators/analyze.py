@@ -30,6 +30,14 @@ _NUMERIC = (ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType)
 _QUANTILES = (0.25, 0.5, 0.75)
 
 
+def _ref(df, name: str):
+    """Exact-name column reference: backtick-quote names containing dots
+    (JSON ingestion) so neither F.col nor df[...] parses a nested path."""
+    if "." in name or "`" in name:
+        return F.col("`" + name.replace("`", "``") + "`")
+    return df[name]
+
+
 def group_count_estimate(df: DataFrame, cols: list[str],
                          k: int = 4096) -> tuple[int, float]:
     """How many groups would ``GROUP BY cols`` produce? The number that
@@ -37,13 +45,19 @@ def group_count_estimate(df: DataFrame, cols: list[str],
     worth it — answered BEFORE the aggregation at theta cost: a
     US-separated tuple rendering with a NUL null-sentinel and a
     per-partition theta partial pass with NO shuffle
-    (`joinprofile._global_theta`). Returns ``(estimate, rse)``."""
+    (`joinprofile._global_theta`). Returns ``(estimate, rse)``.
+
+    Rendering caveat (shared with `tuple_distinct_col`): values
+    containing the U+001F separator, or a literal '\\u0000N' string,
+    can collide with a neighboring tuple / the null sentinel — both are
+    control-character patterns that don't occur in normal key columns;
+    if yours can contain them, pre-escape the columns."""
     from zetasketch_spark.operators.joinprofile import _global_theta
 
     # GROUP BY keeps (1, NULL) and (NULL, 1) as DISTINCT groups, so nulls
     # get a sentinel — tuple_distinct_col's concat_ws would collapse both
     # to '1' (right for COUNT(DISTINCT a, b) companions, wrong here)
-    rendered = [F.coalesce(F.col(c).cast("string"), F.lit("\u0000N"))
+    rendered = [F.coalesce(_ref(df, c).cast("string"), F.lit("\u0000N"))
                 for c in cols]
     keyed = df.select(F.concat_ws("\u001f", *rendered).alias("__k"))
     sk = _global_theta(keyed, "__k", k)
@@ -76,15 +90,28 @@ def analyze_table(df: DataFrame, cols: list[str] | None = None,
         cols = [f.name for f in df.schema.fields
                 if not str(f.dataType).startswith(("ArrayType", "MapType",
                                                    "StructType", "BinaryType"))]
-    # resolve requested names against the schema (case-insensitive, like
-    # Spark's own resolver) so a typo raises a clear error, not a KeyError
-    fields = {f.name.lower(): f for f in df.schema.fields}
-    try:
-        cols = [fields[c.lower()].name for c in cols]
-    except KeyError as e:
-        raise ValueError(
-            f"analyze_table: no column {e.args[0]!r}; table has "
-            f"{[f.name for f in df.schema.fields]}") from None
+    # resolve requested names: exact match first, then case-insensitive
+    # ONLY when unambiguous (a case-sensitive schema with 'A' and 'a'
+    # must never silently attribute one column's stats to the other)
+    names = [f.name for f in df.schema.fields]
+    lowered: dict[str, list[str]] = {}
+    for nm in names:
+        lowered.setdefault(nm.lower(), []).append(nm)
+    resolved = []
+    for c in cols:
+        if c in names:
+            resolved.append(c)
+            continue
+        cands = lowered.get(c.lower(), [])
+        if len(cands) == 1:
+            resolved.append(cands[0])
+        elif not cands:
+            raise ValueError(
+                f"analyze_table: no column {c!r}; table has {names}")
+        else:
+            raise ValueError(
+                f"analyze_table: {c!r} is case-ambiguous between {cands}")
+    cols = resolved
     by_name = {f.name: f.dataType for f in df.schema.fields}
     numeric = {c for c in cols if isinstance(by_name[c], _NUMERIC)}
     # types the HLL Arrow kernel hashes natively; everything else
@@ -94,18 +121,20 @@ def analyze_table(df: DataFrame, cols: list[str] | None = None,
 
     specs = {}
     proj = []
+    # positional internal names: user column names (dots, unicode, spec
+    # suffix collisions) never leak into spec/result column identifiers
+    safe_of = {c: f"c{i}" for i, c in enumerate(cols)}
     for c in cols:
+        safe = safe_of[c]
         if isinstance(by_name[c], hashable):
-            proj.append(F.col(c))
-            specs[f"{c}__d"] = (c, _HllWithN(precision=precision))
+            proj.append(_ref(df, c).alias(safe))
         else:
-            scol = f"{c}__str"
-            proj.append(F.col(c).cast("string").alias(scol))
-            specs[f"{c}__d"] = (scol, _HllWithN(precision=precision))
+            proj.append(_ref(df, c).cast("string").alias(safe))
+        specs[f"{safe}__d"] = (safe, _HllWithN(precision=precision))
         if c in numeric:
-            qcol = f"{c}__num"
-            proj.append(F.col(c).cast("double").alias(qcol))
-            specs[f"{c}__q"] = (qcol, KllFamily(k=kll_k, quantiles=_QUANTILES))
+            qcol = f"{safe}__num"
+            proj.append(_ref(df, c).cast("double").alias(qcol))
+            specs[f"{safe}__q"] = (qcol, KllFamily(k=kll_k, quantiles=_QUANTILES))
 
     got = multi_sketch_agg(
         df.select(*proj).withColumn("__g", F.lit(1)), ["__g"], specs
@@ -126,11 +155,12 @@ def analyze_table(df: DataFrame, cols: list[str] | None = None,
     n_rows = int(wide["rows_seen"])
     rows = []
     for c in cols:
+        safe = safe_of[c]
         q = [None, None, None]
         if c in numeric:
-            q = [float(wide[f"{c}__q_q{round(p * 100):02d}"]) for p in _QUANTILES]
-        rows.append((c, n_rows, n_rows - int(wide[f"{c}__d_n"]),
-                     int(wide[f"{c}__d_estimate"]), *q))
+            q = [float(wide[f"{safe}__q_q{round(p * 100):02d}"]) for p in _QUANTILES]
+        rows.append((c, n_rows, n_rows - int(wide[f"{safe}__d_n"]),
+                     int(wide[f"{safe}__d_estimate"]), *q))
     import pandas as pd
 
     return spark.createDataFrame(

@@ -26,7 +26,6 @@ containment_a_in_b, containment_b_in_a, jaccard, rse``
 
 from __future__ import annotations
 
-import numpy as np
 from pyspark.sql import DataFrame
 
 
@@ -52,23 +51,15 @@ def join_key_profile(df_a: DataFrame, key_a: str, df_b: DataFrame,
     a = _global_theta(df_a, key_a, k)
     b = _global_theta(df_b, key_b, k)
 
-    union = ThetaSketch.deserialize(a.serialize())
+    union = a.copy()
     union.merge(b)
     inter = a.intersect(b)
-    # containments on the common sample (min-theta): the shared count is
-    # exactly inter's retained set; each side's sample under the same
-    # theta gives the denominator, and the thinning rate cancels
-    theta = np.uint64(inter.theta) if inter.theta < (1 << 64) else None
-    ra = a.retained if theta is None else a.retained[a.retained < theta]
-    rb = b.retained if theta is None else b.retained[b.retained < theta]
-    shared = len(inter.retained)
-    cont_a = shared / len(ra) if len(ra) else 0.0
-    cont_b = shared / len(rb) if len(rb) else 0.0
 
     return spark.createDataFrame(pd.DataFrame([[
         a.estimate(), b.estimate(), union.estimate(), inter.estimate(),
         a.a_not_b(b).estimate(), b.a_not_b(a).estimate(),
-        float(cont_a), float(cont_b), float(a.jaccard(b)), float(a.rse()),
+        float(a.containment(b)), float(b.containment(a)),
+        float(a.jaccard(b)), float(a.rse()),
     ]], columns=["distinct_a", "distinct_b", "union_distinct", "overlap",
                  "a_not_b", "b_not_a", "containment_a_in_b",
                  "containment_b_in_a", "jaccard", "rse"]))

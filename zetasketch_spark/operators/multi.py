@@ -79,7 +79,13 @@ def multi_sketch_partial(df: DataFrame, keys: list[str],
             yield pa.RecordBatch.from_pandas(
                 out, schema=to_arrow_schema(out_schema), preserve_index=False)
 
-    return df.select(*keys, *cols).mapInArrow(fn, out_schema)
+    # backtick-quote names so a dot in a JSON-ingested column name is
+    # never parsed as a nested-field path
+    def _ref(name):
+        return F.col("`" + name.replace("`", "``") + "`")
+
+    return df.select(*[_ref(k) for k in keys],
+                     *[_ref(c) for c in cols]).mapInArrow(fn, out_schema)
 
 
 def multi_sketch_agg(df: DataFrame, keys: list[str],

@@ -14,7 +14,10 @@ Output (one row per reported key, hottest first):
 ``key, exact_count, share, skewed, provably_complete``
 
 ``skewed`` flags share > ``threshold`` — the keys that would overload
-one reducer; the caller salts exactly those (DESIGN.md §2)."""
+one reducer; the caller salts exactly those (DESIGN.md §2). NULL keys
+are reported as the key ``'(null)'`` (often the hottest key of all —
+outer joins, optional fields — and one a groupBy still shuffles);
+shares are computed over ALL rows including nulls."""
 
 from __future__ import annotations
 
@@ -27,8 +30,14 @@ def key_skew_report(df: DataFrame, key: str, top: int = 10,
                     max_candidates: int = 512) -> DataFrame:
     from zetasketch_spark.operators.topk import topk_exact_rerank
 
-    # the CM pass counts non-null rows exactly — no separate count scan
-    ranked, total = topk_exact_rerank(df, key, k=top,
+    # NULL is often the hottest key (outer joins, optional fields) and the
+    # one a groupBy still shuffles — render it as a countable sentinel so
+    # the report can flag it ('(null)' collides only with a literal
+    # '(null)' string value, which would land in the same reducer anyway)
+    keyed = df.select(F.coalesce(F.col(key).cast("string"),
+                                 F.lit("(null)")).alias(key))
+    # the CM pass counts all rows exactly — no separate count scan
+    ranked, total = topk_exact_rerank(keyed, key, k=top,
                                       max_candidates=max_candidates,
                                       with_total=True)
     return (ranked

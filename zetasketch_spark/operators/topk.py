@@ -51,8 +51,13 @@ def topk_exact_rerank(df: DataFrame, col: str, k: int = 10,
     keyed = df.select(F.col(col).cast("string").alias("key"))
     partials = sketch_partial(keyed, [], "key", fam)
     merged = sketch_merge(partials, [], fam)
-    [row] = merged.collect()  # ONE global sketch — tiny by construction
-    cm = fam.deserialize(bytes(row["sketch"]))
+    rows = merged.collect()  # at most ONE global sketch — tiny by construction
+    if not rows:  # empty input: empty (provably complete) report
+        spark = df.sparkSession
+        empty = spark.createDataFrame(
+            [], "key string, exact_count bigint, rank int, provably_complete boolean")
+        return (empty, 0) if with_total else empty
+    cm = fam.deserialize(bytes(rows[0]["sketch"]))
     candidates = list(cm.candidates.keys())
 
     spark = df.sparkSession

@@ -148,18 +148,40 @@ class ThetaSketch:
         out.retained = only[only < np.uint64(out.theta)] if out.theta < _FULL else only
         return out
 
-    def jaccard(self, other: "ThetaSketch") -> float:
-        """Jaccard similarity of the two key SETS: |A∩B| / |A∪B| estimated
-        on the common sample (both ratios under min-theta, so the
-        thinning rate cancels). sd ≈ sqrt(J(1-J)/n_union_retained)."""
+    def copy(self) -> "ThetaSketch":
+        out = ThetaSketch(k=self.k)
+        out.theta = self.theta
+        out.retained = self.retained.copy()
+        out.num_values = self.num_values
+        return out
+
+    def common_sample(self, other: "ThetaSketch"):
+        """Both retained sets filtered under min-theta — the ONE rule every
+        common-sample estimator (jaccard, containment) shares, so they
+        can never disagree."""
         theta = min(self.theta, other.theta)
         t = np.uint64(theta) if theta < _FULL else None
         a = self.retained if t is None else self.retained[self.retained < t]
         b = other.retained if t is None else other.retained[other.retained < t]
+        return a, b
+
+    def jaccard(self, other: "ThetaSketch") -> float:
+        """Jaccard similarity of the two key SETS: |A∩B| / |A∪B| estimated
+        on the common sample (both ratios under min-theta, so the
+        thinning rate cancels). sd ≈ sqrt(J(1-J)/n_union_retained)."""
+        a, b = self.common_sample(other)
         n_union = len(np.union1d(a, b))
         if n_union == 0:
             return 0.0
         return len(np.intersect1d(a, b)) / n_union
+
+    def containment(self, other: "ThetaSketch") -> float:
+        """|A∩B| / |A| on the common sample (thinning rate cancels):
+        1.0 means every key of self exists in other (FK integrity)."""
+        a, b = self.common_sample(other)
+        if len(a) == 0:
+            return 0.0
+        return len(np.intersect1d(a, b)) / len(a)
 
     def estimate_sd(self) -> float:
         """Standard deviation of ``estimate()`` from binomial thinning:
@@ -189,6 +211,12 @@ class ThetaSketch:
         version, off = read_header(data, _MAGIC, "theta")
         k, num_values, theta_stored, n_ret = struct.unpack_from("<iqQi", data, off)
         off += struct.calcsize("<iqQi")
+        if n_ret < 0 or off + 8 * n_ret > len(data):
+            # a lying length must not swallow trailing (forward-compat)
+            # bytes into the retained set or read past the buffer
+            raise ValueError(
+                f"corrupt theta sketch: claims {n_ret} retained hashes "
+                f"but {len(data) - off} payload bytes remain")
         sk = cls(k=k)
         sk.encoding_version = version  # trailing bytes ignored (forward compat)
         sk.num_values = num_values
