@@ -757,3 +757,15 @@ def test_mutation_fuzz_hll_proto():
             got.serialize()
         except (ValueError, OverflowError):
             continue  # IndexError would be a dirty parse -> must not leak
+
+
+def test_theta_containment_direct():
+    """containment(A,B) = |A∩B|/|A| on the common sample: FK-shaped
+    planting gives exactly 1.0 one way and the subset ratio the other."""
+    sub = _theta_of([f"k{i}" for i in range(40_000)], k=4096)
+    sup = _theta_of([f"k{i}" for i in range(100_000)], k=4096)
+    assert sub.containment(sup) == 1.0            # every sub-key ∈ sup
+    c = sup.containment(sub)
+    assert abs(c - 0.4) <= 4 * (0.4 * 0.6 / 4096) ** 0.5 + 0.01
+    empty = _theta_of([], k=4096)
+    assert empty.containment(sup) == 0.0
