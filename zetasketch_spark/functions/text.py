@@ -29,7 +29,9 @@ def tokens(text: str | Column) -> Column:
 def token_count(text: str | Column) -> Column:
     """Whitespace token count (the 'BPE-ish' proxy: ~0.75 tokens/word is a
     constant factor at corpus scale, so relative stats are unchanged)."""
-    return F.size(tokens(text))
+    # LongType, not IntegerType: gate outputs must be int64 on both engines
+    # (DuckDB's pandas path widens everything integral to int64 at best).
+    return F.size(tokens(text)).cast("long")
 
 
 BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]"
@@ -50,14 +52,14 @@ def char_count(text: str | Column) -> Column:
 
 def punct_count(text: str | Column) -> Column:
     c = F.col(text) if isinstance(text, str) else text
-    return F.length(c) - F.length(F.regexp_replace(c, PUNCT_CLASS, ""))
+    return (F.length(c) - F.length(F.regexp_replace(c, PUNCT_CLASS, ""))).cast("long")
 
 
 def stopword_hits(text_col: str, lang: str = "en") -> Column:
     """Count of tokens that are stopwords of ``lang`` (needs a plain column
     name — the lambda runs inside ``F.expr``)."""
     in_list = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
-    return F.expr(f"size(filter(split({text_col}, ' '), w -> w in ({in_list})))")
+    return F.expr(f"size(filter(split({text_col}, ' '), w -> w in ({in_list})))").cast("long")
 
 
 def quality_score(text_col: str) -> Column:

@@ -42,7 +42,7 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", F.round("cosine", 4).alias("cosine"))
     )
@@ -163,7 +163,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", F.round("cosine", 4).alias("cosine"))
     )
@@ -273,7 +273,7 @@ def ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", F.round("cosine", 4).alias("cosine"))
     )

@@ -55,7 +55,7 @@ def topk_exact_rerank(df: DataFrame, col: str, k: int = 10,
     if not rows:  # empty input: empty (provably complete) report
         spark = df.sparkSession
         empty = spark.createDataFrame(
-            [], "key string, exact_count bigint, rank int, provably_complete boolean")
+            [], "key string, exact_count bigint, rank bigint, provably_complete boolean")
         return (empty, 0) if with_total else empty
     cm = fam.deserialize(bytes(rows[0]["sketch"]))
     candidates = list(cm.candidates.keys())
@@ -69,7 +69,7 @@ def topk_exact_rerank(df: DataFrame, col: str, k: int = 10,
     )
     w = Window.orderBy(F.col("exact_count").desc(), F.col("key"))
     topk = (
-        exact.withColumn("rank", F.row_number().over(w))
+        exact.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
     # completeness certificate: every non-candidate key's true count is
