@@ -42,6 +42,26 @@ HEADLINE = [
 ]
 
 
+def _box_is_solo() -> bool:
+    """True when no OTHER Spark/JVM process is running on this box."""
+    me = os.getpid()
+    others = []
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit() or int(pid) == me:
+            continue
+        try:
+            with open(f"/proc/{pid}/cmdline", "rb") as fh:
+                cmd = fh.read().decode("utf-8", "replace").replace("\0", " ")
+        except OSError:
+            continue
+        if "org.apache.spark" in cmd or "pyspark" in cmd:
+            others.append((pid, cmd[:120]))
+    if others:
+        print(f"# WARNING: {len(others)} concurrent Spark process(es) "
+              f"detected — timings are contended, solo=false", file=sys.stderr)
+    return not others
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -51,6 +71,12 @@ def main():
 
     import __spark_entry__ as entrymod
     from zetasketch_spark.session import get_spark
+
+    # contention check BEFORE our own JVM starts: concurrent Spark jobs on
+    # this box inflate UDAF-fabric rows 1.5-2x and false-fire the
+    # regression detector (BENCH/BASELINE.md noise notes). The bench still
+    # runs, but the JSON carries solo=false so readers can discount it.
+    solo = _box_is_solo()
 
     spark = get_spark(app="zetasketch-bench", cpus=cpus, shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
@@ -164,9 +190,6 @@ def main():
     for name, frame, col, fam in [
         ("transcripts_cm_tools", tdf, "tool",
          CountMinFamily(width=4096, depth=5, max_candidates=256)),
-        ("transcripts_len_quantiles",
-         tdf.withColumn("turn_len", F.length("text").cast("double")),
-         "turn_len", KllFamily(k=200, quantiles=(0.5, 0.9, 0.99))),
     ]:
         best = None
         for _ in range(N_HEADLINE_TRIALS):
@@ -175,6 +198,18 @@ def main():
             el = time.time() - t0
             best = el if best is None else min(best, el)
         extra_timings[name] = round(best, 3)
+
+    # turn-length KLL over the RDD fast fabric with a derived value
+    # (("length", "text")): the pandas-UDAF fabric paid the JVM->Python
+    # Arrow boundary constant on this query (round-3 perf-weak finding)
+    best = None
+    for _ in range(N_HEADLINE_TRIALS):
+        t0 = time.time()
+        sketch_agg_rdd(spark, tdir, ["role"], ("length", "text"),
+                       KllFamily(k=200, quantiles=(0.5, 0.9, 0.99))).count()
+        el = time.time() - t0
+        best = el if best is None else min(best, el)
+    extra_timings["transcripts_len_quantiles"] = round(best, 3)
 
     # theta over the RDD fast fabric: set-op-capable distinct at the
     # flagship throughput path (same scan shape as transcripts_hll_role_day)
@@ -234,7 +269,9 @@ def main():
                 parsed = rec.get("parsed")
                 base = rec.get("queries") \
                     or (parsed.get("queries", {}) if isinstance(parsed, dict) else {})
-            for name, t in timings.items():
+            # contended boxes produce 1.5-2x inflation on every row — only
+            # flag regressions from clean (solo) runs
+            for name, t in (timings.items() if solo else ()):
                 b = base.get(name)
                 if b and b > 0.2 and t > 1.5 * b:
                     regressions[name] = {"baseline": b, "now": t}
@@ -252,6 +289,7 @@ def main():
         "cpus": cpus,
         "baseline_round": prior[-1] if prior else None,
         "regressions": regressions,
+        "solo": solo,
         "sf1_queries": sf1_timings,
         "sf1_total": round(sum(sf1_timings.values()), 3),
         "extra_queries": extra_timings,

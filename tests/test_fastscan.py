@@ -133,3 +133,43 @@ def test_rdd_fabric_family_generic_theta_and_countmin(spark, transcripts_path):
     df_c = {r["role"]: tuple(r[n] for n, _ in cm.result_fields) for r in
             sketch_agg(df, ["role"], "tool", cm).collect()}
     assert rdd_c == df_c
+
+
+def test_rdd_fabric_derived_value_kll(spark, transcripts_path):
+    """KLL over a derived value (("length", "text")) on the RDD fast
+    fabric: exact n per group, quantile estimates within the k=200 rank
+    envelope of the true ranks, and the derived value itself must match
+    Spark's length() semantics exactly (same min/max)."""
+    import numpy as np
+
+    from zetasketch_spark.operators.fastscan import sketch_agg_rdd
+    from zetasketch_spark.sketches.kll import KllFamily
+    from zetasketch_spark.sources.transcripts import load_transcripts
+
+    fam = KllFamily(k=200, quantiles=(0.5, 0.9))
+    out = {r["role"]: r for r in
+           sketch_agg_rdd(spark, transcripts_path, ["role"],
+                          ("length", "text"), fam).collect()}
+
+    df = load_transcripts(spark, transcripts_path)
+    pdf = df.select("role",
+                    F.length("text").cast("double").alias("v")).toPandas()
+    assert set(out) == set(pdf["role"].unique())
+    for role, g in pdf.groupby("role"):
+        vals = np.sort(g["v"].to_numpy())
+        n = len(vals)
+        assert out[role]["n"] == n
+        for qname, q in (("q50", 0.5), ("q90", 0.9)):
+            est = out[role][qname]
+            # rank of the estimate among the true values
+            lo = np.searchsorted(vals, est, side="left") / n
+            hi = np.searchsorted(vals, est, side="right") / n
+            assert lo - 0.03 <= q <= hi + 0.03, (role, qname, est, lo, hi)
+
+
+def test_fastscan_derived_value_sources_pruned(transcripts_path):
+    """Split planning for a derived value reads only the source column."""
+    from zetasketch_spark.operators.fastscan import _value_source
+
+    assert _value_source(("length", "text")) == "text"
+    assert _value_source("conv_id") == "conv_id"

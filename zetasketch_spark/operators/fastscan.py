@@ -24,6 +24,9 @@ Scope and honesty:
 
 Derived keys: a small expression language (("to_date", col)) covers the
 day-bucket case so `(role, days(ts))` grouping needs no JVM round trip.
+Derived values: the sketched column itself can be an expression —
+``col=("length", "text")`` sketches the per-row string length (the KLL
+turn-length case) without materializing it through the JVM first.
 """
 
 from __future__ import annotations
@@ -124,6 +127,36 @@ def _derive_key_arrays(tbl, keys, derived: dict, part_values: dict | None = None
     return out
 
 
+def _value_source(col) -> str:
+    """The parquet column a (possibly derived) value expression reads."""
+    return col[1] if isinstance(col, tuple) else col
+
+
+def _derive_value_array(tbl, col):
+    """The sketched value as a single pyarrow Array. ``col`` is a plain
+    column name or ``(op, source_col)`` with op in {"length",
+    "cast_double"} — "length" matches Spark's ``length()`` (code points,
+    cast to double for the quantile families)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, tuple):
+        op, src = col
+        if op == "length":
+            val = pc.cast(pc.utf8_length(tbl[src]), pa.float64())
+        elif op == "cast_double":
+            val = pc.cast(tbl[src], pa.float64())
+        else:
+            raise ValueError(f"unknown derived-value op {op!r}")
+    else:
+        val = tbl[col]
+    if isinstance(val, pa.ChunkedArray):
+        val = val.combine_chunks()
+    if isinstance(val, pa.ChunkedArray):  # combine_chunks may keep the type
+        val = val.chunk(0) if val.num_chunks else pa.array([], type=val.type)
+    return val
+
+
 def sketch_partial_fastscan(
     spark: SparkSession,
     path: str,
@@ -143,7 +176,8 @@ def sketch_partial_fastscan(
 
     derived = derived_keys or {}
     splits = plan_splits(path, target_split_bytes)
-    read_cols = sorted({col, *[k for k in keys if k not in derived],
+    read_cols = sorted({_value_source(col),
+                        *[k for k in keys if k not in derived],
                         *[src for (_, src) in derived.values()]})
 
     # output schema: derive plain key types from the parquet schema
@@ -186,10 +220,7 @@ def sketch_partial_fastscan(
             pf = pq.ParquetFile(f)
             tbl = pf.read_row_groups(rgs, columns=read_cols, use_threads=False)
             tbl = tbl.combine_chunks()
-            val = tbl[col].combine_chunks()
-            if isinstance(val, pa.ChunkedArray):
-                val = val.chunk(0) if val.num_chunks else pa.array([], type=val.type)
-            prepared = family.prepare_arrow(val)
+            prepared = family.prepare_arrow(_derive_value_array(tbl, col))
             acc: dict = {}
             rows: dict = {}
             if keys_t:
@@ -253,8 +284,9 @@ def sketch_agg_rdd(spark, path, keys, col, family,
     splits = plan_splits(path, target_split_bytes, partition_filter)
     part_cols = set(partition_values(splits[0][0], path)) if splits else set()
     part_keys = {k for k in keys if k in part_cols and k not in derived}
-    read_cols = sorted({col, *[k for k in keys
-                               if k not in derived and k not in part_keys],
+    read_cols = sorted({_value_source(col),
+                        *[k for k in keys
+                          if k not in derived and k not in part_keys],
                         *[src for (_, src) in derived.values()]})
     sc = spark.sparkContext
     # several splits per task: one accumulated state per (task, key) crosses
@@ -277,10 +309,7 @@ def sketch_agg_rdd(spark, path, keys, col, family,
             pf = pq.ParquetFile(f)
             tbl = pf.read_row_groups(rgs, columns=read_cols, use_threads=False)
             tbl = tbl.combine_chunks()
-            val = tbl[col].combine_chunks()
-            if isinstance(val, pa.ChunkedArray):
-                val = val.chunk(0) if val.num_chunks else pa.array([], type=val.type)
-            prepared = family.prepare_arrow(val)
+            prepared = family.prepare_arrow(_derive_value_array(tbl, col))
             if keys_t:
                 karrs = _derive_key_arrays(tbl, keys_t, derived, pv)
                 kpdf = pa.table(karrs).to_pandas()
