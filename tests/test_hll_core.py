@@ -671,3 +671,111 @@ def test_deserialize_rejects_wire_type_confusion_and_lying_lengths():
     data[j] = 0x28  # wire type 0
     with pytest.raises(ValueError):
         HllSketch.deserialize(bytes(data))
+
+
+def _encode_varint_field(field: int, value: int) -> bytes:
+    from zetasketch_spark.hll import _put_varint
+
+    out = bytearray()
+    _put_varint(out, (field << 3) | 0)
+    _put_varint(out, value)
+    return bytes(out)
+
+
+def _encode_bytes_field(field: int, payload: bytes) -> bytes:
+    from zetasketch_spark.hll import _put_varint
+
+    out = bytearray()
+    _put_varint(out, (field << 3) | 2)
+    _put_varint(out, len(payload))
+    out.extend(payload)
+    return bytes(out)
+
+
+def test_state_parse_type_defaults_to_hll():
+    """`StateTest.java:86-92` parseType: a proto with the required type
+    field missing still parses as HYPERLOGLOG_PLUS_UNIQUE."""
+    from zetasketch_spark.hll import ENCODING_VERSION, HllSketch
+
+    hll = _encode_varint_field(3, 10)  # precision only
+    blob = (_encode_varint_field(2, 7)  # no type field
+            + _encode_varint_field(3, ENCODING_VERSION)
+            + _encode_bytes_field(112, hll))
+    sk = HllSketch.deserialize(blob)
+    assert sk.num_values == 7 and sk.p == 10
+
+
+def test_state_parse_num_values_extremes():
+    """`StateTest.java:102-121` parseNumValues: 0, 42, Long.MIN_VALUE and
+    Long.MAX_VALUE all round-trip through the varint wire form (negative
+    int64 = 10-byte two's-complement varint)."""
+    from zetasketch_spark.hll import ENCODING_VERSION, HllSketch
+
+    hll = _encode_varint_field(3, 10)
+    for v in (0, 42, -(1 << 63), (1 << 63) - 1):
+        blob = (_encode_varint_field(2, v)
+                + _encode_varint_field(3, ENCODING_VERSION)
+                + _encode_bytes_field(112, hll))
+        assert HllSketch.deserialize(blob).num_values == v
+
+
+def test_state_parse_encoding_version_default_and_extremes():
+    """`StateTest.java:123-143` parseEncodingVersion: proto default is 1
+    (which this engine rejects — it speaks v2 only), and int32 extremes
+    decode to their signed values before validation."""
+    import pytest
+
+    from zetasketch_spark.hll import HllSketch, wire_int32
+
+    with pytest.raises(ValueError, match="encoding version"):
+        HllSketch.deserialize(_encode_varint_field(2, 1))  # default 1
+    for v in (0, 42, -(1 << 31), (1 << 31) - 1):
+        assert wire_int32(v & 0xFFFFFFFF) == v
+        with pytest.raises(ValueError, match="encoding version"):
+            HllSketch.deserialize(_encode_varint_field(3, v))
+
+
+def test_state_parse_field_extremes_raw_layer():
+    """`StateTest.java:176-237` parseSparseSize/parsePrecision/
+    parseSparsePrecision: the raw parse layer (the analog of State.parse)
+    surfaces int32 extremes losslessly; validation lives above it, as in
+    the reference (State stores, fromProto validates)."""
+    from zetasketch_spark.hll import _parse_proto, wire_int32
+
+    for field in (2, 3, 4):  # sparse_size, precision, sparse_precision
+        for v in (0, 42, -(1 << 31), (1 << 31) - 1):
+            blob = _encode_varint_field(field, v)
+            assert wire_int32(_parse_proto(blob)[field]) == v
+
+
+def test_state_parse_data_empty_vs_missing():
+    """`StateTest.java:239-331` parseData/parseSparseData: a missing
+    bytes field is None, an empty one is b'' (hasData false for both —
+    `StateTest.java:52-84`), and payload bytes survive exactly."""
+    from zetasketch_spark.hll import _parse_proto
+
+    assert _parse_proto(b"").get(5) is None
+    assert _parse_proto(_encode_bytes_field(5, b""))[5] == b""
+    assert _parse_proto(_encode_bytes_field(5, b"\x01\x02\x03"))[5] == b"\x01\x02\x03"
+    assert _parse_proto(_encode_bytes_field(6, b"\x01\x02\x03"))[6] == b"\x01\x02\x03"
+
+
+def test_unique_stats_proto_roundtrip():
+    """`unique-stats.proto:25-31`: estimated_cardinality (int64) +
+    expected_error (double, 1.04/sqrt(2^p)) — emitted from a sketch and
+    parsed back field-exactly."""
+    import math
+    import struct
+
+    from zetasketch_spark.hll import HllSketch, parse_unique_stats
+
+    sk = HllSketch(precision=14)
+    sk.add_longs(range(1000))
+    blob = sk.unique_stats_proto()
+    card, err = parse_unique_stats(blob)
+    assert card == sk.estimate()
+    assert err == 1.04 / math.sqrt(1 << 14)
+    # wire layout: field 1 varint, field 2 fixed64 little-endian double
+    assert blob[0] == (1 << 3) | 0
+    f2 = blob.index(bytes([(2 << 3) | 1]))
+    assert struct.unpack("<d", blob[f2 + 1:f2 + 9])[0] == err

@@ -1221,3 +1221,48 @@ def test_stratified_bottomk_sample(spark):
     again = sorted((r["grp"], r["doc_id"]) for r in
                    stratified_bottomk_sample(df.repartition(17), 50, "grp").collect())
     assert base == again
+
+
+def test_avi_mjpeg_roundtrip_and_decoder_registry():
+    """MJPEG-in-AVI: real compressed-video frames through the in-repo
+    JPEG codec; unknown fourccs route to the plugin seam."""
+    import numpy as np
+    import pytest
+
+    from zetasketch_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(7)
+    # smooth gradient frames so JPEG loss stays small
+    base = np.linspace(0, 255, 16 * 16 * 3).reshape(16, 16, 3)
+    frames = np.stack([np.clip(base + 10 * k, 0, 255) for k in range(3)]
+                      ).astype(np.uint8)
+    avi = mm.encode_avi(frames, fps=5, codec="mjpg", quality=95)
+    assert b"MJPG" in avi and b"00dc" in avi
+    dec, fps = mm.decode_video(avi)
+    assert fps == 5.0 and dec.shape == (3, 16, 16, 3)
+    # lossy but close: JPEG q95 on a smooth gradient
+    assert float(np.abs(dec - frames.astype(np.float64)).mean()) < 6.0
+
+    # sample_frames rides the same decode path
+    got = mm.sample_frames(avi, duration_ms=600, every_ms=200,
+                           deterministic_fake=False)
+    assert len(got) >= 1 and got[0].shape == (16, 16, 3)
+
+    # unknown codec -> honest NotImplementedError naming the seam ...
+    bad = avi.replace(b"MJPG", b"H264")
+    with pytest.raises(NotImplementedError, match="H264"):
+        mm.decode_video(bad)
+
+    # ... and a registered plugin decoder is picked up by fourcc
+    calls = []
+
+    def fake_h264(fb, w, h):
+        calls.append(len(fb))
+        return np.zeros((h, w, 3), dtype=np.float64)
+
+    mm.register_video_decoder("H264", fake_h264)
+    try:
+        dec2, _ = mm.decode_video(bad)
+        assert dec2.shape == (3, 16, 16, 3) and len(calls) == 3
+    finally:
+        del mm.VIDEO_FRAME_DECODERS["H264"]

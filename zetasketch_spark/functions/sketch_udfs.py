@@ -146,6 +146,27 @@ def _num_values_udf():
     return _num_values
 
 
+def _unique_stats_udf():
+    @pandas_udf("binary")
+    def _unique_stats(states: pd.Series) -> pd.Series:
+        from zetasketch_spark.hll import HllSketch
+
+        return pd.Series([
+            HllSketch.deserialize(bytes(b)).unique_stats_proto()
+            if b is not None else None
+            for b in states
+        ])
+
+    return _unique_stats
+
+
+def hll_unique_stats(col) -> "Column":
+    """Serialized ``UniqueStatsProto`` (unique-stats.proto:25-31) for a
+    serialized HLL state column — the stats-consumer wire surface
+    (estimated cardinality + published expected error)."""
+    return _unique_stats_udf()(F.col(col) if isinstance(col, str) else col)
+
+
 def hll_num_values(col):
     """Scalar: total values absorbed (`Aggregator.numValues`)."""
     return _num_values_udf()(F.col(col) if isinstance(col, str) else col)
@@ -329,6 +350,7 @@ def register_sql(spark) -> None:
 
     spark.udf.register("hll_estimate", _estimate_udf())
     spark.udf.register("hll_num_values", _num_values_udf())
+    spark.udf.register("hll_unique_stats", _unique_stats_udf())
     spark.udf.register("hll_merge_agg", _merge_agg_udf(HllSketch.deserialize))
     spark.udf.register("kll_merge_agg", _merge_agg_udf(KllSketch.deserialize))
     spark.udf.register("tdigest_merge_agg", _merge_agg_udf(TDigest.deserialize))

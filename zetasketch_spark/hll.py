@@ -744,10 +744,12 @@ class HllSketch:
             # truncated varint / tag mid-read: surface the same clean
             # error contract as every other family's wire parser
             raise ValueError("truncated or corrupt AggregatorStateProto") from None
+        # missing required `type` defaults to HLL++ (StateTest.java:86-92)
         agg_type = _int(fields, 1, AGGREGATOR_TYPE_HLL)
         if agg_type != AGGREGATOR_TYPE_HLL:
             raise ValueError(f"Expected proto of type HYPERLOGLOG_PLUS_UNIQUE but was {agg_type}")
-        encoding_version = _int(fields, 3, 1)
+        # proto descriptor default is 1 (StateTest.java:123-129); int32 wire wrap
+        encoding_version = wire_int32(_int(fields, 3, 1))
         if encoding_version != ENCODING_VERSION:
             raise ValueError(f"Expected encoding version to be 2 but was {encoding_version}")
         p = _int(hll, 3, 0)
@@ -776,11 +778,42 @@ class HllSketch:
             sk = cls(precision=p, sparse_precision=sp, value_type=_int(fields, 4, 0))
             if sparse_bytes:
                 sk.sparse_values = delta_varint_decode(sparse_bytes)
-        sk.num_values = _int(fields, 2, 0)
+        sk.num_values = wire_int64(_int(fields, 2, 0))
         return sk
+
+    def unique_stats_proto(self) -> bytes:
+        """The reference's ``UniqueStatsProto`` (unique-stats.proto:25-31)
+        for stats consumers: estimated_cardinality (int64, field 1) +
+        expected_error (double, field 2 — the published HLL++ relative
+        error 1.04/sqrt(2^p))."""
+        import math
+        import struct as _struct
+
+        out = bytearray()
+        _put_varint(out, (1 << 3) | 0)
+        _put_varint(out, self.estimate())
+        _put_varint(out, (2 << 3) | 1)  # fixed64: double
+        p = self.p or DEFAULT_NORMAL_PRECISION
+        out.extend(_struct.pack("<d", 1.04 / math.sqrt(1 << p)))
+        return bytes(out)
+
+
+def parse_unique_stats(data: bytes) -> tuple[int, float]:
+    """Decode a ``UniqueStatsProto`` -> (estimated_cardinality,
+    expected_error)."""
+    import struct as _struct
+
+    fields = _parse_proto(data)
+    card = wire_int64(fields.get(1, 0))
+    err_bytes = fields.get(2, _struct.pack("<d", 0.0))
+    return card, _struct.unpack("<d", err_bytes)[0]
 
 
 def _put_varint(out: bytearray, value: int) -> None:
+    # protobuf semantics: negative int32/int64 values go on the wire as the
+    # 10-byte varint of their two's complement (StateTest.java:102-121
+    # round-trips Long.MIN_VALUE through numValues)
+    value &= 0xFFFFFFFFFFFFFFFF
     while True:
         b = value & 0x7F
         value >>= 7
@@ -789,6 +822,18 @@ def _put_varint(out: bytearray, value: int) -> None:
         else:
             out.append(b)
             return
+
+
+def wire_int64(v: int) -> int:
+    """Unsigned varint payload -> proto int64 (two's-complement wrap)."""
+    v &= 0xFFFFFFFFFFFFFFFF
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def wire_int32(v: int) -> int:
+    """Unsigned varint payload -> proto int32 (truncate, then wrap)."""
+    v &= 0xFFFFFFFF
+    return v - (1 << 32) if v >= (1 << 31) else v
 
 
 def _parse_proto(data: bytes) -> dict:
@@ -825,8 +870,14 @@ def _parse_proto(data: bytes) -> dict:
             fields[field] = bytes(buf[i:i + ln])
             i += ln
         elif wire == 5:
+            if n - i < 4:
+                raise ValueError(f"truncated proto: fixed32 field {field}")
+            fields[field] = bytes(buf[i:i + 4])
             i += 4
         elif wire == 1:
+            if n - i < 8:
+                raise ValueError(f"truncated proto: fixed64 field {field}")
+            fields[field] = bytes(buf[i:i + 8])
             i += 8
         else:
             raise ValueError(f"unsupported wire type {wire}")

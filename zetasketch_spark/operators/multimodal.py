@@ -124,47 +124,98 @@ def _riff_list(kind: bytes, body: bytes) -> bytes:
     return _riff_chunk(b"LIST", kind + body)
 
 
-def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
-    """Real uncompressed AVI (RIFF 'AVI ', 'vids'/'DIB ' stream, 24-bit
-    BI_RGB bottom-up BGR frames) from an (n, h, w, 3) uint8 array — the
-    standard raw-video container, readable by any AVI tool. Pure struct +
-    numpy."""
+_MJPG_FOURCC = 0x47504A4D  # 'MJPG' little-endian
+
+
+def encode_avi(frames: np.ndarray, fps: int = 10, codec: str = "rgb24",
+               quality: int = 90) -> bytes:
+    """Real AVI (RIFF 'AVI ', single 'vids' stream) from an (n, h, w, 3)
+    uint8 array — the standard video container, readable by any AVI tool.
+    Pure struct + numpy.
+
+    codec="rgb24": 24-bit BI_RGB bottom-up BGR frames ('00db' chunks).
+    codec="mjpg": Motion-JPEG — every frame is an independent baseline
+    JFIF image from the in-repo codec ('00dc' chunks), the classic
+    compressed-video interchange format."""
     frames = np.ascontiguousarray(frames, dtype=np.uint8)
     n, h, w, _ = frames.shape
-    stride = (w * 3 + 3) & ~3
-    dib = np.zeros((n, h, stride), dtype=np.uint8)
-    dib[:, :, : w * 3] = frames[:, ::-1, :, ::-1].reshape(n, h, w * 3)
-    frame_bytes = h * stride
+    if codec == "rgb24":
+        stride = (w * 3 + 3) & ~3
+        dib = np.zeros((n, h, stride), dtype=np.uint8)
+        dib[:, :, : w * 3] = frames[:, ::-1, :, ::-1].reshape(n, h, w * 3)
+        chunks = [dib[i].tobytes() for i in range(n)]
+        frame_bytes, handler, comp, ctag = h * stride, b"DIB ", 0, b"00db"
+    elif codec == "mjpg":
+        from zetasketch_spark.operators.jpeg import encode_jpeg
+
+        chunks = [encode_jpeg(frames[i], quality=quality) for i in range(n)]
+        frame_bytes = max(len(c) for c in chunks)
+        handler, comp, ctag = b"MJPG", _MJPG_FOURCC, b"00dc"
+    else:
+        raise ValueError(f"unknown AVI codec {codec!r}")
     avih = struct.pack("<IIIIIIIIIIIIII",
                        1_000_000 // fps, frame_bytes * fps, 0, 0x10, n, 0,
                        1, frame_bytes, w, h, 0, 0, 0, 0)
     strh = struct.pack("<4s4sIHHIIIIIIIIhhhh",
-                       b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, n,
+                       b"vids", handler, 0, 0, 0, 0, 1, fps, 0, n,
                        frame_bytes, 0xFFFFFFFF & -1, 0, 0, 0, w, h)
-    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes,
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, comp, frame_bytes,
                        2835, 2835, 0, 0)
     hdrl = _riff_list(b"hdrl",
                       _riff_chunk(b"avih", avih)
                       + _riff_list(b"strl", _riff_chunk(b"strh", strh)
                                    + _riff_chunk(b"strf", strf)))
     movi = _riff_list(b"movi", b"".join(
-        _riff_chunk(b"00db", dib[i].tobytes()) for i in range(n)))
+        _riff_chunk(ctag, c) for c in chunks))
     return _riff_chunk(b"RIFF", b"AVI " + hdrl + movi)
 
 
+def _decode_frame_rgb24(fb: bytes, w: int, h: int) -> np.ndarray:
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(fb, np.uint8, count=h * stride).reshape(h, stride)
+    return rows[::-1, : w * 3].reshape(h, w, 3)[:, :, ::-1].astype(np.float64)
+
+
+def _decode_frame_mjpg(fb: bytes, w: int, h: int) -> np.ndarray:
+    from zetasketch_spark.operators.jpeg import decode_jpeg
+
+    return decode_jpeg(fb)
+
+
+#: The compressed-video plugin seam. Keyed by the strf biCompression
+#: fourcc (0 = BI_RGB is "rgb24"); each entry decodes ONE frame chunk to
+#: (h, w, 3) float64 RGB. BI_RGB and MJPG ship built-in; an H.264/VP9/
+#: MP4 pipeline registers its decoder here (register_video_decoder) and
+#: decode_video/sample_frames pick it up by fourcc — no entropy-decode
+#: pretense in-repo (cf. the honest MP4 stub in probe_mp4/decode_image).
+VIDEO_FRAME_DECODERS: dict[str, object] = {
+    "rgb24": _decode_frame_rgb24,
+    "MJPG": _decode_frame_mjpg,
+}
+
+
+def register_video_decoder(fourcc: str, fn) -> None:
+    """Plug in a per-frame decoder for an AVI codec fourcc (e.g. a real
+    'H264' implementation): ``fn(frame_bytes, w, h) -> (h, w, 3)`` float64
+    RGB."""
+    VIDEO_FRAME_DECODERS[fourcc] = fn
+
+
 def decode_video(payload: bytes) -> tuple[np.ndarray, float]:
-    """Decode an uncompressed 24-bit AVI payload to ``((n, h, w, 3)
-    float64 RGB frames, fps)``. Walks the RIFF tree for avih (dims,
-    frame interval) and the movi '00db'/'00dc' chunks."""
+    """Decode an AVI payload to ``((n, h, w, 3) float64 RGB frames,
+    fps)``. Walks the RIFF tree for avih (dims, frame interval), the
+    video strf (codec fourcc) and the movi '00db'/'00dc' chunks, then
+    dispatches per-frame decode through VIDEO_FRAME_DECODERS."""
     payload = bytes(payload)
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise NotImplementedError("only RIFF/AVI video decode is supported")
     us_per_frame = w = h = None
     stream_type = None  # fccType of the most recent strh (vids/auds/...)
+    bpp = comp = None
     raw_frames: list[bytes] = []
 
     def walk(pos: int, end: int) -> None:
-        nonlocal us_per_frame, w, h, stream_type
+        nonlocal us_per_frame, w, h, stream_type, bpp, comp
         while pos + 8 <= end:
             tag = payload[pos : pos + 4]
             size, = struct.unpack_from("<I", payload, pos + 4)
@@ -181,9 +232,6 @@ def decode_video(payload: bytes) -> tuple[np.ndarray, float]:
                 # audio strf is WAVEFORMATEX — offset 14 is bits/sample)
                 bpp, = struct.unpack_from("<H", payload, body + 14)
                 comp, = struct.unpack_from("<I", payload, body + 16)
-                if bpp != 24 or comp != 0:
-                    raise NotImplementedError(
-                        f"AVI codec unsupported (bpp={bpp}, comp={comp})")
             elif tag[2:] in (b"db", b"dc") and size:
                 raw_frames.append(payload[body : body + size])
             pos = body + size + (size & 1)
@@ -191,11 +239,21 @@ def decode_video(payload: bytes) -> tuple[np.ndarray, float]:
     walk(12, len(payload))
     if not (us_per_frame and w and h and raw_frames):
         raise ValueError("AVI missing avih/movi data")
-    stride = (w * 3 + 3) & ~3
+    if comp in (0, None):
+        codec = "rgb24"
+        if bpp not in (24, None):
+            raise NotImplementedError(f"AVI BI_RGB bpp={bpp} unsupported")
+    else:
+        codec = struct.pack("<I", comp).decode("ascii", "replace")
+    dec = VIDEO_FRAME_DECODERS.get(codec)
+    if dec is None:
+        raise NotImplementedError(
+            f"AVI codec {codec!r} has no registered decoder "
+            f"(register_video_decoder; built-in: "
+            f"{sorted(VIDEO_FRAME_DECODERS)})")
     out = np.empty((len(raw_frames), h, w, 3), dtype=np.float64)
     for i, fb in enumerate(raw_frames):
-        rows = np.frombuffer(fb, np.uint8, count=h * stride).reshape(h, stride)
-        out[i] = rows[::-1, : w * 3].reshape(h, w, 3)[:, :, ::-1]
+        out[i] = dec(fb, w, h)
     return out, 1_000_000.0 / us_per_frame
 
 
@@ -516,11 +574,13 @@ def synthesize_media(spark, n: int = 256, seed: int = 42) -> DataFrame:
             t = np.arange(int(16000 * dur / 1000)) / 16000.0
             payload = encode_wav(0.5 * np.sin(2 * np.pi * rng.integers(80, 2000) * t))
             mime, h, w = "audio/wav", 0, 0
-        elif (i // 3) % 2 == 0:  # real uncompressed AVI video
+        elif (i // 3) % 3 < 2:  # real AVI video: raw BI_RGB or Motion-JPEG
             nf, fps = int(rng.integers(2, 6)), 10
             h, w = int(rng.integers(4, 16)), int(rng.integers(4, 16))
+            codec = ("rgb24", "mjpg")[(i // 3) % 3]
             payload = encode_avi(
-                rng.integers(0, 256, size=(nf, h, w, 3), dtype=np.uint8), fps)
+                rng.integers(0, 256, size=(nf, h, w, 3), dtype=np.uint8),
+                fps, codec=codec)
             mime, dur = "video/x-msvideo", nf * 1000 // fps
         else:  # opaque compressed container (decoder honestly absent)
             size = int(rng.integers(256, 4096))
