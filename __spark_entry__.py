@@ -143,19 +143,6 @@ def q_order_priority(spark, sf_dir):
     )
 
 
-def q_docs_token_stats(spark, sf_dir):
-    from zetasketch_spark.functions.text import char_count, token_count
-
-    d = _t(spark, sf_dir, "documents")
-    return (
-        d.withColumn("n_tokens", token_count("text"))
-        .withColumn("n_chr", char_count("text"))
-        .groupBy("lang")
-        .agg(F.count("*").alias("n_docs"),
-             F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
-             F.round(F.avg("n_chr"), 4).alias("avg_chars"))
-    )
-
 
 def q_docs_fingerprints(spark, sf_dir):
     """Exact-dedup fingerprint counts per source (md5 both engines)."""
@@ -169,18 +156,6 @@ def q_docs_fingerprints(spark, sf_dir):
              F.countDistinct("fp").alias("n_distinct_fp"))
     )
 
-
-def q_docs_normalized_dedup(spark, sf_dir):
-    """Near-dup via canonical normalization: distinct normalized texts."""
-    from zetasketch_spark.functions.text import normalized_text
-
-    d = _t(spark, sf_dir, "documents")
-    return (
-        d.withColumn("norm", normalized_text("text"))
-        .groupBy("lang")
-        .agg(F.count("*").alias("n_docs"),
-             F.countDistinct("norm").alias("n_distinct_norm"))
-    )
 
 
 def q_docs_quality(spark, sf_dir):
@@ -233,15 +208,6 @@ def q_docs_lang_id(spark, sf_dir):
         .agg(F.count("*").alias("n_docs"))
     )
 
-
-def q_events_quantiles(spark, sf_dir):
-    """Exact percentiles (interpolated) — the baseline KLL/t-digest chase."""
-    e = _t(spark, sf_dir, "events")
-    return (
-        e.groupBy("event_type")
-        .agg(F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
-             F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"))
-    )
 
 
 def q_embedding_norms(spark, sf_dir):
@@ -581,23 +547,6 @@ def q_docs_top_tokens(spark, sf_dir):
     return topk_exact_rerank(tokens, "token", k=20)
 
 
-def q_docs_hash_sample(spark, sf_dir):
-    """Deterministic hash-based sampling (stable train/val splits): bucket
-    = first 8 md5 hex chars of doc_id mod 100; keep bucket < 10. md5 is
-    identical across engines, so the sample membership is exactly
-    verifiable."""
-    d = _t(spark, sf_dir, "documents")
-    bucket = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
-                     16, 10).cast("long") % 100)
-    return (
-        d.withColumn("bucket", bucket)
-        .filter(F.col("bucket") < 10)
-        .groupBy("lang")
-        .agg(F.count("*").alias("n_sampled"),
-             F.min("doc_id").alias("min_doc_id"),
-             F.max("doc_id").alias("max_doc_id"))
-    )
-
 
 def q_docs_uniform_sample(spark, sf_dir):
     """EXACT-k deterministic uniform sample (operators/sampling.py::
@@ -745,6 +694,12 @@ def q_media_features(spark, sf_dir):
     }]))
 
 
+#: per-source keep fractions for the weighted-mixture sampler; the
+#: DuckDB twin is the literal formula (substr(source, 4) % 4 + 1) / 4.0
+#: in the docs_sampling_report oracle
+MIXTURE_WEIGHTS = {f"src{i}": (i % 4 + 1) / 4.0 for i in range(20)}
+
+
 def q_docs_weighted_sample(spark, sf_dir):
     """Deterministic mixture sampling: per-source keep fractions decided
     by an md5-derived uniform of doc_id — the same rows are kept in any
@@ -753,8 +708,7 @@ def q_docs_weighted_sample(spark, sf_dir):
     from zetasketch_spark.operators.sampling import weighted_sample
 
     d = _t(spark, sf_dir, "documents")
-    weights = {f"src{i}": (i % 4 + 1) / 4.0 for i in range(20)}
-    kept = weighted_sample(d, weights, group_col="source", id_col="doc_id")
+    kept = weighted_sample(d, MIXTURE_WEIGHTS, group_col="source", id_col="doc_id")
     return (
         kept.groupBy("source")
         .agg(F.count("*").alias("n_kept"),
@@ -1219,8 +1173,11 @@ def q_ann_ivf_topk_pure(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # merged gate queries (round 4): the driver's correctness gate evaluates at
 # most ~50 registry entries, so near-twin queries are folded into single
-# multi-arm reports. The original single-purpose functions above are kept —
-# tests and bench.py still exercise them individually.
+# multi-arm reports. Originals still referenced elsewhere are kept
+# (q_events_summary, q_docs_quality, q_docs_fingerprints and the three
+# samplers feed bench.py rows / tests; q_kll/q_tdigest feed
+# q_quantile_sketches); the fully-orphaned ones were deleted with their
+# oracles.
 # ---------------------------------------------------------------------------
 
 def q_events_overview(spark, sf_dir):
@@ -1324,14 +1281,13 @@ def q_docs_sampling_report(spark, sf_dir):
 
     bucket = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
                      16, 10).cast("long") % 100)
-    weights = {f"src{i}": (i % 4 + 1) / 4.0 for i in range(20)}
     arms = [
         summarize(d.withColumn("bucket", bucket)
                   .filter(F.col("bucket") < 10), "hash_bucket"),
         summarize(bottomk_sample(d, k=200, id_col="doc_id"), "bottomk"),
         summarize(stratified_bottomk_sample(d, k=30, group_col="lang"),
                   "stratified"),
-        summarize(weighted_sample(d, weights, group_col="source",
+        summarize(weighted_sample(d, MIXTURE_WEIGHTS, group_col="source",
                                   id_col="doc_id"), "weighted"),
     ]
     out = arms[0]

@@ -42,8 +42,30 @@ HEADLINE = [
 ]
 
 
+def _ppid(pid: int) -> int:
+    try:
+        with open(f"/proc/{pid}/stat") as fh:
+            # field 4 (after the parenthesized comm, which may hold spaces)
+            return int(fh.read().rpartition(")")[2].split()[1])
+    except (OSError, ValueError, IndexError):
+        return 0
+
+
+def _is_descendant(pid: int, ancestor: int) -> bool:
+    for _ in range(64):
+        if pid in (0, 1):
+            return False
+        if pid == ancestor:
+            return True
+        pid = _ppid(pid)
+    return False
+
+
 def _box_is_solo() -> bool:
-    """True when no OTHER Spark/JVM process is running on this box."""
+    """True when no FOREIGN Spark/JVM process is running on this box.
+    Our own session JVM (and its python workers) are descendants of this
+    process and don't count — this must hold for the end-of-run re-check,
+    which runs while our session is still up."""
     me = os.getpid()
     others = []
     for pid in os.listdir("/proc"):
@@ -54,7 +76,8 @@ def _box_is_solo() -> bool:
                 cmd = fh.read().decode("utf-8", "replace").replace("\0", " ")
         except OSError:
             continue
-        if "org.apache.spark" in cmd or "pyspark" in cmd:
+        if ("org.apache.spark" in cmd or "pyspark" in cmd) \
+                and not _is_descendant(int(pid), me):
             others.append((pid, cmd[:120]))
     if others:
         print(f"# WARNING: {len(others)} concurrent Spark process(es) "
@@ -251,6 +274,10 @@ def main():
     # reported separately so round-over-round totals stay comparable
     total = round(sum(v for k, v in timings.items()
                       if k != "transcripts_hll_text"), 3)
+
+    # re-sample contention AFTER the timed sections: a job that started
+    # mid-bench contends the later rows even though t=0 looked clean
+    solo = solo and _box_is_solo()
 
     # round-over-round regression flagging: compare per-query times against
     # the newest BENCH_r*.json and surface anything >1.5x slower

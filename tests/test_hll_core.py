@@ -779,3 +779,17 @@ def test_unique_stats_proto_roundtrip():
     assert blob[0] == (1 << 3) | 0
     f2 = blob.index(bytes([(2 << 3) | 1]))
     assert struct.unpack("<d", blob[f2 + 1:f2 + 9])[0] == err
+
+
+def test_deserialize_wraps_precision_to_int32():
+    """Reference State.parse truncates precision fields to int32 before
+    validation: a varint payload of 2^32+14 in hll field 3 must read as
+    p=14 (valid sketch), not 4294967310."""
+    from zetasketch_spark.hll import ENCODING_VERSION, HllSketch
+
+    hll = _encode_varint_field(3, (1 << 32) + 14)
+    blob = (_encode_varint_field(1, 112)
+            + _encode_varint_field(3, ENCODING_VERSION)
+            + _encode_bytes_field(112, hll))
+    sk = HllSketch.deserialize(blob)
+    assert sk.p == 14

@@ -752,8 +752,10 @@ class HllSketch:
         encoding_version = wire_int32(_int(fields, 3, 1))
         if encoding_version != ENCODING_VERSION:
             raise ValueError(f"Expected encoding version to be 2 but was {encoding_version}")
-        p = _int(hll, 3, 0)
-        sp = _int(hll, 4, 0)
+        # int32 wire wrap like num_values/encoding_version: the reference's
+        # State.parse truncates these to int32 before validation
+        p = wire_int32(_int(hll, 3, 0))
+        sp = wire_int32(_int(hll, 4, 0))
         reg_bytes = _bytes(hll, 5)
         sparse_bytes = _bytes(hll, 6)
         has_data = reg_bytes is not None and len(reg_bytes) > 0

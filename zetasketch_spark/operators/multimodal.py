@@ -149,7 +149,7 @@ def encode_avi(frames: np.ndarray, fps: int = 10, codec: str = "rgb24",
         from zetasketch_spark.operators.jpeg import encode_jpeg
 
         chunks = [encode_jpeg(frames[i], quality=quality) for i in range(n)]
-        frame_bytes = max(len(c) for c in chunks)
+        frame_bytes = max((len(c) for c in chunks), default=0)
         handler, comp, ctag = b"MJPG", _MJPG_FOURCC, b"00dc"
     else:
         raise ValueError(f"unknown AVI codec {codec!r}")
