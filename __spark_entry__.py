@@ -680,12 +680,14 @@ def q_media_features(spark, sf_dir):
         elif row["kind"] == "image":
             b = decode_image(payload)
             exp = (len(payload), float(np.round(b.mean(), 6)), b.size)
-        elif payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
-            f, _ = decode_video(payload)
-            exp = (len(payload), float(np.round(f.mean(), 6)), f.size)
-        else:
-            b = decode_image(payload, deterministic_fake=True)
-            exp = (len(payload), float(np.round(b.mean(), 6)), b.size)
+        else:  # video: same real-decode-or-fake dispatch as the operator,
+            # re-derived locally with the same codecs
+            try:
+                f, _ = decode_video(payload)
+                exp = (len(payload), float(np.round(f.mean(), 6)), f.size)
+            except (NotImplementedError, ValueError):
+                b = decode_image(payload, deterministic_fake=True)
+                exp = (len(payload), float(np.round(b.mean(), 6)), b.size)
         match = match and got[row["media_id"]] == exp
     return spark.createDataFrame(pd.DataFrame([{
         "n_media": len(got), "n_image": kinds.get("image", 0),

@@ -201,14 +201,217 @@ def register_video_decoder(fourcc: str, fn) -> None:
     VIDEO_FRAME_DECODERS[fourcc] = fn
 
 
-def decode_video(payload: bytes) -> tuple[np.ndarray, float]:
-    """Decode an AVI payload to ``((n, h, w, 3) float64 RGB frames,
-    fps)``. Walks the RIFF tree for avih (dims, frame interval), the
-    video strf (codec fourcc) and the movi '00db'/'00dc' chunks, then
-    dispatches per-frame decode through VIDEO_FRAME_DECODERS."""
+def _mp4_box(tag: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", len(body) + 8) + tag + body
+
+
+def _mp4_fullbox(tag: bytes, body: bytes, version: int = 0,
+                 flags: int = 0) -> bytes:
+    return _mp4_box(tag, struct.pack(">B3s", version,
+                                     flags.to_bytes(3, "big")) + body)
+
+
+def encode_mp4_mjpeg(frames: np.ndarray, fps: int = 10,
+                     quality: int = 90) -> bytes:
+    """Real ISO-BMFF MP4 with a JPEG-codec video track ('jpeg' sample
+    entry — the Motion-JPEG-in-MP4 interchange profile): full sample
+    tables (stsd/stts/stsc/stsz/stco), one chunk in mdat, every sample a
+    baseline JFIF image from the in-repo codec. Pure struct + numpy."""
+    from zetasketch_spark.operators.jpeg import encode_jpeg
+
+    frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    n, h, w, _ = frames.shape
+    samples = [encode_jpeg(frames[i], quality=quality) for i in range(n)]
+    ftyp = _mp4_box(b"ftyp", b"isom\x00\x00\x02\x00isommp41")
+    mdat = _mp4_box(b"mdat", b"".join(samples))
+    chunk_offset = len(ftyp) + 8  # first sample byte, absolute in file
+
+    timescale = 1000
+    duration = n * timescale // fps
+
+    entry = (b"\x00" * 6 + struct.pack(">H", 1)          # data_ref_index
+             + b"\x00" * 16                               # pre_defined/reserved
+             + struct.pack(">HH", w, h)
+             + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+             + b"\x00" * 4 + struct.pack(">H", 1)         # frame_count
+             + b"\x00" * 32                               # compressorname
+             + struct.pack(">Hh", 24, -1))                # depth, pre_defined
+    stsd = _mp4_fullbox(b"stsd", struct.pack(">I", 1)
+                        + _mp4_box(b"jpeg", entry))
+    stts = _mp4_fullbox(b"stts", struct.pack(">III", 1, n, timescale // fps))
+    stsc = _mp4_fullbox(b"stsc", struct.pack(">IIII", 1, 1, n, 1))
+    stsz = _mp4_fullbox(b"stsz", struct.pack(">II", 0, n)
+                        + b"".join(struct.pack(">I", len(s)) for s in samples))
+    stco = _mp4_fullbox(b"stco", struct.pack(">II", 1, chunk_offset))
+    stbl = _mp4_box(b"stbl", stsd + stts + stsc + stsz + stco)
+
+    url = _mp4_fullbox(b"url ", b"", flags=1)  # self-contained
+    dref = _mp4_fullbox(b"dref", struct.pack(">I", 1) + url)
+    dinf = _mp4_box(b"dinf", dref)
+    vmhd = _mp4_fullbox(b"vmhd", b"\x00" * 8, flags=1)
+    minf = _mp4_box(b"minf", vmhd + dinf + stbl)
+    hdlr = _mp4_fullbox(b"hdlr", b"\x00" * 4 + b"vide" + b"\x00" * 12
+                        + b"zetasketch\x00")
+    mdhd = _mp4_fullbox(b"mdhd", struct.pack(">IIIIHH", 0, 0, timescale,
+                                             duration, 0x55C4, 0))
+    mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _mp4_fullbox(b"tkhd", struct.pack(">IIII", 0, 0, 1, 0)
+                        + struct.pack(">I", duration) + b"\x00" * 8
+                        + struct.pack(">HHHH", 0, 0, 0, 0)
+                        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0,
+                                      0, 0, 0x40000000)
+                        + struct.pack(">II", w << 16, h << 16), flags=7)
+    mvhd = _mp4_fullbox(b"mvhd", struct.pack(">IIII", 0, 0, timescale,
+                                             duration)
+                        + struct.pack(">IHH", 0x10000, 0x0100, 0)
+                        + b"\x00" * 8
+                        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0,
+                                      0, 0, 0x40000000)
+                        + b"\x00" * 24 + struct.pack(">I", 2))
+    moov = _mp4_box(b"moov", mvhd + _mp4_box(b"trak", tkhd + mdia))
+    return ftyp + mdat + moov
+
+
+def extract_mp4_samples(payload: bytes) -> tuple[str, list[bytes], float]:
+    """Real ISO-BMFF sample extraction: walk the box tree of the FIRST
+    'vide' track, resolve the stsc chunk->sample mapping against
+    stsz/stco (or co64), and return ``(codec_fourcc, sample_bytes,
+    fps)``. This is the container half of MP4 decode — codec-agnostic
+    and exact; frame decode dispatches by the returned fourcc."""
     payload = bytes(payload)
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF container (missing ftyp)")
+
+    CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+    tracks: list[dict] = []
+    cur: dict | None = None
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal cur
+        while pos + 8 <= end:
+            size, = struct.unpack_from(">I", payload, pos)
+            tag = payload[pos + 4 : pos + 8]
+            body, nxt = pos + 8, pos + size
+            if size == 1:
+                size, = struct.unpack_from(">Q", payload, pos + 8)
+                body, nxt = pos + 16, pos + size
+            elif size == 0:
+                nxt = end
+            if size != 0 and (nxt <= pos or nxt > end):
+                raise ValueError(f"mp4 box {tag!r} overruns its parent")
+            if tag == b"trak":
+                cur = {}
+                walk(body, nxt)
+                tracks.append(cur)
+                cur = None
+            elif tag in CONTAINERS:
+                walk(body, nxt)
+            elif cur is not None:
+                fb = body + 4  # fullbox payload (skip version/flags)
+                if tag == b"hdlr":
+                    cur["handler"] = payload[fb + 4 : fb + 8]
+                elif tag == b"mdhd":
+                    ver = payload[body]
+                    off = fb + (16 if ver == 1 else 8)
+                    cur["timescale"], = struct.unpack_from(">I", payload, off)
+                elif tag == b"stsd":
+                    n, = struct.unpack_from(">I", payload, fb)
+                    if n >= 1:
+                        cur["codec"] = payload[fb + 8 : fb + 12]
+                elif tag == b"stts":
+                    n, = struct.unpack_from(">I", payload, fb)
+                    cur["stts"] = [struct.unpack_from(">II", payload,
+                                                      fb + 4 + 8 * i)
+                                   for i in range(n)]
+                elif tag == b"stsc":
+                    n, = struct.unpack_from(">I", payload, fb)
+                    cur["stsc"] = [struct.unpack_from(">III", payload,
+                                                      fb + 4 + 12 * i)
+                                   for i in range(n)]
+                elif tag == b"stsz":
+                    fixed, n = struct.unpack_from(">II", payload, fb)
+                    cur["sizes"] = ([fixed] * n if fixed else
+                                    list(struct.unpack_from(f">{n}I", payload,
+                                                            fb + 8)))
+                elif tag in (b"stco", b"co64"):
+                    n, = struct.unpack_from(">I", payload, fb)
+                    fmt = ">%d%s" % (n, "I" if tag == b"stco" else "Q")
+                    cur["offsets"] = list(struct.unpack_from(fmt, payload,
+                                                             fb + 4))
+            pos = nxt
+
+    walk(0, len(payload))
+    vide = [t for t in tracks if t.get("handler") == b"vide"]
+    if not vide:
+        raise ValueError("mp4 has no video track")
+    t = vide[0]
+    for k in ("codec", "sizes", "offsets", "stsc"):
+        if k not in t:
+            raise ValueError(f"mp4 video track missing sample table ({k})")
+    # chunk -> sample mapping (ISO 14496-12 §8.7.4): stsc entries apply
+    # from first_chunk until the next entry's first_chunk
+    sizes, offsets, stsc = t["sizes"], t["offsets"], t["stsc"]
+    samples: list[bytes] = []
+    si = 0
+    for ci, chunk_off in enumerate(offsets, start=1):
+        spc = 0
+        for first, count, _desc in stsc:
+            if first <= ci:
+                spc = count
+            else:
+                break
+        pos = chunk_off
+        for _ in range(spc):
+            if si >= len(sizes):
+                break
+            if pos + sizes[si] > len(payload):
+                raise ValueError("mp4 sample overruns the file")
+            samples.append(payload[pos : pos + sizes[si]])
+            pos += sizes[si]
+            si += 1
+    if si < len(sizes):
+        raise ValueError("mp4 sample tables inconsistent "
+                         f"({si} mapped of {len(sizes)})")
+    ts = t.get("timescale", 1000)
+    stts = t.get("stts") or [(len(sizes), ts)]
+    fps = ts / stts[0][1] if stts[0][1] else 0.0
+    codec = t["codec"].decode("ascii", "replace").strip()
+    return codec, samples, fps
+
+
+#: MP4 codec fourccs decodable with the in-repo JPEG codec. Everything
+#: else (avc1/hvc1/vp09...) routes to VIDEO_FRAME_DECODERS — the same
+#: plugin seam AVI uses — and raises honestly when unregistered.
+_MP4_JPEG_CODECS = {"jpeg", "mjpa", "mjpb"}
+
+
+def decode_video(payload: bytes) -> tuple[np.ndarray, float]:
+    """Decode a video payload to ``((n, h, w, 3) float64 RGB frames,
+    fps)``. AVI: walks the RIFF tree for avih/strf/movi. MP4 (ISO-BMFF):
+    real sample-table extraction (extract_mp4_samples), then per-sample
+    decode — built-in for the JPEG codec family, plugin registry
+    (VIDEO_FRAME_DECODERS) for compressed codecs like avc1."""
+    payload = bytes(payload)
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        from zetasketch_spark.operators.jpeg import decode_jpeg
+
+        codec, samples, fps = extract_mp4_samples(payload)
+        if not samples:
+            raise ValueError("mp4 video track has no samples")
+        if codec in _MP4_JPEG_CODECS:
+            dec_frames = [decode_jpeg(s) for s in samples]
+        elif codec in VIDEO_FRAME_DECODERS:
+            dec_frames = [VIDEO_FRAME_DECODERS[codec](s, 0, 0)
+                          for s in samples]
+        else:
+            raise NotImplementedError(
+                f"mp4 codec {codec!r} has no registered decoder "
+                f"(register_video_decoder; built-in JPEG family: "
+                f"{sorted(_MP4_JPEG_CODECS)})")
+        return np.stack(dec_frames), fps
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
-        raise NotImplementedError("only RIFF/AVI video decode is supported")
+        raise NotImplementedError(
+            "video decode supports RIFF/AVI and ISO-BMFF MP4 containers")
     us_per_frame = w = h = None
     stream_type = None  # fccType of the most recent strh (vids/auds/...)
     bpp = comp = None
@@ -519,14 +722,18 @@ def resize_image(block: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 
 def sample_frames(payload: bytes, duration_ms: int, every_ms: int = 1000,
                   deterministic_fake: bool = False) -> list[np.ndarray]:
-    """Frame sampling at a fixed period. REAL for uncompressed AVI
-    payloads (decode_video): picks the frame nearest each sampled
-    timestamp. Compressed containers (MP4/...) need ffmpeg (absent) and
-    raise, unless ``deterministic_fake`` derives one block per sampled
-    timestamp so the batch shapes downstream stay real."""
+    """Frame sampling at a fixed period. REAL wherever decode_video can
+    decode the payload (raw/MJPEG AVI, JPEG-codec MP4, any registered
+    codec): picks the frame nearest each sampled timestamp. Undecodable
+    codecs (e.g. unregistered avc1) raise, unless ``deterministic_fake``
+    derives one block per sampled timestamp so the batch shapes
+    downstream stay real."""
     payload = bytes(payload)
-    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+    try:
         frames, fps = decode_video(payload)
+    except (NotImplementedError, ValueError):
+        frames = None
+    if frames is not None and len(frames):
         n_samples = max(1, int(duration_ms // every_ms))
         idx = np.minimum(np.rint(np.arange(n_samples) * every_ms
                                  / 1000.0 * fps).astype(np.int64),
@@ -534,9 +741,10 @@ def sample_frames(payload: bytes, duration_ms: int, every_ms: int = 1000,
         return [frames[i] for i in idx]
     if not deterministic_fake:
         raise NotImplementedError(
-            "compressed video decode requires ffmpeg which is not available "
-            "in this environment; pass deterministic_fake=True for plumbing "
-            "tests (uncompressed AVI decodes for real)")
+            "payload's video codec is not decodable in-repo (raw/MJPEG AVI "
+            "and JPEG-codec MP4 decode for real; register_video_decoder "
+            "plugs in compressed codecs); pass deterministic_fake=True for "
+            "plumbing tests")
     n = max(1, duration_ms // every_ms)
     return [decode_image(payload[i:] + payload[:i], deterministic_fake=True)
             for i in range(min(n, 8))]
@@ -574,14 +782,19 @@ def synthesize_media(spark, n: int = 256, seed: int = 42) -> DataFrame:
             t = np.arange(int(16000 * dur / 1000)) / 16000.0
             payload = encode_wav(0.5 * np.sin(2 * np.pi * rng.integers(80, 2000) * t))
             mime, h, w = "audio/wav", 0, 0
-        elif (i // 3) % 3 < 2:  # real AVI video: raw BI_RGB or Motion-JPEG
+        elif (i // 3) % 4 < 3:  # real video: raw AVI, MJPEG AVI, JPEG MP4
             nf, fps = int(rng.integers(2, 6)), 10
             h, w = int(rng.integers(4, 16)), int(rng.integers(4, 16))
-            codec = ("rgb24", "mjpg")[(i // 3) % 3]
-            payload = encode_avi(
-                rng.integers(0, 256, size=(nf, h, w, 3), dtype=np.uint8),
-                fps, codec=codec)
-            mime, dur = "video/x-msvideo", nf * 1000 // fps
+            fr = rng.integers(0, 256, size=(nf, h, w, 3), dtype=np.uint8)
+            variant = (i // 3) % 4
+            if variant == 2:
+                payload = encode_mp4_mjpeg(fr, fps)
+                mime = "video/mp4;codecs=jpeg"
+            else:
+                payload = encode_avi(fr, fps,
+                                     codec=("rgb24", "mjpg")[variant])
+                mime = "video/x-msvideo"
+            dur = nf * 1000 // fps
         else:  # opaque compressed container (decoder honestly absent)
             size = int(rng.integers(256, 4096))
             payload = rng.integers(0, 256, size=size, dtype=np.uint8).tobytes()
@@ -621,12 +834,14 @@ def extract_features(df: DataFrame, deterministic_fake: bool = True) -> DataFram
                     block = decode_image(payload,
                                          deterministic_fake=deterministic_fake)
                     mean, dim = float(block.mean()), int(block.size)
-                elif payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
-                    frames, _fps = decode_video(payload)
-                    mean, dim = float(frames.mean()), int(frames.size)
-                else:
-                    block = decode_image(payload, deterministic_fake=True)
-                    mean, dim = float(block.mean()), int(block.size)
+                else:  # video: real decode (AVI or MP4) where the codec
+                    # is in-repo/registered; deterministic fake otherwise
+                    try:
+                        frames, _fps = decode_video(payload)
+                        mean, dim = float(frames.mean()), int(frames.size)
+                    except (NotImplementedError, ValueError):
+                        block = decode_image(payload, deterministic_fake=True)
+                        mean, dim = float(block.mean()), int(block.size)
                 feats.append((int(mid), kind, len(payload),
                               float(np.round(mean, 6)), dim))
             yield pd.DataFrame(feats, columns=[f.name for f in FEATURE_SCHEMA.fields])
