@@ -681,11 +681,12 @@ def q_media_features(spark, sf_dir):
             b = decode_image(payload)
             exp = (len(payload), float(np.round(b.mean(), 6)), b.size)
         else:  # video: same real-decode-or-fake dispatch as the operator,
-            # re-derived locally with the same codecs
+            # re-derived locally with the same codecs (corruption would
+            # propagate loudly on both sides, keeping the gate honest)
             try:
                 f, _ = decode_video(payload)
                 exp = (len(payload), float(np.round(f.mean(), 6)), f.size)
-            except (NotImplementedError, ValueError):
+            except NotImplementedError:
                 b = decode_image(payload, deterministic_fake=True)
                 exp = (len(payload), float(np.round(b.mean(), 6)), b.size)
         match = match and got[row["media_id"]] == exp

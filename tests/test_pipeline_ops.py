@@ -1287,8 +1287,9 @@ def test_mp4_jpeg_roundtrip_and_sample_tables():
     mp4 = mm.encode_mp4_mjpeg(frames, fps=8, quality=95)
 
     # container half: codec-agnostic sample extraction is exact
-    codec, samples, fps = mm.extract_mp4_samples(mp4)
+    codec, samples, fps, dims = mm.extract_mp4_samples(mp4)
     assert codec == "jpeg" and len(samples) == 4 and fps == 8.0
+    assert dims == (16, 16)
     assert all(s[:2] == b"\xff\xd8" for s in samples)  # each a real JFIF
 
     # full decode through the in-repo JPEG codec (lossy but close)
@@ -1307,14 +1308,21 @@ def test_mp4_jpeg_roundtrip_and_sample_tables():
                            deterministic_fake=False)
     assert len(got) >= 2 and got[0].shape == (16, 16, 3)
 
-    # unknown codec (avc1) -> honest NotImplementedError naming the seam
-    avc = mp4.replace(b"jpeg", b"avc1", 1)  # first hit is the stsd entry
+    # fps not dividing 1000 must round-trip exactly (timescale = fps*1000)
+    mp7 = mm.encode_mp4_mjpeg(frames[:2], fps=7)
+    assert mm.extract_mp4_samples(mp7)[2] == 7.0
+
+    # unknown codec (avc1) -> honest NotImplementedError naming the seam.
+    # Mutate from the moov offset so the replace can never land inside
+    # mdat JPEG entropy bytes.
+    moov_at = mp4.index(b"moov")
+    avc = mp4[:moov_at] + mp4[moov_at:].replace(b"jpeg", b"avc1", 1)
     with pytest.raises(NotImplementedError, match="avc1"):
         mm.decode_video(avc)
 
     # ... and the registry covers MP4 codecs exactly like AVI fourccs
     mm.register_video_decoder("avc1", lambda s, w, h: np.zeros(
-        (16, 16, 3), dtype=np.float64))
+        (h, w, 3), dtype=np.float64))
     try:
         dec3, _ = mm.decode_video(avc)
         assert dec3.shape == (4, 16, 16, 3)
@@ -1323,8 +1331,31 @@ def test_mp4_jpeg_roundtrip_and_sample_tables():
 
     # sample-table lies are rejected, not mis-decoded
     bad = bytearray(mp4)
-    at = bytes(bad).index(b"stco") + 8  # skip tag + fullbox ver/flags
+    at = bytes(bad).index(b"stco", moov_at) + 8  # skip tag + ver/flags
     import struct
     struct.pack_into(">II", bad, at, 1, len(mp4) - 2)  # chunk offset at EOF
     with pytest.raises(ValueError, match="overruns"):
         mm.extract_mp4_samples(bytes(bad))
+
+    # truncated sample tables raise ValueError (not struct.error), and a
+    # 4-billion-sample stsz lie is rejected before allocation
+    box = mm._mp4_box
+    fullbox = mm._mp4_fullbox
+    def track(stbl_kids):
+        hdlr = fullbox(b"hdlr", b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"\x00")
+        mdia = box(b"mdia", hdlr + box(b"minf", box(b"stbl", stbl_kids)))
+        return box(b"ftyp", b"isom") + box(b"moov", box(b"trak", mdia))
+    lying_stsz = track(fullbox(b"stsz", struct.pack(">II", 0, 1000)))
+    with pytest.raises(ValueError, match="claims|too short"):
+        mm.extract_mp4_samples(lying_stsz)
+    huge_stsz = track(fullbox(b"stsz", struct.pack(">II", 4, 0xFFFFFFFF)))
+    with pytest.raises(ValueError, match="claims"):
+        mm.extract_mp4_samples(huge_stsz)
+    # ... and the fake path still refuses corrupt (vs unsupported) input
+    with pytest.raises(ValueError):
+        mm.sample_frames(lying_stsz, 1000, deterministic_fake=True)
+
+    # an AVI with intact magic but a broken body is corruption, not an
+    # unsupported codec: extract_features must fail loudly, not fake it
+    with pytest.raises(ValueError):
+        mm.decode_video(b"RIFF\x00\x00\x00\x20AVI " + b"\x00" * 24)

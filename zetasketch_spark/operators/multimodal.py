@@ -11,15 +11,22 @@ Decode is REAL for headerful raster/PCM formats, implemented in pure numpy
 * **PNG** (8-bit gray/RGB/GA/RGBA, non-interlaced, all five scanline
   filters; stdlib zlib for the DEFLATE stream)
 * **WAV** (RIFF PCM16, mono or interleaved multi-channel)
-* **AVI** (RIFF uncompressed 24-bit BI_RGB video) — including real
-  nearest-timestamp frame sampling
+* **AVI** (RIFF video: uncompressed 24-bit BI_RGB AND Motion-JPEG) —
+  including real nearest-timestamp frame sampling
+* **MP4** (ISO-BMFF: full sample-table extraction for any codec; frame
+  decode built-in for the JPEG family 'jpeg'/'mjpa'/'mjpb')
 * **JPEG** (baseline sequential, gray/4:4:4/4:2:0, optimized Huffman —
   see ``operators/jpeg.py``)
 
-Compressed video (MP4) still raises ``NotImplementedError`` unless
-``deterministic_fake=True``, which derives a fake-but-deterministic
-"decoded" block from the payload bytes so the downstream plumbing keeps
-working for those formats too.
+Entropy-coded codecs (avc1/hvc1/vp09...) have NO in-repo decoder: they
+dispatch through the fourcc-keyed ``VIDEO_FRAME_DECODERS`` registry
+(``register_video_decoder``) and raise ``NotImplementedError`` when
+unregistered, unless ``deterministic_fake=True`` derives a
+fake-but-deterministic "decoded" block from the payload bytes so the
+downstream plumbing keeps working for those formats too. Structurally
+CORRUPT payloads (valid magic, broken body) raise ``ValueError`` and are
+never silently faked — corruption must stay distinguishable from an
+unsupported codec.
 """
 
 from __future__ import annotations
@@ -201,6 +208,29 @@ def register_video_decoder(fourcc: str, fn) -> None:
     VIDEO_FRAME_DECODERS[fourcc] = fn
 
 
+def _walk_mp4_boxes(payload: bytes, pos: int, end: int, visit) -> None:
+    """Bounds-checked ISO-BMFF box walk shared by probe_mp4 and
+    extract_mp4_samples: calls ``visit(tag, body, nxt)`` per box and
+    recurses into the box body when visit returns True. Overrunning or
+    truncated box headers raise ValueError."""
+    while pos + 8 <= end:
+        size, = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body, nxt = pos + 8, pos + size
+        if size == 1:  # 64-bit largesize
+            if pos + 16 > end:
+                raise ValueError(f"mp4 box {tag!r} truncated largesize")
+            size, = struct.unpack_from(">Q", payload, pos + 8)
+            body, nxt = pos + 16, pos + size
+        elif size == 0:  # to end of enclosing box
+            nxt = end
+        if size != 0 and (nxt <= pos or nxt > end):
+            raise ValueError(f"mp4 box {tag!r} overruns its parent")
+        if visit(tag, body, nxt):
+            _walk_mp4_boxes(payload, body, nxt, visit)
+        pos = nxt
+
+
 def _mp4_box(tag: bytes, body: bytes) -> bytes:
     return struct.pack(">I", len(body) + 8) + tag + body
 
@@ -226,8 +256,11 @@ def encode_mp4_mjpeg(frames: np.ndarray, fps: int = 10,
     mdat = _mp4_box(b"mdat", b"".join(samples))
     chunk_offset = len(ftyp) + 8  # first sample byte, absolute in file
 
-    timescale = 1000
-    duration = n * timescale // fps
+    # timescale a multiple of fps so the per-sample stts delta is exact
+    # (a fixed 1000 would truncate e.g. fps=7 to 1000//7 and round-trip
+    # as 7.04 fps)
+    timescale = fps * 1000
+    duration = n * 1000
 
     entry = (b"\x00" * 6 + struct.pack(">H", 1)          # data_ref_index
              + b"\x00" * 16                               # pre_defined/reserved
@@ -238,7 +271,7 @@ def encode_mp4_mjpeg(frames: np.ndarray, fps: int = 10,
              + struct.pack(">Hh", 24, -1))                # depth, pre_defined
     stsd = _mp4_fullbox(b"stsd", struct.pack(">I", 1)
                         + _mp4_box(b"jpeg", entry))
-    stts = _mp4_fullbox(b"stts", struct.pack(">III", 1, n, timescale // fps))
+    stts = _mp4_fullbox(b"stts", struct.pack(">III", 1, n, 1000))
     stsc = _mp4_fullbox(b"stsc", struct.pack(">IIII", 1, 1, n, 1))
     stsz = _mp4_fullbox(b"stsz", struct.pack(">II", 0, n)
                         + b"".join(struct.pack(">I", len(s)) for s in samples))
@@ -272,78 +305,108 @@ def encode_mp4_mjpeg(frames: np.ndarray, fps: int = 10,
     return ftyp + mdat + moov
 
 
-def extract_mp4_samples(payload: bytes) -> tuple[str, list[bytes], float]:
+def extract_mp4_samples(payload: bytes) -> tuple[str, list[bytes], float,
+                                                 tuple[int, int]]:
     """Real ISO-BMFF sample extraction: walk the box tree of the FIRST
     'vide' track, resolve the stsc chunk->sample mapping against
-    stsz/stco (or co64), and return ``(codec_fourcc, sample_bytes,
-    fps)``. This is the container half of MP4 decode — codec-agnostic
-    and exact; frame decode dispatches by the returned fourcc."""
+    stsz/stco (or co64), and return ``(codec_fourcc, sample_bytes, fps,
+    (width, height))``. This is the container half of MP4 decode —
+    codec-agnostic and exact; frame decode dispatches by the returned
+    fourcc. Truncated or lying sample tables raise ValueError (never a
+    bare struct.error, never an attacker-sized allocation)."""
     payload = bytes(payload)
     if len(payload) < 12 or payload[4:8] != b"ftyp":
         raise ValueError("not an ISO-BMFF container (missing ftyp)")
 
-    CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+    CONTAINERS = {b"moov", b"mdia", b"minf", b"stbl"}
     tracks: list[dict] = []
-    cur: dict | None = None
+    stack: list[dict] = []
 
-    def walk(pos: int, end: int) -> None:
-        nonlocal cur
-        while pos + 8 <= end:
-            size, = struct.unpack_from(">I", payload, pos)
-            tag = payload[pos + 4 : pos + 8]
-            body, nxt = pos + 8, pos + size
-            if size == 1:
-                size, = struct.unpack_from(">Q", payload, pos + 8)
-                body, nxt = pos + 16, pos + size
-            elif size == 0:
-                nxt = end
-            if size != 0 and (nxt <= pos or nxt > end):
-                raise ValueError(f"mp4 box {tag!r} overruns its parent")
-            if tag == b"trak":
-                cur = {}
-                walk(body, nxt)
-                tracks.append(cur)
-                cur = None
-            elif tag in CONTAINERS:
-                walk(body, nxt)
-            elif cur is not None:
-                fb = body + 4  # fullbox payload (skip version/flags)
-                if tag == b"hdlr":
-                    cur["handler"] = payload[fb + 4 : fb + 8]
-                elif tag == b"mdhd":
-                    ver = payload[body]
-                    off = fb + (16 if ver == 1 else 8)
-                    cur["timescale"], = struct.unpack_from(">I", payload, off)
-                elif tag == b"stsd":
-                    n, = struct.unpack_from(">I", payload, fb)
-                    if n >= 1:
-                        cur["codec"] = payload[fb + 8 : fb + 12]
-                elif tag == b"stts":
-                    n, = struct.unpack_from(">I", payload, fb)
-                    cur["stts"] = [struct.unpack_from(">II", payload,
-                                                      fb + 4 + 8 * i)
-                                   for i in range(n)]
-                elif tag == b"stsc":
-                    n, = struct.unpack_from(">I", payload, fb)
-                    cur["stsc"] = [struct.unpack_from(">III", payload,
-                                                      fb + 4 + 12 * i)
-                                   for i in range(n)]
-                elif tag == b"stsz":
-                    fixed, n = struct.unpack_from(">II", payload, fb)
-                    cur["sizes"] = ([fixed] * n if fixed else
-                                    list(struct.unpack_from(f">{n}I", payload,
-                                                            fb + 8)))
-                elif tag in (b"stco", b"co64"):
-                    n, = struct.unpack_from(">I", payload, fb)
-                    fmt = ">%d%s" % (n, "I" if tag == b"stco" else "Q")
-                    cur["offsets"] = list(struct.unpack_from(fmt, payload,
-                                                             fb + 4))
-            pos = nxt
+    def visit(tag, body, nxt):
+        def need(off, nbytes):
+            if off + nbytes > nxt:
+                raise ValueError(f"mp4 box {tag!r} too short for its fields")
 
-    walk(0, len(payload))
+        if tag == b"trak":
+            # walk the subtree here so the open-trak stack pops when the
+            # subtree ends (the generic walker has no exit hook)
+            tracks.append({})
+            stack.append(tracks[-1])
+            try:
+                _walk_mp4_boxes(payload, body, nxt, visit)
+            finally:
+                stack.pop()
+            return False
+        if tag in CONTAINERS:
+            return True
+        cur = stack[-1] if stack else None
+        if cur is None:
+            return False
+        fb = body + 4  # fullbox payload (skip version/flags)
+        if tag == b"hdlr":
+            need(body, 12)
+            cur["handler"] = payload[fb + 4 : fb + 8]
+        elif tag == b"mdhd":
+            need(body, 4)
+            ver = payload[body]
+            off = fb + (16 if ver == 1 else 8)
+            need(off, 4)
+            cur["timescale"], = struct.unpack_from(">I", payload, off)
+        elif tag == b"stsd":
+            need(body, 8)
+            n, = struct.unpack_from(">I", payload, fb)
+            if n >= 1:
+                need(fb + 4, 8)
+                # first entry box at fb+4: size, fourcc, then entry data
+                cur["codec"] = payload[fb + 8 : fb + 12]
+                # VisualSampleEntry: 8 bytes SampleEntry + 16 bytes
+                # pre_defined/reserved, then coded width/height
+                if fb + 40 <= nxt:
+                    cur["dims"] = struct.unpack_from(">HH", payload, fb + 36)
+        elif tag == b"stts":
+            need(body, 8)
+            n, = struct.unpack_from(">I", payload, fb)
+            need(fb + 4, 8 * n)
+            cur["stts"] = [struct.unpack_from(">II", payload, fb + 4 + 8 * i)
+                           for i in range(n)]
+        elif tag == b"stsc":
+            need(body, 8)
+            n, = struct.unpack_from(">I", payload, fb)
+            need(fb + 4, 12 * n)
+            cur["stsc"] = [struct.unpack_from(">III", payload, fb + 4 + 12 * i)
+                           for i in range(n)]
+        elif tag == b"stsz":
+            need(body, 12)
+            fixed, n = struct.unpack_from(">II", payload, fb)
+            if n > len(payload):  # more samples than bytes in the file
+                raise ValueError(f"mp4 stsz claims {n} samples "
+                                 f"in a {len(payload)}-byte file")
+            if fixed:
+                cur["sizes"] = [fixed] * n
+            else:
+                need(fb + 8, 4 * n)
+                cur["sizes"] = list(struct.unpack_from(f">{n}I", payload,
+                                                       fb + 8))
+        elif tag in (b"stco", b"co64"):
+            need(body, 8)
+            n, = struct.unpack_from(">I", payload, fb)
+            unit = 4 if tag == b"stco" else 8
+            need(fb + 4, unit * n)
+            fmt = ">%d%s" % (n, "I" if tag == b"stco" else "Q")
+            cur["offsets"] = list(struct.unpack_from(fmt, payload, fb + 4))
+        return False
+
+    try:
+        _walk_mp4_boxes(payload, 0, len(payload), visit)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"truncated mp4 container: {e!r}") from e
+    finally:
+        stack.clear()
     vide = [t for t in tracks if t.get("handler") == b"vide"]
     if not vide:
-        raise ValueError("mp4 has no video track")
+        # structurally fine, just nothing to decode — the unsupported-
+        # payload contract, not the corruption one
+        raise NotImplementedError("mp4 has no video track")
     t = vide[0]
     for k in ("codec", "sizes", "offsets", "stsc"):
         if k not in t:
@@ -376,7 +439,8 @@ def extract_mp4_samples(payload: bytes) -> tuple[str, list[bytes], float]:
     stts = t.get("stts") or [(len(sizes), ts)]
     fps = ts / stts[0][1] if stts[0][1] else 0.0
     codec = t["codec"].decode("ascii", "replace").strip()
-    return codec, samples, fps
+    w, h = t.get("dims", (0, 0))
+    return codec, samples, fps, (int(w), int(h))
 
 
 #: MP4 codec fourccs decodable with the in-repo JPEG codec. Everything
@@ -395,13 +459,15 @@ def decode_video(payload: bytes) -> tuple[np.ndarray, float]:
     if len(payload) >= 12 and payload[4:8] == b"ftyp":
         from zetasketch_spark.operators.jpeg import decode_jpeg
 
-        codec, samples, fps = extract_mp4_samples(payload)
+        codec, samples, fps, (w, h) = extract_mp4_samples(payload)
         if not samples:
             raise ValueError("mp4 video track has no samples")
         if codec in _MP4_JPEG_CODECS:
             dec_frames = [decode_jpeg(s) for s in samples]
         elif codec in VIDEO_FRAME_DECODERS:
-            dec_frames = [VIDEO_FRAME_DECODERS[codec](s, 0, 0)
+            # same plugin contract as AVI: fn(frame_bytes, w, h) with the
+            # stsd sample-entry dimensions
+            dec_frames = [VIDEO_FRAME_DECODERS[codec](s, w, h)
                           for s in samples]
         else:
             raise NotImplementedError(
@@ -662,53 +728,43 @@ def probe_mp4(payload: bytes) -> dict:
     out = {"brand": None, "duration_ms": None, "width": None, "height": None,
            "n_tracks": 0}
 
-    def walk(pos: int, end: int) -> None:
-        while pos + 8 <= end:
-            size, = struct.unpack_from(">I", payload, pos)
-            tag = payload[pos + 4 : pos + 8]
-            body, nxt = pos + 8, pos + size
-            if size == 1:  # 64-bit largesize
-                size, = struct.unpack_from(">Q", payload, pos + 8)
-                body, nxt = pos + 16, pos + size
-            elif size == 0:  # to end of enclosing box
-                nxt = end
-            if size != 0 and (nxt <= pos or nxt > end):
-                raise ValueError(f"mp4 box {tag!r} overruns its parent")
-            def need(n: int) -> None:
-                if body + n > nxt:
-                    raise ValueError(f"mp4 box {tag!r} too short for its fields")
-            if tag == b"ftyp":
-                need(4)
-                out["brand"] = payload[body : body + 4].decode("ascii", "replace")
-            elif tag in (b"moov", b"trak"):
-                walk(body, nxt)
-                if tag == b"trak":
-                    out["n_tracks"] += 1
-            elif tag == b"mvhd":
-                need(1)
-                ver = payload[body]
-                if ver == 1:
-                    need(32)
-                    ts, dur = struct.unpack_from(">IQ", payload, body + 20)
-                else:
-                    need(20)
-                    ts, dur = struct.unpack_from(">II", payload, body + 12)
-                if ts:
-                    out["duration_ms"] = int(dur * 1000 // ts)
-            elif tag == b"tkhd":
-                need(1)
-                ver = payload[body]
-                off = body + (88 if ver == 1 else 76)
-                need(off - body + 8)
-                w, h = struct.unpack_from(">II", payload, off)
-                w, h = w >> 16, h >> 16  # 16.16 fixed point
-                if w and h:
-                    out["width"], out["height"] = w, h
-            pos = nxt
+    def visit(tag, body, nxt):
+        def need(n: int) -> None:
+            if body + n > nxt:
+                raise ValueError(f"mp4 box {tag!r} too short for its fields")
+
+        if tag == b"ftyp":
+            need(4)
+            out["brand"] = payload[body : body + 4].decode("ascii", "replace")
+        elif tag in (b"moov", b"trak"):
+            if tag == b"trak":
+                out["n_tracks"] += 1
+            return True
+        elif tag == b"mvhd":
+            need(1)
+            ver = payload[body]
+            if ver == 1:
+                need(32)
+                ts, dur = struct.unpack_from(">IQ", payload, body + 20)
+            else:
+                need(20)
+                ts, dur = struct.unpack_from(">II", payload, body + 12)
+            if ts:
+                out["duration_ms"] = int(dur * 1000 // ts)
+        elif tag == b"tkhd":
+            need(1)
+            ver = payload[body]
+            off = body + (88 if ver == 1 else 76)
+            need(off - body + 8)
+            w, h = struct.unpack_from(">II", payload, off)
+            w, h = w >> 16, h >> 16  # 16.16 fixed point
+            if w and h:
+                out["width"], out["height"] = w, h
+        return False
 
     if len(payload) < 12 or payload[4:8] != b"ftyp":
         raise ValueError("not an ISO-BMFF container (missing ftyp)")
-    walk(0, len(payload))
+    _walk_mp4_boxes(payload, 0, len(payload), visit)
     return out
 
 
@@ -731,7 +787,9 @@ def sample_frames(payload: bytes, duration_ms: int, every_ms: int = 1000,
     payload = bytes(payload)
     try:
         frames, fps = decode_video(payload)
-    except (NotImplementedError, ValueError):
+    except NotImplementedError:
+        # undecodable codec/container — fake path below; structural
+        # corruption (ValueError) propagates
         frames = None
     if frames is not None and len(frames):
         n_samples = max(1, int(duration_ms // every_ms))
@@ -755,10 +813,10 @@ def sample_frames(payload: bytes, duration_ms: int, every_ms: int = 1000,
 # ---------------------------------------------------------------------------
 
 def synthesize_media(spark, n: int = 256, seed: int = 42) -> DataFrame:
-    """Deterministic media table with REAL payloads: PPM/BMP/PNG images,
-    PCM16 WAV audio, and (every other video row) uncompressed AVI — all
-    decodable above; the rest of the video rows stay opaque mp4 bytes to
-    exercise the honest-stub path."""
+    """Deterministic media table with REAL payloads: PPM/BMP/PNG/JPEG
+    images, PCM16 WAV audio, and a 4-cycle of video rows — raw-RGB AVI,
+    Motion-JPEG AVI, JPEG-codec MP4 (all decodable above) and opaque
+    fake-mp4 bytes exercising the honest unregistered-codec path."""
     rng = np.random.default_rng(seed)
     kinds = np.array(["image", "audio", "video"], dtype=object)
     rows = []
@@ -800,8 +858,7 @@ def synthesize_media(spark, n: int = 256, seed: int = 42) -> DataFrame:
             payload = rng.integers(0, 256, size=size, dtype=np.uint8).tobytes()
             mime, dur = "video/mp4", int(rng.integers(100, 60000))
             h, w = int(rng.integers(16, 512)), int(rng.integers(16, 512))
-        rows.append((i, kind, mime, w if kind == "image" else h,
-                     h if kind == "image" else w, dur, payload))
+        rows.append((i, kind, mime, w, h, dur, payload))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
@@ -817,8 +874,9 @@ FEATURE_SCHEMA = StructType([
 def extract_features(df: DataFrame, deterministic_fake: bool = True) -> DataFrame:
     """Partition-parallel feature extraction over binary payloads via
     ``mapInPandas``. Decode is inherently per-item, but iteration is over
-    plain arrays (no ``iterrows`` row materialization); images/audio use
-    the real numpy decoders, video the deterministic fake."""
+    plain arrays (no ``iterrows`` row materialization); images/audio/video
+    use the real numpy decoders wherever the codec is in-repo or
+    registered; only undecodable codecs take the deterministic fake."""
 
     def fn(batches):
         for pdf in batches:
@@ -834,12 +892,15 @@ def extract_features(df: DataFrame, deterministic_fake: bool = True) -> DataFram
                     block = decode_image(payload,
                                          deterministic_fake=deterministic_fake)
                     mean, dim = float(block.mean()), int(block.size)
-                else:  # video: real decode (AVI or MP4) where the codec
-                    # is in-repo/registered; deterministic fake otherwise
+                else:  # video: real decode (AVI or MP4) where the codec is
+                    # in-repo/registered; deterministic fake for payloads
+                    # with no decodable codec. Corrupt containers (valid
+                    # magic, broken body -> ValueError) propagate loudly —
+                    # corruption must not masquerade as a decoded feature.
                     try:
                         frames, _fps = decode_video(payload)
                         mean, dim = float(frames.mean()), int(frames.size)
-                    except (NotImplementedError, ValueError):
+                    except NotImplementedError:
                         block = decode_image(payload, deterministic_fake=True)
                         mean, dim = float(block.mean()), int(block.size)
                 feats.append((int(mid), kind, len(payload),
