@@ -158,3 +158,36 @@ def test_new_operator_plan_shapes(spark):
     assert "BatchEvalPython" not in physical_plan(lm)
     # token freq, token join, per-doc agg, per-lang agg — never more
     assert exchange_count(lm) <= 4
+
+
+def test_merged_gate_queries_match_their_originals(spark):
+    """The round-4 registry merges must not drift from the single-purpose
+    operators they fold together: every arm of docs_sampling_report
+    reproduces the original sampler's row set, and quantile_sketches
+    carries both families' outputs unchanged."""
+    import __spark_entry__ as entry
+
+    rep = {r["method"]: r for r in
+           entry.q_docs_sampling_report(spark, SF_DIR).collect()}
+    assert set(rep) == {"hash_bucket", "bottomk", "stratified", "weighted"}
+
+    uni = entry.q_docs_uniform_sample(spark, SF_DIR).collect()
+    assert rep["bottomk"]["n_rows"] == len(uni)
+    assert rep["bottomk"]["sum_ids"] == sum(r["doc_id"] for r in uni)
+
+    strat = entry.q_docs_stratified_sample(spark, SF_DIR).collect()
+    assert rep["stratified"]["n_rows"] == len(strat)
+    assert rep["stratified"]["sum_ids"] == sum(r["doc_id"] for r in strat)
+
+    wt = entry.q_docs_weighted_sample(spark, SF_DIR).collect()
+    assert rep["weighted"]["n_rows"] == sum(r["n_kept"] for r in wt)
+    assert rep["weighted"]["sum_ids"] == sum(r["sum_ids"] for r in wt)
+
+    qs = {(r["family"], r["event_type"]): r for r in
+          entry.q_quantile_sketches(spark, SF_DIR).collect()}
+    kll = {r["event_type"]: r for r in
+           entry.q_kll_value_quantiles(spark, SF_DIR).collect()}
+    for et, r in kll.items():
+        m = qs[("kll", et)]
+        assert (m["n_rows"], m["exact_p50"], m["rank_ok"]) == \
+            (r["n_rows"], r["exact_p50"], r["kll_rank_ok"])

@@ -284,3 +284,27 @@ def test_canonical_domain_invariant_under_promoted_splits(vals, nullpos, cut):
     split.add_series(right)
     assert split.theta == direct.theta
     assert np.array_equal(split.retained, direct.retained)
+
+
+@given(st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1))
+@settings(max_examples=200, deadline=None)
+def test_wire_int64_varint_roundtrip_law(v):
+    """Any proto int64 value round-trips through the varint wire form
+    (negative -> 10-byte two's complement, StateTest parity)."""
+    from zetasketch_spark.hll import _parse_proto, _put_varint, wire_int64
+
+    out = bytearray()
+    _put_varint(out, (2 << 3) | 0)
+    _put_varint(out, v)
+    assert wire_int64(_parse_proto(bytes(out))[2]) == v
+
+
+@given(st.integers(min_value=-(1 << 31), max_value=(1 << 31) - 1))
+@settings(max_examples=200, deadline=None)
+def test_wire_int32_varint_roundtrip_law(v):
+    from zetasketch_spark.hll import _parse_proto, _put_varint, wire_int32
+
+    out = bytearray()
+    _put_varint(out, (3 << 3) | 0)
+    _put_varint(out, v)
+    assert wire_int32(_parse_proto(bytes(out))[3]) == v
