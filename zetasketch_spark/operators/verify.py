@@ -229,20 +229,38 @@ def exact_jaccard_pairs(docs: DataFrame, threshold: float,
 def simhash_verified(docs: DataFrame, max_hamming: int = 3,
                      gt_threshold: float = 0.5) -> DataFrame:
     """Ground-truth near-dup pairs (exact shingle Jaccard ≥ gt_threshold)
-    with two booleans pinned true by construction when SimHash is correct:
+    with two booleans pinned true by construction when the pipeline is
+    correct — at EVERY corpus scale:
 
     * ``blocking_ok`` — the 16-bit-prefix blocking theorem: any pair at
       Hamming ≤ max_hamming shares an intact block, so if the signatures
       land that close the pair MUST appear in the operator output.
-    * ``no_false_positives`` — everything the operator emits is a genuine
-      near-dup (member of the ground-truth set)."""
-    from zetasketch_spark.operators.dedup import simhash64, simhash_near_dups
+    * ``verify_consistent`` — exact verification of the simhash candidate
+      set agrees with brute-force ground truth on those pairs: candidates
+      passing the exact-Jaccard verify are exactly the candidates that are
+      genuine near-dups. (SimHash makes NO false-positive guarantee — on
+      large corpora short docs legitimately collide at Hamming ≤ 3, which
+      is why production runs the exact verify this boolean checks; a
+      round-3 global ``no_false_positives`` flag asserted the
+      theory-free claim and honestly failed at sf0.1.)"""
+    from zetasketch_spark.operators.dedup import (
+        simhash64, simhash_near_dups, verify_jaccard)
 
     gt = exact_jaccard_pairs(docs, gt_threshold).localCheckpoint(eager=True)
     found = simhash_near_dups(docs, max_hamming=max_hamming) \
         .select("id_a", "id_b").localCheckpoint(eager=True)
-    n_false_pos = found.join(gt.select("id_a", "id_b"), ["id_a", "id_b"],
-                             "left_anti").count()
+
+    # candidates surviving the production exact-verify step ...
+    ver = verify_jaccard(found, docs, threshold=gt_threshold) \
+        .select("id_a", "id_b")
+    # ... must equal (ground truth ∩ candidates): no extra survivor, no
+    # genuine candidate lost — both engines recompute gt; the candidate
+    # side is the operator under test
+    gt_found = gt.select("id_a", "id_b").join(found, ["id_a", "id_b"])
+    extra = ver.join(gt.select("id_a", "id_b"), ["id_a", "id_b"],
+                     "left_anti").count()
+    missing = gt_found.join(ver, ["id_a", "id_b"], "left_anti").count()
+    verify_consistent = extra == 0 and missing == 0
 
     sigs = simhash64(docs)
     sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("_sig_a"))
@@ -256,7 +274,7 @@ def simhash_verified(docs: DataFrame, max_hamming: int = 3,
             "id_a", "id_b", "jaccard",
             ((F.col("_ham") > max_hamming) | F.coalesce(F.col("_found"), F.lit(False))
              ).alias("blocking_ok"),
-            F.lit(n_false_pos == 0).alias("no_false_positives"),
+            F.lit(verify_consistent).alias("verify_consistent"),
         )
     )
 
