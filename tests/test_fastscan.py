@@ -173,3 +173,27 @@ def test_fastscan_derived_value_sources_pruned(transcripts_path):
 
     assert _value_source(("length", "text")) == "text"
     assert _value_source("conv_id") == "conv_id"
+
+
+def test_rdd_fabric_derived_value_tdigest(spark, transcripts_path):
+    """The derived-value path is family-generic: t-digest over
+    ("length", "text") hits the same rank envelope contract as KLL."""
+    import numpy as np
+
+    from zetasketch_spark.operators.fastscan import sketch_agg_rdd
+    from zetasketch_spark.sketches.tdigest import TDigestFamily
+    from zetasketch_spark.sources.transcripts import load_transcripts
+
+    fam = TDigestFamily(delta=200, quantiles=(0.5,))
+    out = {r["role"]: r for r in
+           sketch_agg_rdd(spark, transcripts_path, ["role"],
+                          ("length", "text"), fam).collect()}
+    pdf = load_transcripts(spark, transcripts_path).select(
+        "role", F.length("text").cast("double").alias("v")).toPandas()
+    for role, g in pdf.groupby("role"):
+        vals = np.sort(g["v"].to_numpy())
+        n = len(vals)
+        est = out[role]["q50"]
+        lo = np.searchsorted(vals, est, side="left") / n
+        hi = np.searchsorted(vals, est, side="right") / n
+        assert lo - 0.05 <= 0.5 <= hi + 0.05, (role, est, lo, hi)
