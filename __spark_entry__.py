@@ -786,9 +786,12 @@ def q_docs_lm_quality(spark, sf_dir):
 
 
 def q_simhash_near_dups(spark, sf_dir):
-    """Ground-truth near-dup pairs + SimHash theorem booleans: any pair at
-    Hamming ≤ 3 must be emitted (prefix-block guarantee) and everything
-    emitted must be a genuine near-dup."""
+    """Ground-truth near-dup pairs + the two theorems SimHash actually
+    makes, as booleans: any pair at Hamming ≤ 3 must be emitted
+    (prefix-block completeness) and everything emitted must truly be at
+    signature Hamming ≤ 3, normalized and duplicate-free (candidate
+    soundness). Jaccard-level precision is NOT claimed — simhash has no
+    such guarantee; production exact-verifies candidates downstream."""
     from zetasketch_spark.operators.verify import simhash_verified
 
     d = _t(spark, sf_dir, "documents")
@@ -1795,7 +1798,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash_near_dups": _SHINGLE_PAIRS + """
             SELECT id_a, id_b, round(j, 4) AS jaccard,
-                   true AS blocking_ok, true AS verify_consistent
+                   true AS blocking_ok, true AS candidates_sound
             FROM pairs WHERE round(j, 4) >= 0.5
         """,
         "docs_winnow_fingerprints": """

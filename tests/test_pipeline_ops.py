@@ -1359,3 +1359,31 @@ def test_mp4_jpeg_roundtrip_and_sample_tables():
     # unsupported codec: extract_features must fail loudly, not fake it
     with pytest.raises(ValueError):
         mm.decode_video(b"RIFF\x00\x00\x00\x20AVI " + b"\x00" * 24)
+
+
+def test_simhash_candidates_sound_is_not_tautological(spark, docs, monkeypatch):
+    """The candidates_sound certificate must flip false when the operator
+    emits a pair that violates the signature-Hamming bound — i.e. it
+    checks the operator, not itself (the first draft compared two
+    computations of the same set and could never fail)."""
+    import pyspark.sql.functions as F
+
+    from zetasketch_spark.operators import dedup as D
+    from zetasketch_spark.operators import verify as V
+
+    healthy = V.simhash_verified(docs, max_hamming=3, gt_threshold=0.5)
+    assert all(r["candidates_sound"] for r in healthy.collect())
+
+    real = D.simhash_near_dups
+
+    def leaky(df, **kw):
+        # a blocking-join bug that leaks one far pair into the candidates
+        bogus = df.sparkSession.createDataFrame(
+            [(1, 50)], "id_a long, id_b long")
+        return real(df, **kw).select("id_a", "id_b").unionByName(bogus)
+
+    # simhash_verified resolves the symbol from the dedup module at call
+    # time, so patch it there
+    monkeypatch.setattr(D, "simhash_near_dups", leaky)
+    broken = V.simhash_verified(docs, max_hamming=3, gt_threshold=0.5)
+    assert not any(r["candidates_sound"] for r in broken.collect())

@@ -191,3 +191,9 @@ def test_merged_gate_queries_match_their_originals(spark):
         m = qs[("kll", et)]
         assert (m["n_rows"], m["exact_p50"], m["rank_ok"]) == \
             (r["n_rows"], r["exact_p50"], r["kll_rank_ok"])
+    td = {r["event_type"]: r for r in
+          entry.q_tdigest_value_quantiles(spark, SF_DIR).collect()}
+    for et, r in td.items():
+        m = qs[("tdigest", et)]
+        assert (m["n_rows"], m["exact_p50"], m["rank_ok"]) == \
+            (r["n_rows"], r["exact_p50"], r["td_rank_ok"])

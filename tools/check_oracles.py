@@ -9,9 +9,9 @@ but as of round 4 every certificate boolean is scale-free (true by
 construction at any sf when the operator is correct) — the round-3
 simhash `no_false_positives` flag asserted a claim simhash theory does
 not make and honestly failed off the gate scale; it is now
-`verify_consistent` (exact verification of the candidate set agrees
-with brute-force ground truth on those pairs). 50/50 verified at
-sf0.001, sf0.01 AND sf0.1.
+`candidates_sound` (every emitted pair truly at signature Hamming <= k,
+normalized, duplicate-free — the precision theorem simhash DOES make).
+50/50 verified at sf0.001, sf0.01 AND sf0.1.
 """
 
 from __future__ import annotations

@@ -235,46 +235,47 @@ def simhash_verified(docs: DataFrame, max_hamming: int = 3,
     * ``blocking_ok`` — the 16-bit-prefix blocking theorem: any pair at
       Hamming ≤ max_hamming shares an intact block, so if the signatures
       land that close the pair MUST appear in the operator output.
-    * ``verify_consistent`` — exact verification of the simhash candidate
-      set agrees with brute-force ground truth on those pairs: candidates
-      passing the exact-Jaccard verify are exactly the candidates that are
-      genuine near-dups. (SimHash makes NO false-positive guarantee — on
-      large corpora short docs legitimately collide at Hamming ≤ 3, which
-      is why production runs the exact verify this boolean checks; a
-      round-3 global ``no_false_positives`` flag asserted the
-      theory-free claim and honestly failed at sf0.1.)"""
-    from zetasketch_spark.operators.dedup import (
-        simhash64, simhash_near_dups, verify_jaccard)
+    * ``candidates_sound`` — the signature-level precision theorem (the
+      only precision guarantee simhash makes): every pair the operator
+      emits really is at Hamming ≤ max_hamming between the two
+      signatures, normalized (id_a < id_b) and duplicate-free. Sensitive
+      to bugs anywhere in the block/bucket/refine/filter chain — a
+      blocking join that leaked a far pair, or a hot-bucket reroute that
+      emitted an unchecked pair, flips it false. (SimHash makes NO
+      Jaccard-level false-positive guarantee — on large corpora short
+      docs legitimately collide at Hamming ≤ 3, which is why production
+      exact-verifies candidates; the round-3 global ``no_false_positives``
+      flag asserted that theory-free claim and honestly failed at
+      sf0.1.)"""
+    from zetasketch_spark.operators.dedup import simhash64, simhash_near_dups
 
     gt = exact_jaccard_pairs(docs, gt_threshold).localCheckpoint(eager=True)
     found = simhash_near_dups(docs, max_hamming=max_hamming) \
         .select("id_a", "id_b").localCheckpoint(eager=True)
 
-    # candidates surviving the production exact-verify step ...
-    ver = verify_jaccard(found, docs, threshold=gt_threshold) \
-        .select("id_a", "id_b")
-    # ... must equal (ground truth ∩ candidates): no extra survivor, no
-    # genuine candidate lost — both engines recompute gt; the candidate
-    # side is the operator under test
-    gt_found = gt.select("id_a", "id_b").join(found, ["id_a", "id_b"])
-    extra = ver.join(gt.select("id_a", "id_b"), ["id_a", "id_b"],
-                     "left_anti").count()
-    missing = gt_found.join(ver, ["id_a", "id_b"], "left_anti").count()
-    verify_consistent = extra == 0 and missing == 0
-
     sigs = simhash64(docs)
     sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("_sig_a"))
     sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("_sig_b"))
+
+    ham = F.bit_count(F.col("_sig_a").bitwiseXOR(F.col("_sig_b")))
+    n_unsound = (
+        found.join(sa, "id_a").join(sb, "id_b")
+        .filter((ham > max_hamming) | (F.col("id_a") >= F.col("id_b")))
+        .count()
+    )
+    n_dup = found.count() - found.distinct().count()
+    candidates_sound = n_unsound == 0 and n_dup == 0
+
     fm = found.withColumn("_found", F.lit(True))
     return (
         gt.join(sa, "id_a").join(sb, "id_b")
         .join(fm, ["id_a", "id_b"], "left")
-        .withColumn("_ham", F.bit_count(F.col("_sig_a").bitwiseXOR(F.col("_sig_b"))))
+        .withColumn("_ham", ham)
         .select(
             "id_a", "id_b", "jaccard",
             ((F.col("_ham") > max_hamming) | F.coalesce(F.col("_found"), F.lit(False))
              ).alias("blocking_ok"),
-            F.lit(verify_consistent).alias("verify_consistent"),
+            F.lit(candidates_sound).alias("candidates_sound"),
         )
     )
 
