@@ -793,3 +793,68 @@ def test_deserialize_wraps_precision_to_int32():
             + _encode_bytes_field(112, hll))
     sk = HllSketch.deserialize(blob)
     assert sk.p == 14
+
+
+def test_normal_repr_cross_precision_sparse_merge_registers():
+    """`NormalRepresentationTest.java:43-152` mirrored at register level:
+
+    * merging a sparse sketch with a LOWER sparse precision downgrades the
+      normal state's sp even when no data conversion happens (:43-54) —
+      serialized (p, sp) must track the minimum seen;
+    * a sparse value from a HIGHER normal precision lands at the
+      downgraded register index with the downgraded rhoW (:56-75);
+    * a sparse value from a LOWER normal precision forces the normal
+      representation itself to downgrade first (:77-97)."""
+    import numpy as np
+
+    from zetasketch_spark.hll import HllSketch, SparseEncoding
+
+    def sparse_with(p, sp, encoded):
+        sk = HllSketch(precision=p, sparse_precision=sp)
+        sk.sparse_values = np.asarray([encoded], dtype=np.int64)
+        sk.num_values = 1
+        return sk
+
+    # (a) sp downgrade without data conversion: normal(10,15) ⊕ sparse(10,13)
+    a = HllSketch(precision=10, sparse_precision=15)
+    a._normalize()
+    assert a.mode == "normal" and a.sp == 15
+    a.merge(sparse_with(10, 13, 0b1))
+    assert a.sp == 13
+
+    # (b) higher-precision sparse value downgraded into p=10 registers
+    enc_hi, enc_lo = SparseEncoding(11, 13), SparseEncoding(10, 13)
+    v = np.asarray([0b1], dtype=np.int64)
+    b = HllSketch(precision=10, sparse_precision=13)
+    b._normalize()
+    b.merge(sparse_with(11, 13, 0b1))
+    down = enc_hi.downgrade(v, enc_lo)
+    exp_idx = int(enc_lo.decode_normal_index(down)[0])
+    exp_rho = int(enc_lo.decode_normal_rho(down)[0])
+    expected = np.zeros(1 << 10, dtype=np.uint8)
+    expected[exp_idx] = exp_rho
+    assert (b.registers == expected).all()
+
+    # (c) lower-precision sparse value downgrades the representation
+    c = HllSketch(precision=11, sparse_precision=13)
+    c._normalize()
+    c.merge(sparse_with(10, 13, 0b1))
+    assert c.p == 10
+    assert (c.registers == expected).all()
+
+
+def test_value_type_registry_semantics():
+    """`ValueTypeTest.java:31-60`: UNKNOWN is 0; DefaultOpsType numbers
+    round-trip through serialization; arbitrary numbers are preserved
+    (custom ids) — mirrored on the HllSketch surface."""
+    import numpy as np
+
+    from zetasketch_spark import hll as H
+
+    assert H.VALUE_TYPE_UNKNOWN == 0
+    for vt in (H.VALUE_TYPE_UINT32, H.VALUE_TYPE_UINT64):
+        sk = H.HllSketch(precision=10, value_type=vt)
+        assert H.HllSketch.deserialize(sk.serialize()).value_type == vt
+    sk = H.HllSketch(precision=10)
+    sk.add_custom(np.asarray([123], dtype=np.uint64), 12345)
+    assert H.HllSketch.deserialize(sk.serialize()).value_type == 12345
