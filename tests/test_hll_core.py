@@ -805,9 +805,7 @@ def test_normal_repr_cross_precision_sparse_merge_registers():
       downgraded register index with the downgraded rhoW (:56-75);
     * a sparse value from a LOWER normal precision forces the normal
       representation itself to downgrade first (:77-97)."""
-    import numpy as np
-
-    from zetasketch_spark.hll import HllSketch, SparseEncoding
+    from zetasketch_spark.hll import SparseEncoding
 
     def sparse_with(p, sp, encoded):
         sk = HllSketch(precision=p, sparse_precision=sp)
@@ -831,6 +829,10 @@ def test_normal_repr_cross_precision_sparse_merge_registers():
     down = enc_hi.downgrade(v, enc_lo)
     exp_idx = int(enc_lo.decode_normal_index(down)[0])
     exp_rho = int(enc_lo.decode_normal_rho(down)[0])
+    # hand-derived (NOT via the implementation): encoded 0b1 under
+    # (11,13) is the plain 13-bit sparse index 1; its top 10 bits give
+    # register 0 and the remaining bits 001 give rho = 2 zeros + 1 = 3
+    assert (exp_idx, exp_rho) == (0, 3)
     expected = np.zeros(1 << 10, dtype=np.uint8)
     expected[exp_idx] = exp_rho
     assert (b.registers == expected).all()
@@ -847,8 +849,6 @@ def test_value_type_registry_semantics():
     """`ValueTypeTest.java:31-60`: UNKNOWN is 0; DefaultOpsType numbers
     round-trip through serialization; arbitrary numbers are preserved
     (custom ids) — mirrored on the HllSketch surface."""
-    import numpy as np
-
     from zetasketch_spark import hll as H
 
     assert H.VALUE_TYPE_UNKNOWN == 0
