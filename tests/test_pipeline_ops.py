@@ -1387,3 +1387,37 @@ def test_simhash_candidates_sound_is_not_tautological(spark, docs, monkeypatch):
     monkeypatch.setattr(D, "simhash_near_dups", leaky)
     broken = V.simhash_verified(docs, max_hamming=3, gt_threshold=0.5)
     assert not any(r["candidates_sound"] for r in broken.collect())
+
+
+def test_join_size_estimate_inner_product_bound(spark):
+    """CM inner-product join-size estimate (Cormode-Muthukrishnan §4.2)
+    on planted multiplicities: never undercounts the true
+    sum-of-products, lands within the eps*n_a*n_b slack, and a key
+    present on only one side contributes nothing exact-side."""
+    import pandas as pd
+
+    from zetasketch_spark.operators.joinprofile import join_size_estimate
+
+    # A: key i appears (i % 7 + 1) times over 500 keys; B: key i appears
+    # (i % 5 + 1) times over keys 250..749 -> true join size is the dot
+    # product over the 250-key overlap
+    a_rows = [(f"k{i}",) for i in range(500) for _ in range(i % 7 + 1)]
+    b_rows = [(f"k{i}",) for i in range(250, 750) for _ in range(i % 5 + 1)]
+    true = sum((i % 7 + 1) * (i % 5 + 1) for i in range(250, 500))
+    da = spark.createDataFrame(pd.DataFrame(a_rows, columns=["k"]))
+    db = spark.createDataFrame(pd.DataFrame(b_rows, columns=["k"]))
+
+    row = join_size_estimate(da, "k", db, "k", width=8192, depth=5).collect()[0]
+    assert row["n_a"] == len(a_rows) and row["n_b"] == len(b_rows)
+    assert row["est_join_size"] >= true          # CM never undercounts
+    assert row["est_join_size"] <= true + row["eps_bound"]
+    # expected collision overcount per row is ~n_a*n_b/width; the
+    # min-of-depth estimate should sit well inside a few multiples of it
+    assert row["est_join_size"] <= true + 3 * len(a_rows) * len(b_rows) / 8192
+
+    # disjoint key sets -> inner product is pure collision noise, far
+    # below any real overlap signal
+    dc = spark.createDataFrame(
+        pd.DataFrame([(f"x{i}",) for i in range(500)], columns=["k"]))
+    row2 = join_size_estimate(da, "k", dc, "k", width=8192, depth=5).collect()[0]
+    assert row2["est_join_size"] <= row2["eps_bound"]

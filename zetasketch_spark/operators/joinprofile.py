@@ -63,3 +63,60 @@ def join_key_profile(df_a: DataFrame, key_a: str, df_b: DataFrame,
     ]], columns=["distinct_a", "distinct_b", "union_distinct", "overlap",
                  "a_not_b", "b_not_a", "containment_a_in_b",
                  "containment_b_in_a", "jaccard", "rse"]))
+
+
+def _global_cm(df: DataFrame, key: str, width: int, depth: int):
+    from zetasketch_spark.operators.agg import SKETCH_COL, sketch_partial
+    from zetasketch_spark.sketches.countmin import CountMinFamily, CountMinSketch
+
+    fam = CountMinFamily(width=width, depth=depth, max_candidates=8)
+    acc: CountMinSketch | None = None
+    for row in sketch_partial(df, [], key, fam).collect():
+        if row[SKETCH_COL] is None:
+            continue
+        part = CountMinSketch.deserialize(bytes(row[SKETCH_COL]))
+        acc = part if acc is None else fam.merge(acc, part)
+    return acc or CountMinSketch(width=width, depth=depth, max_candidates=8)
+
+
+def join_size_estimate(df_a: DataFrame, key_a: str, df_b: DataFrame,
+                       key_b: str, width: int = 8192,
+                       depth: int = 5) -> DataFrame:
+    """Approximate |A ⋈ B| — join cardinality WITH multiplicity — via the
+    Count-Min inner product (Cormode & Muthukrishnan 2005, §4.2): both
+    key columns are sketched with the SAME hash functions (fixed double
+    hashing, instance-independent), the per-row estimate is the dot
+    product of counter rows, and the final estimate is the row minimum.
+
+    Published guarantee: ``true <= estimate`` always (counters only
+    overcount), and ``estimate <= true + eps * n_a * n_b`` with
+    probability >= 1 - delta, where ``eps = e/width`` and
+    ``delta = e^-depth``. `join_key_profile` answers the DISTINCT-key
+    overlap questions; this answers the row-blowup question a planner
+    needs before a many-to-many join.
+
+    Execution shape mirrors join_key_profile: one shuffle-free scan per
+    side (per-partition CM partials; raw keys never leave their
+    partition), driver merges O(partitions * width * depth) counters.
+
+    Returns one row: ``est_join_size, n_a, n_b, eps_bound`` where
+    eps_bound = est upper slack eps * n_a * n_b.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    spark = df_a.sparkSession
+    a = _global_cm(df_a, key_a, width, depth)
+    b = _global_cm(df_b, key_b, width, depth)
+    dots = (a.counters.astype(np.float64) * b.counters.astype(np.float64)
+            ).sum(axis=1)
+    est = int(dots.min())
+    eps = math.e / width
+    return spark.createDataFrame(pd.DataFrame([{
+        "est_join_size": est,
+        "n_a": int(a.total),
+        "n_b": int(b.total),
+        "eps_bound": int(math.ceil(eps * a.total * b.total)),
+    }]))
