@@ -197,3 +197,24 @@ def test_merged_gate_queries_match_their_originals(spark):
         m = qs[("tdigest", et)]
         assert (m["n_rows"], m["exact_p50"], m["rank_ok"]) == \
             (r["n_rows"], r["exact_p50"], r["td_rank_ok"])
+
+
+def test_merged_query_plan_shapes(spark):
+    """Physical-plan guards for the round-4 merged gate queries: the
+    bottom-k sampler arm must run as TakeOrderedAndProject (per-partition
+    top-k, no global sort) and the sampling report must not introduce a
+    cartesian product; the dedup report's distinct counts stay partial-
+    aggregated (no raw-text shuffle of the whole corpus rows)."""
+    import __spark_entry__ as entry
+
+    rep = entry.q_docs_sampling_report(spark, SF_DIR)
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+    ded = entry.q_docs_dedup_report(spark, SF_DIR)
+    dplan = ded._jdf.queryExecution().executedPlan().toString()
+    # count(DISTINCT md5(text)) must partial-aggregate before the
+    # exchange: the shuffle carries (key, fingerprint), never raw text
+    assert "partial_count" in dplan.lower() or "HashAggregate" in dplan
+    assert "CartesianProduct" not in dplan
