@@ -1,0 +1,89 @@
+"""End-to-end `spark-submit --py-files` contract (the north_rule's literal
+run shape).
+
+Runs jobs/transcripts_hll_job.py as a real spark-submit subprocess — the
+package is shipped ONLY via the --py-files zip (PYTHONPATH scrubbed, cwd
+outside the repo, and the job script lives in jobs/ which does not contain
+the package) — twice over the same input + checkpoint dir, and asserts:
+
+* run 1 computes every partition, writes parquet, and every per-role
+  estimate lands inside the published HLL++ envelope vs the exact
+  DuckDB COUNT(DISTINCT);
+* run 2 resumes from checkpoint (computes 0 partitions, resumes all) and
+  produces byte-identical rows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+JOB = os.path.join(REPO, "jobs", "transcripts_hll_job.py")
+
+spark_submit = shutil.which("spark-submit")
+
+
+def _run_job(zip_path, args):
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env.setdefault("PYSPARK_PYTHON", sys.executable)
+    env.setdefault("PYSPARK_DRIVER_PYTHON", sys.executable)
+    proc = subprocess.run(
+        [spark_submit, "--master", "local[2]",
+         "--conf", "spark.sql.shuffle.partitions=4",
+         "--conf", "spark.ui.enabled=false",
+         "--py-files", zip_path, JOB] + args,
+        capture_output=True, text=True, timeout=300,
+        cwd=os.path.dirname(zip_path), env=env)
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    metrics = None
+    for line in proc.stdout.splitlines():
+        if line.startswith("METRICS "):
+            metrics = json.loads(line[len("METRICS "):])
+    return metrics
+
+
+@pytest.mark.skipif(spark_submit is None, reason="spark-submit not on PATH")
+def test_spark_submit_pyfiles_checkpoint_resume(tmp_path):
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from tools.make_pyfiles_zip import main as make_zip
+    from zetasketch_spark.sources.transcripts import write_transcripts_parquet
+
+    zip_path = make_zip(str(tmp_path / "zetasketch_spark.zip"))
+    inp = str(tmp_path / "transcripts")
+    write_transcripts_parquet(inp, n_turns=20_000, seed=7, n_convs=500)
+
+    ckpt = str(tmp_path / "ckpt")
+    out1, out2 = str(tmp_path / "out1"), str(tmp_path / "out2")
+    common = ["--input", inp, "--keys", "role", "--col", "conv_id",
+              "--precision", "13", "--checkpoint-dir", ckpt]
+
+    m1 = _run_job(zip_path, common + ["--output", out1])
+    assert m1 is not None
+    assert m1["partitions_computed"] > 0 and m1["partitions_resumed"] == 0
+
+    m2 = _run_job(zip_path, common + ["--output", out2])
+    assert m2["partitions_computed"] == 0
+    assert m2["partitions_resumed"] == m1["n_partitions"]
+
+    t1 = pq.read_table(out1)
+    t2 = pq.read_table(out2)
+    got1 = {r["role"]: r["estimate"] for r in t1.to_pylist()}
+    got2 = {r["role"]: r["estimate"] for r in t2.to_pylist()}
+    assert got1 == got2 and got1
+
+    con = duckdb.connect()
+    exact = dict(con.execute(
+        "SELECT role, count(DISTINCT conv_id) FROM "
+        f"read_parquet('{inp}/*.parquet') GROUP BY role").fetchall())
+    assert set(got1) == set(exact)
+    envelope = 1.04 / (2 ** 13) ** 0.5
+    for role, est in got1.items():
+        assert abs(est / exact[role] - 1) <= envelope, (role, est, exact[role])
