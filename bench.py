@@ -139,6 +139,20 @@ def main():
     spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
         .select(F.sum(F.size("embedding"))).collect()
 
+    # box-speed calibration: a FIXED pure-JVM workload (whole-stage
+    # codegen, no I/O, no Python) — identical bytes every round, so its
+    # time moves only with the machine. Cross-round comparisons divide by
+    # the calibration ratio before believing a "regression": round 4's
+    # sandbox ran the same untouched JVM-only queries ~2x slower than
+    # round 3's box at identical code (BENCH/BASELINE.md note).
+    calibration = None
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(2_000_000_000, numPartitions=cpus).selectExpr(
+            "sum(id * 3 + id % 7) AS s").collect()
+        el = time.time() - t0
+        calibration = el if calibration is None else min(calibration, el)
+
     # bench the pure operator versions: the gate versions carry an exact
     # twin computation (their verification payload), which would measure
     # the oracle rather than the operator
@@ -292,16 +306,26 @@ def main():
                 rec = json.load(fh)
             # the driver wraps bench.py's JSON line under "parsed"
             base = {}
+            prior_cal = None
             if isinstance(rec, dict):
                 parsed = rec.get("parsed")
                 base = rec.get("queries") \
                     or (parsed.get("queries", {}) if isinstance(parsed, dict) else {})
+                prior_cal = rec.get("calibration_sec") or (
+                    parsed.get("calibration_sec") if isinstance(parsed, dict)
+                    else None)
+            # a slower box inflates every row at identical code: when the
+            # prior record carries the calibration row, scale its baselines
+            # to this box's speed before comparing
+            box_ratio = (calibration / prior_cal
+                         if prior_cal and prior_cal > 0 else 1.0)
             # contended boxes produce 1.5-2x inflation on every row — only
             # flag regressions from clean (solo) runs
             for name, t in (timings.items() if solo else ()):
                 b = base.get(name)
-                if b and b > 0.2 and t > 1.5 * b:
-                    regressions[name] = {"baseline": b, "now": t}
+                if b and b > 0.2 and t > 1.5 * b * box_ratio:
+                    regressions[name] = {"baseline": b, "now": t,
+                                         "box_ratio": round(box_ratio, 2)}
         except (OSError, ValueError):
             pass
 
@@ -316,6 +340,7 @@ def main():
         "cpus": cpus,
         "baseline_round": prior[-1] if prior else None,
         "regressions": regressions,
+        "calibration_sec": round(calibration, 3),
         "solo": solo,
         "sf1_queries": sf1_timings,
         "sf1_total": round(sum(sf1_timings.values()), 3),
