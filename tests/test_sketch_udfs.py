@@ -114,6 +114,38 @@ def test_sql_registration(spark, transcripts_path):
     assert all(r["approx"] > 0 and r["n_values"] > 0 for r in out)
 
 
+def test_sql_bigquery_hll_count_aliases(spark, transcripts_path):
+    """The literal BigQuery spelling (HLL_COUNT.INIT / MERGE_PARTIAL /
+    MERGE / EXTRACT, dots as underscores) resolves to the same kernels:
+    alias results are IDENTICAL to the native names, and MERGE is the
+    merge+extract composite (BIGINT; 0 over all-null input)."""
+    from zetasketch_spark.functions.sketch_udfs import register_sql
+    from zetasketch_spark.sources.transcripts import load_transcripts
+
+    register_sql(spark)
+    load_transcripts(spark, transcripts_path).createOrReplaceTempView("turns")
+    spark.sql("""
+        SELECT role, tool,
+               hll_count_init(conv_id, 12, 'string') AS sk_bq,
+               hll_init_agg(conv_id, 12, 'string') AS sk
+        FROM turns GROUP BY role, tool
+    """).createOrReplaceTempView("partials")
+    out = spark.sql("""
+        SELECT role,
+               hll_count_merge(sk_bq) AS merged_bq,
+               hll_count_extract(hll_count_merge_partial(sk_bq)) AS extracted_bq,
+               hll_estimate(hll_merge_agg(sk)) AS native
+        FROM partials GROUP BY role
+    """).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r["merged_bq"] == r["extracted_bq"] == r["native"] > 0
+    empty = spark.sql(
+        "SELECT hll_count_merge(CAST(NULL AS BINARY)) AS e FROM range(3)"
+    ).collect()
+    assert empty[0]["e"] == 0
+
+
 def test_custom_value_type_registry():
     """Custom value types (> 1000, proto/custom-value-type.proto): the
     aggregator records the id, enforces merge compatibility on it, and

@@ -12,7 +12,10 @@ states (same ``AggregatorStateProto`` wire format):
 * ``register_sql(spark)``             — expose them to ``spark.sql``; the
   SQL init form is ``hll_init_agg(col, precision, typeof(col))`` (the
   third argument pins the hash domain from the declared type, exactly
-  like the DataFrame surface)
+  like the DataFrame surface). SQL also gets the literal BigQuery
+  spelling — ``hll_count_init`` / ``hll_count_merge_partial`` /
+  ``hll_count_merge`` (merge+extract composite, BIGINT) /
+  ``hll_count_extract`` — so queries port with a dot→underscore rename.
 
 The grouped-agg form shuffles raw values per group (Catalyst's own
 aggregation path), which is the convenient-but-shuffle-heavy shape; for
@@ -373,6 +376,32 @@ def register_sql(spark) -> None:
     # domain exactly like the DataFrame surface, so the two surfaces
     # produce byte-identical states for the same column
     spark.udf.register("hll_init_agg", _init)
+
+    # Literal BigQuery HLL_COUNT.* spelling (dots aren't valid in Spark
+    # function names, so underscores): the reference's production surface
+    # is HLL_COUNT.INIT / MERGE_PARTIAL / MERGE / EXTRACT, and states are
+    # wire-compatible both ways (byte-exact goldens, tests/test_ref_goldens
+    # .py). MERGE is the one composite: merge partials AND extract, BIGINT.
+    spark.udf.register("hll_count_init", _init)
+    spark.udf.register("hll_count_merge_partial",
+                       _merge_agg_udf(HllSketch.deserialize))
+    spark.udf.register("hll_count_extract", _estimate_udf())
+
+    @pandas_udf("long")
+    def _merge_extract(states: pd.Series) -> int:
+        acc = None
+        for b in states:
+            if b is None:
+                continue
+            sk = HllSketch.deserialize(bytes(b))
+            if acc is None:
+                acc = sk
+            else:
+                acc.merge(sk)
+        # BigQuery HLL_COUNT.MERGE over zero non-null sketches returns 0
+        return int(acc.estimate()) if acc is not None else 0
+
+    spark.udf.register("hll_count_merge", _merge_extract)
 
     @pandas_udf("binary")
     def _kll_init(values: pd.Series, k: pd.Series) -> bytes:
