@@ -595,13 +595,20 @@ def q_docs_gopher_filters(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     flags = gopher_quality_flags("text")
     d = d.select("lang", *(c.alias(n) for n, c in flags.items()))
+    # sum_mean_len_e4: per-doc mean word length quantized to 1e-4 BEFORE
+    # the aggregate, then an integer SUM. A float avg() here is summed in
+    # partition order, which differs between this replica and the driver's
+    # session — an order-free integer rendering cannot knife-edge (the
+    # per-doc value is one exact int/int division, bit-identical on both
+    # engines).
     return (
         d.groupBy("lang")
         .agg(F.count("*").alias("n_docs"),
              F.sum(F.col("words_ok").cast("long")).alias("n_words_ok"),
              F.sum(F.col("mean_len_ok").cast("long")).alias("n_mean_len_ok"),
              F.sum(F.col("alpha_ok").cast("long")).alias("n_alpha_ok"),
-             F.round(F.avg("mean_word_len"), 4).alias("avg_mean_word_len"))
+             F.sum(F.round(F.col("mean_word_len") * 10000).cast("long"))
+              .alias("sum_mean_len_e4"))
     )
 
 
@@ -771,17 +778,21 @@ def q_docs_lm_quality(spark, sf_dir):
     mean token log-probability under the corpus's own unigram
     distribution, aggregated per lang. Exact arithmetic over exact
     counts, so DuckDB recomputes it from the same tokenizer."""
-    from zetasketch_spark.operators.lmscore import unigram_logprob
+    from zetasketch_spark.operators.lmscore import unigram_logprob_e4
 
     d = _t(spark, sf_dir, "documents")
-    lp = unigram_logprob(d).join(d.select("doc_id", "lang"), "doc_id")
+    lp = unigram_logprob_e4(d).join(d.select("doc_id", "lang"), "doc_id")
+    # integer renderings only (see unigram_logprob_e4): a float avg() of
+    # per-doc scores is summed in partition order and can knife-edge
+    # against the driver's session config; sum/min/max of the quantized
+    # per-doc integers cannot.
     return (
         lp.groupBy("lang")
         .agg(F.count("*").alias("n_docs"),
              F.sum("n_tokens").alias("n_tokens"),
-             F.round(F.avg("avg_logprob"), 4).alias("avg_lp"),
-             F.round(F.min("avg_logprob"), 4).alias("min_lp"),
-             F.round(F.max("avg_logprob"), 4).alias("max_lp"))
+             F.sum("alp_e4").alias("sum_alp_e4"),
+             F.min("alp_e4").alias("min_alp_e4"),
+             F.max("alp_e4").alias("max_alp_e4"))
     )
 
 
@@ -1982,7 +1993,8 @@ def oracle_sql() -> dict[str, str]:
                      AS BIGINT) AS n_mean_len_ok,
                    CAST(sum(CASE WHEN alpha_ratio >= 0.8 THEN 1 ELSE 0 END)
                      AS BIGINT) AS n_alpha_ok,
-                   round(avg(round(mean_len, 4)), 4) AS avg_mean_word_len
+                   CAST(sum(CAST(round(mean_len * 10000) AS BIGINT))
+                     AS BIGINT) AS sum_mean_len_e4
             FROM m GROUP BY lang
         """,
         "docs_pii_scrub": _pii_oracle_sql(),
@@ -2087,16 +2099,22 @@ def oracle_sql() -> dict[str, str]:
               SELECT sum(tf) AS total FROM freq
             ), perdoc AS (
               SELECT t.doc_id, count(*) AS n_tokens,
-                     avg(ln(f.tf::DOUBLE / (SELECT total FROM tot))) AS alp
+                     sum(CAST(round(ln(f.tf::DOUBLE / (SELECT total FROM tot))
+                                    * 10000) AS BIGINT)) AS sum_lp_e4
               FROM toks t JOIN freq f USING (token)
               GROUP BY t.doc_id
+            ), alp AS (
+              SELECT doc_id, n_tokens,
+                     CAST(round(sum_lp_e4::DOUBLE / n_tokens) AS BIGINT)
+                       AS alp_e4
+              FROM perdoc
             )
             SELECT d.lang, count(*) AS n_docs,
-                   CAST(sum(p.n_tokens) AS BIGINT) AS n_tokens,
-                   round(avg(p.alp), 4) AS avg_lp,
-                   round(min(p.alp), 4) AS min_lp,
-                   round(max(p.alp), 4) AS max_lp
-            FROM perdoc p JOIN documents d USING (doc_id)
+                   CAST(sum(a.n_tokens) AS BIGINT) AS n_tokens,
+                   CAST(sum(a.alp_e4) AS BIGINT) AS sum_alp_e4,
+                   min(a.alp_e4) AS min_alp_e4,
+                   max(a.alp_e4) AS max_alp_e4
+            FROM alp a JOIN documents d USING (doc_id)
             GROUP BY d.lang
         """,
         "events_sessions": """

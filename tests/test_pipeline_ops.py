@@ -1062,6 +1062,17 @@ def test_unigram_logprob_exact(spark):
     # gibberish (rare tokens) scores strictly below fluent (common tokens)
     assert got[2]["avg_logprob"] < got[0]["avg_logprob"]
 
+    # the order-free integer rendering (gate shape): per-token quantize,
+    # integer sum, divide-then-round — closed-form check
+    from zetasketch_spark.operators.lmscore import unigram_logprob_e4
+
+    e4 = {r["doc_id"]: r for r in unigram_logprob_e4(docs).collect()}
+    q = lambda tf: round(math.log(tf / 10.0) * 10000)
+    assert e4[0]["alp_e4"] == round(4 * q(6) / 4) == q(6)
+    assert e4[1]["alp_e4"] == round((2 * q(6) + 2 * q(2)) / 4)
+    assert e4[2]["alp_e4"] == q(1)
+    assert all(e4[i]["n_tokens"] == got[i]["n_tokens"] for i in e4)
+
 
 def test_jpeg_marker_edge_cases():
     """Spec-conformance edges: fill bytes before markers (T.81 B.1.1.2)

@@ -43,3 +43,32 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text",
     return (scored.groupBy(id_col)
             .agg(F.count("*").alias("n_tokens"),
                  F.avg("_lp").alias("avg_logprob")))
+
+
+def unigram_logprob_e4(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Order-free integer rendering of :func:`unigram_logprob` for
+    cross-engine comparison: per-document ``(id, n_tokens, alp_e4)``
+    where each token's log-prob is quantized to 1e-4 BEFORE any
+    aggregate (``round(ln(tf/total)·10⁴)`` is one deterministic double
+    op per token), the per-doc total is an integer SUM (associative in
+    exact arithmetic — partition order cannot change it, unlike a float
+    ``avg()``), and ``alp_e4`` is that sum divided by ``n_tokens`` and
+    rounded (again a single deterministic op). The only cross-engine
+    float exposure left is the libm ``ln`` ULP, which value-quantization
+    makes a measure-zero risk."""
+    toks = _tokens(docs, text_col, id_col)
+    freq = toks.groupBy("token").agg(F.count("*").alias("_tf"))
+    total = freq.select(F.sum("_tf").alias("_total"))
+    scored = (toks.join(freq, "token")
+              .crossJoin(F.broadcast(total))
+              .withColumn("_lp_e4",
+                          F.round(F.log(F.col("_tf") / F.col("_total"))
+                                  * 10000).cast("long")))
+    perdoc = (scored.groupBy(id_col)
+              .agg(F.count("*").alias("n_tokens"),
+                   F.sum("_lp_e4").alias("_sum_lp_e4")))
+    return perdoc.select(
+        id_col, "n_tokens",
+        F.round(F.col("_sum_lp_e4") / F.col("n_tokens"))
+         .cast("long").alias("alp_e4"))
