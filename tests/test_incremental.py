@@ -1,0 +1,144 @@
+"""Incremental sketch-table maintenance (operators/incremental.py):
+delta-by-delta updates must equal a single-shot aggregation over the full
+input (merge associativity — the reference's serialized-aggregator
+contract, HyperLogLogPlusPlus.java:60-96), survive crashes, and replay
+deltas idempotently."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from zetasketch_spark.operators.agg import SKETCH_COL, sketch_agg
+from zetasketch_spark.operators.incremental import SketchTable
+from zetasketch_spark.sketches.base import HllFamily
+from zetasketch_spark.sketches.kll import KllFamily
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _events(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+
+
+def _by_key(df, keys, cols):
+    return {tuple(r[k] for k in keys): tuple(r[c] for c in cols)
+            for r in df.collect()}
+
+
+def test_incremental_equals_single_shot(spark, tmp_path):
+    """Three day-sliced deltas folded in sequence == one aggregation over
+    the union: identical estimates AND identical serialized states."""
+    events = _events(spark).withColumn("day", F.dayofmonth("ts"))
+    fam = HllFamily(precision=13)
+    table = SketchTable(str(tmp_path / "tbl"), ["event_type"], "user_id", fam)
+
+    slices = [events.filter(F.col("day") % 3 == i) for i in range(3)]
+    for i, sl in enumerate(slices):
+        m = table.update(spark, sl, fingerprint=f"slice-{i}")
+        assert m["applied"] and m["version"] == i + 1
+
+    got = _by_key(table.results(spark, keep_sketch=True),
+                  ["event_type"], ["estimate", "rows_seen", SKETCH_COL])
+    want = _by_key(sketch_agg(events, ["event_type"], "user_id", fam,
+                              keep_sketch=True),
+                   ["event_type"], ["estimate", "rows_seen", SKETCH_COL])
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0], f"estimate diverged for {k}"
+        assert got[k][1] == want[k][1], f"rows_seen diverged for {k}"
+        assert bytes(got[k][2]) == bytes(want[k][2]), \
+            f"serialized state diverged for {k}"
+
+
+def test_replayed_delta_is_noop(spark, tmp_path):
+    events = _events(spark)
+    fam = HllFamily(precision=12)
+    table = SketchTable(str(tmp_path / "tbl"), ["event_type"], "user_id", fam)
+    table.update(spark, events, fingerprint="day-2024-01-01")
+    before = _by_key(table.results(spark), ["event_type"], ["estimate"])
+
+    m = table.update(spark, events, fingerprint="day-2024-01-01")
+    assert m["applied"] is False
+    assert table.latest_version() == 1
+    assert _by_key(table.results(spark), ["event_type"], ["estimate"]) == before
+
+    # the same rows under a NEW fingerprint do apply (distinct-counting
+    # sketches absorb them without changing the estimate)
+    m2 = table.update(spark, events, fingerprint="day-2024-01-02")
+    assert m2["applied"] and table.latest_version() == 2
+    assert _by_key(table.results(spark), ["event_type"], ["estimate"]) == before
+
+
+def test_crash_orphan_version_is_invisible_and_never_reused(spark, tmp_path):
+    events = _events(spark)
+    fam = HllFamily(precision=12)
+    table = SketchTable(str(tmp_path / "tbl"), ["event_type"], "user_id", fam)
+    table.update(spark, events.limit(500), fingerprint="d0")
+    v1 = _by_key(table.results(spark), ["event_type"], ["estimate"])
+
+    # simulate a writer that died after the parquet write but before the
+    # LATEST commit: the orphan must be invisible and its number burned
+    os.makedirs(str(tmp_path / "tbl" / "v00002"))
+    assert table.latest_version() == 1
+    assert _by_key(table.results(spark), ["event_type"], ["estimate"]) == v1
+
+    m = table.update(spark, events, fingerprint="d1")
+    assert m["applied"] and m["version"] == 3  # orphan v2 skipped
+    assert table.latest_version() == 3
+
+
+def test_empty_table_reads_none(spark, tmp_path):
+    fam = HllFamily(precision=12)
+    table = SketchTable(str(tmp_path / "tbl"), ["event_type"], "user_id", fam)
+    assert table.read(spark) is None
+    assert table.results(spark) is None
+    assert table.applied_fingerprints() == set()
+
+
+def test_family_generic_kll(spark, tmp_path):
+    """The table is family-generic: KLL quantiles over two value-sliced
+    deltas match the single-shot aggregation."""
+    events = _events(spark)
+    fam = KllFamily(k=200, quantiles=(0.5, 0.9))
+    table = SketchTable(str(tmp_path / "tbl"), ["event_type"], "value", fam)
+    table.update(spark, events.filter(F.col("user_id") % 2 == 0), fingerprint="a")
+    table.update(spark, events.filter(F.col("user_id") % 2 == 1), fingerprint="b")
+
+    res_cols = [n for n, _ in fam.result_fields]
+    got = _by_key(table.results(spark), ["event_type"], res_cols)
+    want = _by_key(sketch_agg(events, ["event_type"], "value", fam),
+                   ["event_type"], res_cols)
+    assert set(got) == set(want)
+    # KLL is rank-approximate but deterministic only for a fixed insertion
+    # order; across different split orders the quantiles must agree within
+    # the family's rank-error envelope, checked against the exact values
+    exact = {r["event_type"]: (r["p50"], r["p90"]) for r in
+             events.groupBy("event_type")
+             .agg(F.expr("percentile(value, 0.5)").alias("p50"),
+                  F.expr("percentile(value, 0.9)").alias("p90")).collect()}
+    lo = _by_key(_events(spark).groupBy("event_type").agg(
+        F.min("value").alias("mn"), F.max("value").alias("mx")),
+        ["event_type"], ["mn", "mx"])
+    for k in want:
+        spread = lo[k][1] - lo[k][0]
+        for got_v, exact_v in zip(got[k], exact[k[0]]):
+            assert abs(got_v - exact_v) <= 0.05 * spread + 1e-9
+
+
+def test_snapshot_log_records_lineage(spark, tmp_path):
+    events = _events(spark)
+    fam = HllFamily(precision=12)
+    tdir = str(tmp_path / "tbl")
+    table = SketchTable(tdir, ["event_type"], "user_id", fam)
+    table.update(spark, events.limit(100), fingerprint="f0")
+    table.update(spark, events.limit(200), fingerprint="f1")
+    with open(os.path.join(tdir, "snapshots.jsonl")) as f:
+        recs = [json.loads(line) for line in f]
+    assert [r["version"] for r in recs] == [1, 2]
+    assert recs[1]["fingerprints"] == ["f0", "f1"]
+    assert all(r["n_keys"] > 0 for r in recs)
+    assert table.applied_fingerprints() == {"f0", "f1"}
