@@ -268,6 +268,32 @@ def main():
             best = el if best is None else min(best, el)
         extra_timings[name] = round(best, 3)
 
+    # incremental sketch-table maintenance (operators/incremental.py): fold
+    # a ~10% delta of the 10M-turn table into a snapshot built from the
+    # other ~90%, vs rebuilding from the full history through the same
+    # pandas/Arrow fabric. The delta row tracking the delta size (not the
+    # history) is the O(delta + n_keys) claim, measured.
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from zetasketch_spark.operators.incremental import SketchTable
+
+    inc_dir = tempfile.mkdtemp(prefix="zs_inc_tbl_")
+    try:
+        shard = F.pmod(F.crc32(F.col("conv_id")), F.lit(10))
+        table = SketchTable(inc_dir, ["role"], "conv_id", HllFamily(precision=15))
+        table.update(spark, tdf.filter(shard != 0), fingerprint="history")  # setup
+        t0 = time.time()
+        table.update(spark, tdf.filter(shard == 0), fingerprint="delta")
+        extra_timings["incremental_delta_update"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        sketch_agg(tdf, ["role"], "conv_id", HllFamily(precision=15)).count()
+        extra_timings["incremental_full_rebuild"] = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(inc_dir, ignore_errors=True)
+
     # sf1 section (10x data, deterministic, generated once into data/sf1):
     # measures the kernels instead of the sandbox's fixed per-stage costs.
     # Disable with SPARK_GRAFT_SF1=0.
