@@ -39,6 +39,12 @@ def main(argv=None):
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--output", default=None)
     ap.add_argument("--tree-levels", type=int, default=1)
+    ap.add_argument("--sketch-table", default=None,
+                    help="maintain a persistent (keys -> sketch) snapshot "
+                         "table at this directory instead of a one-shot "
+                         "aggregation: --input is treated as the arriving "
+                         "delta and folded in (idempotent per input "
+                         "fingerprint; see operators/incremental.py)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -64,7 +70,17 @@ def main(argv=None):
     if "day" in keys:
         df = with_day(df)
 
-    if args.checkpoint_dir:
+    if args.sketch_table:
+        from zetasketch_spark.operators.checkpoint import input_fingerprint
+        from zetasketch_spark.operators.incremental import SketchTable
+
+        table = SketchTable(args.sketch_table, keys, args.col, fam)
+        metrics = table.update(spark, df,
+                               fingerprint=input_fingerprint([args.input]),
+                               tree_levels=args.tree_levels)
+        print("METRICS " + json.dumps(metrics))
+        result = table.results(spark)
+    elif args.checkpoint_dir:
         from zetasketch_spark.operators.checkpoint import checkpointed_sketch_agg
 
         result, metrics = checkpointed_sketch_agg(

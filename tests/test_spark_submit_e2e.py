@@ -87,3 +87,44 @@ def test_spark_submit_pyfiles_checkpoint_resume(tmp_path):
     envelope = 1.04 / (2 ** 13) ** 0.5
     for role, est in got1.items():
         assert abs(est / exact[role] - 1) <= envelope, (role, est, exact[role])
+
+
+@pytest.mark.skipif(spark_submit is None, reason="spark-submit not on PATH")
+def test_spark_submit_sketch_table_delta_maintenance(tmp_path):
+    """--sketch-table mode: each job run folds its --input in as a delta
+    (idempotent per input fingerprint), never rescanning history."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from tools.make_pyfiles_zip import main as make_zip
+    from zetasketch_spark.sources.transcripts import write_transcripts_parquet
+
+    zip_path = make_zip(str(tmp_path / "zetasketch_spark.zip"))
+    d1, d2 = str(tmp_path / "delta1"), str(tmp_path / "delta2")
+    write_transcripts_parquet(d1, n_turns=8_000, seed=11, n_convs=300)
+    write_transcripts_parquet(d2, n_turns=8_000, seed=12, n_convs=300)
+
+    table = str(tmp_path / "sketch_table")
+    out = str(tmp_path / "out")
+    common = ["--keys", "role", "--col", "conv_id", "--precision", "13",
+              "--sketch-table", table, "--output", out]
+
+    m1 = _run_job(zip_path, ["--input", d1] + common)
+    assert m1["applied"] and m1["version"] == 1
+
+    # replaying the same delta is a committed no-op
+    m1b = _run_job(zip_path, ["--input", d1] + common)
+    assert m1b["applied"] is False and m1b["version"] == 1
+
+    m2 = _run_job(zip_path, ["--input", d2] + common)
+    assert m2["applied"] and m2["version"] == 2
+
+    got = {r["role"]: r["estimate"] for r in pq.read_table(out).to_pylist()}
+    con = duckdb.connect()
+    exact = dict(con.execute(
+        "SELECT role, count(DISTINCT conv_id) FROM read_parquet("
+        f"['{d1}/*.parquet', '{d2}/*.parquet']) GROUP BY role").fetchall())
+    assert set(got) == set(exact)
+    envelope = 1.04 / (2 ** 13) ** 0.5
+    for role, est in got.items():
+        assert abs(est / exact[role] - 1) <= envelope, (role, est, exact[role])
