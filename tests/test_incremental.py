@@ -130,6 +130,9 @@ def test_family_generic_kll(spark, tmp_path):
 
 
 def test_snapshot_log_records_lineage(spark, tmp_path):
+    """Each record stores only ITS delta's fingerprint plus a parent
+    pointer — O(versions + fingerprints) log, not O(versions ×
+    fingerprints) — and the cumulative set reconstructs via the chain."""
     events = _events(spark)
     fam = HllFamily(precision=12)
     tdir = str(tmp_path / "tbl")
@@ -139,6 +142,109 @@ def test_snapshot_log_records_lineage(spark, tmp_path):
     with open(os.path.join(tdir, "snapshots.jsonl")) as f:
         recs = [json.loads(line) for line in f]
     assert [r["version"] for r in recs] == [1, 2]
-    assert recs[1]["fingerprints"] == ["f0", "f1"]
+    assert [r["parent"] for r in recs] == [0, 1]
+    assert recs[0]["new_fingerprints"] == ["f0"]
+    assert recs[1]["new_fingerprints"] == ["f1"]  # not cumulative
     assert all(r["n_keys"] > 0 for r in recs)
     assert table.applied_fingerprints() == {"f0", "f1"}
+
+
+def test_legacy_cumulative_log_records_still_read(spark, tmp_path):
+    """Pre-r5 logs stored the cumulative fingerprint set per record; the
+    chain walk must still recover it."""
+    fam = HllFamily(precision=12)
+    tdir = str(tmp_path / "tbl")
+    table = SketchTable(tdir, ["event_type"], "user_id", fam)
+    os.makedirs(os.path.join(tdir, "v00001"))
+    with open(os.path.join(tdir, "snapshots.jsonl"), "w") as f:
+        f.write(json.dumps({"version": 1, "fingerprints": ["a", "b"],
+                            "n_keys": 3, "ts": 0.0}) + "\n")
+    with open(os.path.join(tdir, "LATEST"), "w") as f:
+        f.write("1")
+    assert table.applied_fingerprints() == {"a", "b"}
+
+
+def test_crash_between_log_append_and_commit_replays_cleanly(spark, tmp_path,
+                                                             monkeypatch):
+    """The ADVICE round-4 high finding: a writer that dies AFTER appending
+    the snapshots.jsonl record but BEFORE the LATEST rename must leave no
+    trace in applied_fingerprints — after a later delta commits, a replay
+    of the crashed delta must fold in (not be silently skipped)."""
+    events = _events(spark)
+    fam = HllFamily(precision=12)
+    tdir = str(tmp_path / "tbl")
+    table = SketchTable(tdir, ["event_type"], "user_id", fam)
+    table.update(spark, events.filter(F.col("user_id") % 3 == 0),
+                 fingerprint="d0")
+
+    def boom():
+        raise OSError("simulated crash before LATEST rename")
+
+    table._before_commit = boom
+    with pytest.raises(OSError, match="simulated crash"):
+        table.update(spark, events.filter(F.col("user_id") % 3 == 1),
+                     fingerprint="d1")
+    table._before_commit = None
+    # the orphan record exists in the log but is not on the committed chain
+    assert table.latest_version() == 1
+    assert table.applied_fingerprints() == {"d0"}
+
+    # a later, different delta commits (burning the orphan's version slot)
+    m2 = table.update(spark, events.filter(F.col("user_id") % 3 == 2),
+                      fingerprint="d2")
+    assert m2["applied"] and m2["version"] == 3
+    # the crashed delta's fingerprint must STILL not read as applied …
+    assert table.applied_fingerprints() == {"d0", "d2"}
+    # … so its replay actually folds in, and the final table equals the
+    # single-shot aggregation over all three slices
+    m1 = table.update(spark, events.filter(F.col("user_id") % 3 == 1),
+                      fingerprint="d1")
+    assert m1["applied"]
+    got = _by_key(table.results(spark, keep_sketch=True),
+                  ["event_type"], ["estimate", SKETCH_COL])
+    want = _by_key(sketch_agg(events, ["event_type"], "user_id", fam,
+                              keep_sketch=True),
+                   ["event_type"], ["estimate", SKETCH_COL])
+    assert {k: (v[0], bytes(v[1])) for k, v in got.items()} == \
+           {k: (v[0], bytes(v[1])) for k, v in want.items()}
+
+
+def test_concurrent_writer_race_aborts_loser(spark, tmp_path):
+    """Two overlapping updates both reading snapshot v1: the slower writer
+    must raise ConcurrentUpdateError instead of committing a snapshot
+    built on the stale parent (which would silently drop the winner's
+    delta while its fingerprint still read as applied). A retry of the
+    loser then folds BOTH deltas."""
+    from zetasketch_spark.operators.incremental import ConcurrentUpdateError
+
+    events = _events(spark)
+    fam = HllFamily(precision=12)
+    tdir = str(tmp_path / "tbl")
+    table = SketchTable(tdir, ["event_type"], "user_id", fam)
+    writer_b = SketchTable(tdir, ["event_type"], "user_id", fam)
+    table.update(spark, events.filter(F.col("user_id") % 3 == 0),
+                 fingerprint="base")
+
+    # writer B commits its delta while writer A is mid-update
+    def race():
+        table._before_commit = None  # only interleave once
+        writer_b.update(spark, events.filter(F.col("user_id") % 3 == 1),
+                        fingerprint="winner")
+
+    table._before_commit = race
+    with pytest.raises(ConcurrentUpdateError):
+        table.update(spark, events.filter(F.col("user_id") % 3 == 2),
+                     fingerprint="loser")
+    # the winner's commit survived; the loser left no applied fingerprint
+    assert table.applied_fingerprints() == {"base", "winner"}
+    # retrying the loser folds its delta on top of the winner's snapshot
+    m = table.update(spark, events.filter(F.col("user_id") % 3 == 2),
+                     fingerprint="loser")
+    assert m["applied"]
+    got = _by_key(table.results(spark, keep_sketch=True),
+                  ["event_type"], [SKETCH_COL])
+    want = _by_key(sketch_agg(events, ["event_type"], "user_id", fam,
+                              keep_sketch=True),
+                   ["event_type"], [SKETCH_COL])
+    assert {k: bytes(v[0]) for k, v in got.items()} == \
+           {k: bytes(v[0]) for k, v in want.items()}

@@ -17,20 +17,42 @@ note as ``operators/checkpoint.py``)::
     table_dir/
       v00001/…parquet        keys…, sketch binary, rows_seen long
       v00002/…parquet
-      snapshots.jsonl        append-only: version, applied fingerprints, ts
+      snapshots.jsonl        append-only: one record per attempted commit —
+                             version, parent version, the fingerprints NEW
+                             in that version, n_keys, ts
       LATEST                 commit pointer — written last, atomically
 
-Crash safety: a version directory is garbage until ``LATEST`` names it.
-``update`` writes the new version's parquet first, then appends the
-snapshot record, then atomically replaces ``LATEST``; a crash anywhere
-before that last rename leaves the previous snapshot fully readable, and
-the next update writes to a fresh version number (max existing dir + 1),
-never reusing the orphan.
+Crash safety: a version directory — and its snapshots.jsonl record — is
+garbage until the committed chain reaches it. ``update`` writes the new
+version's parquet first, then appends the snapshot record, then atomically
+replaces ``LATEST``; a crash anywhere before that last rename leaves the
+previous snapshot fully readable, and the next update writes to a fresh
+version number (max existing dir + 1), never reusing the orphan.
+``applied_fingerprints`` walks the parent chain from the committed
+``LATEST`` only, so an orphan record from a writer that died between the
+log append and the commit is never counted as applied — a replay of that
+crashed delta folds in normally instead of being silently skipped.
+
+Each record stores only the fingerprints new in its version (the
+cumulative set is reconstructed by the chain walk), so the log is
+O(versions + total fingerprints), not O(versions × fingerprints).
 
 Idempotence: pass ``fingerprint`` (e.g. the delta's
 ``checkpoint.input_fingerprint`` or an Iceberg snapshot id) and a replayed
 delta becomes a no-op — exactly-once table state under at-least-once
 delivery of update jobs.
+
+Concurrency: updates are optimistic single-writer. ``update`` records the
+committed version it built on and re-checks it immediately before the
+``LATEST`` rename; if another writer committed in between, it raises
+``ConcurrentUpdateError`` instead of publishing a snapshot that silently
+drops the other writer's delta — callers retry the whole ``update`` (the
+fingerprint makes retries idempotent). The check-then-rename pair is not
+atomic across writers that interleave inside it, so true multi-writer
+deployments must still serialize updates externally (one maintenance job
+per table — the module's intended deployment); the check turns the easy
+race (a retried job overlapping the next scheduled one) from silent data
+loss into a loud error.
 """
 
 from __future__ import annotations
@@ -56,6 +78,16 @@ from zetasketch_spark.sketches.base import SketchFamily
 _VDIR = re.compile(r"v(\d{5})$")
 
 
+class ConcurrentUpdateError(RuntimeError):
+    """Another writer committed a snapshot while this update was running.
+
+    Nothing was published: the half-built version directory and its log
+    record are orphans the committed chain never reaches. Retry the whole
+    ``update`` — the fingerprint check makes the retry idempotent against
+    whatever the other writer already folded in.
+    """
+
+
 class SketchTable:
     """A versioned parquet table of serialized sketch states per key group.
 
@@ -72,6 +104,8 @@ class SketchTable:
         self.keys = list(keys)
         self.col = col
         self.family = family
+        # test seam: called after the log append, before the commit check
+        self._before_commit = None
         os.makedirs(table_dir, exist_ok=True)
 
     # -- snapshot bookkeeping -------------------------------------------
@@ -95,17 +129,40 @@ class SketchTable:
                 versions.append(int(m.group(1)))
         return max(versions) + 1
 
-    def applied_fingerprints(self) -> set[str]:
-        """Fingerprints folded into the committed snapshot chain."""
-        committed = self.latest_version()
-        out: set[str] = set()
+    def _log_records(self) -> dict[int, dict]:
         log = os.path.join(self.table_dir, "snapshots.jsonl")
+        recs: dict[int, dict] = {}
         if os.path.exists(log):
             with open(log) as f:
                 for line in f:
                     rec = json.loads(line)
-                    if rec["version"] <= committed:
-                        out.update(rec.get("fingerprints", []))
+                    recs[rec["version"]] = rec
+        return recs
+
+    def applied_fingerprints(self) -> set[str]:
+        """Fingerprints folded into the committed snapshot chain.
+
+        Walks parent pointers from the committed ``LATEST`` version only:
+        a record whose version never became an ancestor of ``LATEST`` (a
+        writer that crashed between the log append and the commit, or
+        that lost an optimistic-concurrency race) is an orphan and its
+        fingerprints are NOT applied — comparing ``version <= committed``
+        would falsely count them once any later delta commits, silently
+        skipping a replay of the lost delta."""
+        recs = self._log_records()
+        out: set[str] = set()
+        v = self.latest_version()
+        while v > 0:
+            rec = recs.get(v)
+            if rec is None:
+                break
+            if "fingerprints" in rec:
+                # pre-r5 record format stored the cumulative set — it
+                # already contains the whole chain below it
+                out.update(rec["fingerprints"])
+                break
+            out.update(rec.get("new_fingerprints", []))
+            v = rec.get("parent", 0)
         return out
 
     def _vpath(self, version: int) -> str:
@@ -131,16 +188,25 @@ class SketchTable:
         the key columns. ``tree_levels=2`` salts the merge for hot keys,
         same contract as ``sketch_agg``. With ``fingerprint`` set, a
         replay of an already-applied delta is a committed no-op.
+
+        Raises ``ConcurrentUpdateError`` if another writer committed
+        between the snapshot read and the commit rename (see module
+        docstring) — retry the whole call.
         """
         t0 = time.time()
+        base_version = self.latest_version()
         applied = self.applied_fingerprints()
         if fingerprint is not None and fingerprint in applied:
-            return {"version": self.latest_version(), "applied": False,
+            return {"version": base_version, "applied": False,
                     "reason": "fingerprint already applied",
                     "fingerprint": fingerprint}
 
         partials = sketch_partial(delta, self.keys, self.col, self.family)
-        prior = self.read(spark)
+        # read the EXACT version this update builds on (not latest-at-read
+        # time) so the committed chain's parent pointer is always the
+        # snapshot whose states were actually folded in
+        prior = (spark.read.parquet(self._vpath(base_version))
+                 if base_version > 0 else None)
         if prior is not None:
             # the prior snapshot is itself a valid partial per key; tag it
             # with a partition id outside the delta's range so the salted
@@ -156,19 +222,35 @@ class SketchTable:
               .write.mode("errorifexists").parquet(vpath)
 
         n_keys = spark.read.parquet(vpath).count()
-        fingerprints = sorted(applied | ({fingerprint} if fingerprint else set()))
+        # log record BEFORE the commit pointer: a crash here orphans the
+        # record (the chain walk never reaches it — harmless); the reverse
+        # order could commit a version whose fingerprints were never
+        # logged, so a replay would double-fold the delta
         with open(os.path.join(self.table_dir, "snapshots.jsonl"), "a") as f:
             f.write(json.dumps({"version": version,
-                                "fingerprints": fingerprints,
+                                "parent": base_version,
+                                "new_fingerprints":
+                                    [fingerprint] if fingerprint else [],
                                 "n_keys": n_keys,
                                 "ts": time.time()}) + "\n")
+        if self._before_commit is not None:
+            self._before_commit()  # test seam: interleave a racing writer
+        # optimistic-concurrency check immediately before the rename: a
+        # writer that lost the race must not publish a snapshot built on a
+        # stale parent (it would silently drop the winner's delta)
+        now_committed = self.latest_version()
+        if now_committed != base_version:
+            raise ConcurrentUpdateError(
+                f"table advanced v{base_version}->v{now_committed} during "
+                f"update; this delta (fingerprint={fingerprint!r}) was NOT "
+                f"applied — retry update()")
         # commit point: snapshot becomes visible only now
         tmp = os.path.join(self.table_dir, "LATEST.tmp")
         with open(tmp, "w") as f:
             f.write(str(version))
         os.replace(tmp, os.path.join(self.table_dir, "LATEST"))
         return {"version": version, "applied": True, "n_keys": n_keys,
-                "fingerprint": fingerprint,
+                "fingerprint": fingerprint, "parent": base_version,
                 "seconds": round(time.time() - t0, 3)}
 
     def results(self, spark: SparkSession,
