@@ -2,7 +2,7 @@
 entry on Spark and, where oracle_sql() has a match, on DuckDB; compare
 row count, column names, and an order-insensitive value hash.
 
-Usage: python tools/check_oracles.py [sf_dir]
+Usage: python tools/check_oracles.py [sf_dir] [--only name1,name2]
 
 Scale note: the gate contract is sf0.01 (the driver's comparison scale),
 but as of round 4 every certificate boolean is scale-free (true by
@@ -50,7 +50,13 @@ def frame_hash(cols: list[str], rows: list[tuple]) -> str:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = sys.argv[1:]
+    only = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        del args[i:i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     import duckdb
 
     import __spark_entry__ as entrymod
@@ -62,6 +68,11 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     qs = entrymod.queries()
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            raise SystemExit(f"--only names not in queries(): {sorted(unknown)}")
+        qs = {k: v for k, v in qs.items() if k in only}
     oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in qs.items():
