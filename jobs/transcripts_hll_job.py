@@ -36,15 +36,20 @@ def main(argv=None):
                          "use their defaults (kll/tdigest need a numeric "
                          "--col)")
     ap.add_argument("--k", type=int, default=4096, help="theta nominal size")
-    ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--output", default=None)
     ap.add_argument("--tree-levels", type=int, default=1)
-    ap.add_argument("--sketch-table", default=None,
-                    help="maintain a persistent (keys -> sketch) snapshot "
-                         "table at this directory instead of a one-shot "
-                         "aggregation: --input is treated as the arriving "
-                         "delta and folded in (idempotent per input "
-                         "fingerprint; see operators/incremental.py)")
+    # the two persistence modes are exclusive: --checkpoint-dir resumes a
+    # ONE-SHOT aggregation, --sketch-table folds the input as a delta into
+    # a persistent snapshot table (passing both used to silently ignore
+    # the checkpoint dir)
+    mode = ap.add_mutually_exclusive_group()
+    mode.add_argument("--checkpoint-dir", default=None)
+    mode.add_argument("--sketch-table", default=None,
+                      help="maintain a persistent (keys -> sketch) snapshot "
+                           "table at this directory instead of a one-shot "
+                           "aggregation: --input is treated as the arriving "
+                           "delta and folded in (idempotent per input "
+                           "fingerprint; see operators/incremental.py)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession

@@ -40,7 +40,10 @@ def test_countmin_point_query_bound():
 
 def test_countmin_merge_equals_direct():
     data = _zipf_strings(20_000, 100, 1.2, seed=2)
-    parts = np.array_split(data, 7)
+    # split via iloc windows: np.array_split on a Series goes through the
+    # deprecated Series.swapaxes (pandas FutureWarning, removal planned)
+    bounds = np.linspace(0, len(data), 8, dtype=int)
+    parts = [data.iloc[a:b] for a, b in zip(bounds[:-1], bounds[1:])]
     sks = []
     for p in parts:
         sk = CountMinSketch(width=1024, depth=4)

@@ -18,7 +18,8 @@ Perturbation axes (each run picks one combination):
 * core count (local[1] vs local[N] — changes input split order)
 * DuckDB thread count
 
-Usage: python tools/check_oracles_hostile.py [sf_dir]
+Usage: python tools/check_oracles_hostile.py [--quick] [sf_dir] [scen1,scen2]
+  --quick runs a 3-scenario subset for the inner loop; default is all 6.
 Each scenario execs a fresh interpreter (the JVM TZ is frozen at first
 SparkSession), emits JSON {query: hash}, and the parent asserts
 cross-scenario equality. Expect "HOSTILE OK: <n> queries x <k>
@@ -100,9 +101,18 @@ def run_scenario(name, cfg, sf_dir):
     raise SystemExit(f"scenario {name} produced no result")
 
 
+QUICK = ["baseline-utc", "kolkata-1part", "vanilla-driver"]
+
+
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = sys.argv[2].split(",") if len(sys.argv) > 2 else list(SCENARIOS)
+    args = [a for a in sys.argv[1:] if a != "--quick"]
+    quick = "--quick" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    # --quick: 3-scenario subset (~8 min) for the inner loop — one TZ+DST
+    # perturbation, the 1-partition ordering stress, and the vanilla
+    # driver-style session; run the full matrix before round end
+    only = (args[1].split(",") if len(args) > 1
+            else QUICK if quick else list(SCENARIOS))
     results = {}
     for name in only:
         results[name] = run_scenario(name, SCENARIOS[name], sf_dir)
