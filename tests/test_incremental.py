@@ -209,6 +209,96 @@ def test_crash_between_log_append_and_commit_replays_cleanly(spark, tmp_path,
            {k: (v[0], bytes(v[1])) for k, v in want.items()}
 
 
+def test_vacuum_gc_and_log_compaction(spark, tmp_path):
+    """vacuum() must delete superseded + orphan version dirs (below the
+    committed LATEST only), roll the dropped chain prefix into one
+    cumulative checkpoint record, and leave reads, estimates, and replay
+    idempotence exactly as they were."""
+    events = _events(spark)
+    fam = HllFamily(precision=12)
+    tdir = str(tmp_path / "tbl")
+    table = SketchTable(tdir, ["event_type"], "user_id", fam)
+    for i in range(3):
+        table.update(spark, events.filter(F.col("user_id") % 3 == i),
+                     fingerprint=f"d{i}")
+    before = _by_key(table.results(spark, keep_sketch=True),
+                     ["event_type"], ["estimate", SKETCH_COL])
+    fps_before = table.applied_fingerprints()
+    os.makedirs(os.path.join(tdir, "v00009"))  # in-flight writer dir
+
+    m = table.vacuum(keep_versions=1)
+    assert m["removed_versions"] == [1, 2]
+    assert m["kept_versions"] == [3]
+    dirs = sorted(d for d in os.listdir(tdir) if d.startswith("v"))
+    assert dirs == ["v00003", "v00009"]  # in-flight dir untouched
+    assert table.latest_version() == 3
+
+    # semantics fully preserved
+    assert table.applied_fingerprints() == fps_before == {"d0", "d1", "d2"}
+    after = _by_key(table.results(spark, keep_sketch=True),
+                    ["event_type"], ["estimate", SKETCH_COL])
+    assert {k: (v[0], bytes(v[1])) for k, v in after.items()} == \
+           {k: (v[0], bytes(v[1])) for k, v in before.items()}
+    # replay of a compacted-away delta is still a no-op …
+    assert table.update(spark, events, fingerprint="d0")["applied"] is False
+    # … and the log is one cumulative checkpoint record
+    with open(os.path.join(tdir, "snapshots.jsonl")) as f:
+        recs = [json.loads(line) for line in f]
+    assert len(recs) == 1 and recs[0]["compacted"] is True
+    assert recs[0]["fingerprints"] == ["d0", "d1", "d2"]
+
+    # new deltas keep folding on top of the compacted table
+    m4 = table.update(spark, events.limit(100), fingerprint="d3")
+    assert m4["applied"] and table.applied_fingerprints() == \
+        {"d0", "d1", "d2", "d3"}
+
+
+def test_sketch_table_sink_streaming_exactly_once(spark, tmp_path):
+    """foreachBatch sink: an availableNow stream folded into a SketchTable
+    equals the batch aggregation, and re-delivering every batch (same
+    stream_id + batch ids — the restart contract) changes nothing."""
+    from zetasketch_spark.operators.incremental import sketch_table_sink
+    from zetasketch_spark.sources.transcripts import write_transcripts_parquet
+
+    src = str(tmp_path / "src")
+    write_transcripts_parquet(src, n_turns=30_000, seed=7,
+                              rows_per_file=10_000)
+    schema = spark.read.parquet(src).schema
+    fam = HllFamily(precision=12)
+    table = SketchTable(str(tmp_path / "tbl"), ["role"], "conv_id", fam)
+
+    def run(ckpt):
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src)
+                  .select("role", "conv_id"))
+        q = (stream.writeStream
+             .foreachBatch(sketch_table_sink(table, "transcripts-hll-v1"))
+             .option("checkpointLocation", str(tmp_path / ckpt))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    run("ckpt1")
+    v_first = table.latest_version()
+    assert v_first >= 3  # one version per micro-batch (3 files)
+    got = _by_key(table.results(spark, keep_sketch=True),
+                  ["role"], ["estimate", SKETCH_COL])
+    want = _by_key(
+        sketch_agg(spark.read.parquet(src).select("role", "conv_id"),
+                   ["role"], "conv_id", fam, keep_sketch=True),
+        ["role"], ["estimate", SKETCH_COL])
+    assert {k: (v[0], bytes(v[1])) for k, v in got.items()} == \
+           {k: (v[0], bytes(v[1])) for k, v in want.items()}
+
+    # full redelivery (fresh checkpoint, same stream_id => same batch ids
+    # over the same files): every batch is an idempotent no-op
+    run("ckpt2")
+    assert table.latest_version() == v_first
+    again = _by_key(table.results(spark, keep_sketch=True),
+                    ["role"], ["estimate", SKETCH_COL])
+    assert {k: (v[0], bytes(v[1])) for k, v in again.items()} == \
+           {k: (v[0], bytes(v[1])) for k, v in got.items()}
+
+
 def test_concurrent_writer_race_aborts_loser(spark, tmp_path):
     """Two overlapping updates both reading snapshot v1: the slower writer
     must raise ConcurrentUpdateError instead of committing a snapshot

@@ -260,3 +260,108 @@ class SketchTable:
         if snap is None:
             return None
         return sketch_result(snap, self.family, keep_sketch=keep_sketch)
+
+    # -- maintenance ------------------------------------------------------
+
+    def _chain_versions(self) -> list[int]:
+        """Committed chain, newest first (LATEST, its parent, ...)."""
+        recs = self._log_records()
+        out = []
+        v = self.latest_version()
+        while v > 0:
+            out.append(v)
+            rec = recs.get(v)
+            if rec is None or "fingerprints" in rec:
+                break  # chain root (or a pre-r5 cumulative checkpoint)
+            v = rec.get("parent", 0)
+        return out
+
+    def vacuum(self, keep_versions: int = 1) -> dict:
+        """Garbage-collect superseded snapshot versions and compact the log.
+
+        Deletes version directories that are (a) committed-chain ancestors
+        older than the newest ``keep_versions`` snapshots, or (b) orphans
+        from crashed/raced writers — but ONLY below the committed LATEST:
+        a directory numbered above it may belong to a writer that is mid
+        update right now, and is left alone (its number stays burned).
+
+        The log is rewritten so the oldest kept chain version becomes a
+        cumulative checkpoint record (the same ``fingerprints`` format the
+        chain walk already treats as a terminator), so
+        ``applied_fingerprints`` — and therefore replay idempotence — is
+        exactly preserved while dropping every record the chain no longer
+        needs. Records above LATEST are preserved verbatim for the same
+        in-flight-writer reason as the directories.
+        """
+        import shutil
+
+        committed = self.latest_version()
+        chain = self._chain_versions()
+        keep = set(chain[:max(keep_versions, 1)])
+        cumulative = self.applied_fingerprints()
+        recs = self._log_records()
+
+        removed_dirs = []
+        for name in sorted(os.listdir(self.table_dir)):
+            m = _VDIR.fullmatch(name)
+            if not m:
+                continue
+            v = int(m.group(1))
+            if v < committed and v not in keep:
+                shutil.rmtree(os.path.join(self.table_dir, name))
+                removed_dirs.append(v)
+
+        oldest_kept = min(keep) if keep else 0
+        new_log = []
+        for v in sorted(recs):
+            if v == oldest_kept:
+                base = recs[v]
+                new_log.append({
+                    "version": v,
+                    "fingerprints": sorted(cumulative),
+                    "n_keys": base.get("n_keys"),
+                    "ts": base.get("ts"),
+                    "compacted": True,
+                })
+            elif v in keep or v > committed:
+                new_log.append(recs[v])
+        log = os.path.join(self.table_dir, "snapshots.jsonl")
+        tmp = log + ".tmp"
+        with open(tmp, "w") as f:
+            for rec in new_log:
+                f.write(json.dumps(rec) + "\n")
+        os.replace(tmp, log)
+        return {"removed_versions": removed_dirs,
+                "kept_versions": sorted(keep),
+                "log_records": len(new_log)}
+
+
+def sketch_table_sink(table: SketchTable, stream_id: str,
+                      tree_levels: int = 1):
+    """``foreachBatch`` sink that folds each streaming micro-batch into a
+    ``SketchTable`` — the persistent-table complement of
+    ``streaming/agg.py``'s state-store aggregation::
+
+        q = (stream.writeStream
+             .foreachBatch(sketch_table_sink(table, "events-hll-v1"))
+             .option("checkpointLocation", ckpt).start())
+
+    Exactly-once table state under streaming's at-least-once batch
+    delivery: each batch is fingerprinted ``{stream_id}/batch-{batch_id}``,
+    and after a crash/restart Spark re-delivers the in-flight batch with
+    the SAME batch id (that is the foreachBatch contract), which the
+    fingerprint check turns into a committed no-op. ``stream_id`` must be
+    unique per (query, table) pairing — reusing one across different
+    queries writing the same table would alias their batch ids.
+
+    Single-writer per table, as per the SketchTable concurrency contract:
+    a lost optimistic race raises ConcurrentUpdateError, which fails the
+    batch and lets the streaming engine retry it (idempotently).
+    """
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        table.update(batch_df.sparkSession, batch_df,
+                     fingerprint=f"{stream_id}/batch-{batch_id}",
+                     tree_levels=tree_levels)
+
+    return fold
