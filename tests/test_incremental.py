@@ -209,6 +209,27 @@ def test_crash_between_log_append_and_commit_replays_cleanly(spark, tmp_path,
            {k: (v[0], bytes(v[1])) for k, v in want.items()}
 
 
+def test_table_identity_guard(spark, tmp_path):
+    """One table dir = one (keys, col, family) aggregation identity:
+    reopening with different parameters must fail loudly instead of
+    silently merging incompatible sketch states (the corruption the
+    reference's type-check surface exists to prevent)."""
+    tdir = str(tmp_path / "tbl")
+    t1 = SketchTable(tdir, ["event_type"], "user_id", HllFamily(precision=12))
+    t1.update(spark, _events(spark).limit(100), fingerprint="d0")
+    # same identity reopens fine (fresh instance, fresh process pattern)
+    t2 = SketchTable(tdir, ["event_type"], "user_id", HllFamily(precision=12))
+    assert t2.latest_version() == 1
+    for bad in [
+        (["event_type"], "user_id", HllFamily(precision=14)),  # precision
+        (["event_type"], "conv_id", HllFamily(precision=12)),  # value col
+        (["role"], "user_id", HllFamily(precision=12)),        # keys
+        (["event_type"], "user_id", KllFamily(k=200, quantiles=(0.5,))),
+    ]:
+        with pytest.raises(ValueError, match="identity mismatch"):
+            SketchTable(tdir, *bad)
+
+
 def test_vacuum_gc_and_log_compaction(spark, tmp_path):
     """vacuum() must delete superseded + orphan version dirs (below the
     committed LATEST only), roll the dropped chain prefix into one

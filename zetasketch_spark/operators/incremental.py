@@ -107,6 +107,43 @@ class SketchTable:
         # test seam: called after the log append, before the commit check
         self._before_commit = None
         os.makedirs(table_dir, exist_ok=True)
+        self._check_identity()
+
+    def _identity(self) -> dict:
+        # family identity = class + its scalar/tuple parameters (JSON-safe,
+        # deterministic across processes; cached arrays etc. are excluded)
+        params = {}
+        for k, v in sorted(vars(self.family).items()):
+            if isinstance(v, tuple):
+                v = list(v)
+            if v is None or isinstance(v, (int, float, str, bool, list)):
+                params[k] = v
+        return {"keys": self.keys, "col": self.col,
+                "family": type(self.family).__name__,
+                "family_params": params}
+
+    def _check_identity(self) -> None:
+        """One table dir = one (keys, value column, family) aggregation
+        identity, pinned in meta.json at creation: opening an existing
+        table with a DIFFERENT identity must fail loudly — folding a
+        delta sketched with other parameters would silently merge
+        incompatible states (merging across families/precisions is
+        exactly the corruption the reference's type-check surface exists
+        to prevent, SURVEY.md §2 O21)."""
+        meta_path = os.path.join(self.table_dir, "meta.json")
+        ident = self._identity()
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                existing = json.load(f)
+            if existing != ident:
+                raise ValueError(
+                    f"SketchTable identity mismatch at {self.table_dir}: "
+                    f"table was created as {existing}, opened as {ident}")
+        else:
+            tmp = meta_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(ident, f)
+            os.replace(tmp, meta_path)
 
     # -- snapshot bookkeeping -------------------------------------------
 
