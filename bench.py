@@ -136,14 +136,19 @@ def load_prior_baseline(repo: str) -> dict:
                 out[key] = src[key]
     elif isinstance(rec.get("tail"), str):
         out.update(_tail_parse(rec["tail"]))
-    # the compact final line (round 5+) points at the full-detail file
+    # the compact final line (round 5+) points at the full-detail file —
+    # an immutable per-run snapshot (full_<stamp>.json), so later local
+    # bench runs can't mutate a recorded round's baselines. Prefer it
+    # wholesale when readable: the compact line's queries dict may be
+    # truncated to the 10 slowest rows by the size guard, and a per-key
+    # "only if missing" merge would silently drop the other baselines.
     full = src.get("full") if isinstance(src, dict) else None
-    if full and "sf1_queries" not in out:
+    if full:
         try:
             with open(os.path.join(repo, full)) as fh:
                 detail = json.load(fh)
             for key in ("queries", "sf1_queries", "calibration_sec"):
-                if detail.get(key) and key not in out:
+                if detail.get(key):
                     out[key] = detail[key]
         except (OSError, ValueError):
             pass
@@ -368,10 +373,7 @@ def main():
     for name in EXTRA:
         best = None
         for _ in range(N_HEADLINE_TRIALS):  # same noise floor as headline
-            t0 = time.time()
-            df = qs[name](spark, sf_dir)
-            df.count() if hasattr(df, "count") else len(df)
-            el = time.time() - t0
+            el = _time_query(name, sf_dir)
             best = el if best is None else min(best, el)
         extra_timings[name] = round(best, 3)
 
@@ -418,10 +420,7 @@ def main():
         for name in HEADLINE:
             best = None
             for _ in range(SF1_NEARDUP_TRIALS.get(name, N_SF1_TRIALS)):
-                t0 = time.time()
-                df = qs[name](spark, sf1_dir)
-                df.count() if hasattr(df, "count") else len(df)
-                el = time.time() - t0
+                el = _time_query(name, sf1_dir)
                 best = el if best is None else min(best, el)
             sf1_timings[name] = round(best, 3)
 
@@ -487,12 +486,22 @@ def main():
                    "sf1_neardup": 3, "transcripts": N_TRANSCRIPT_TRIALS},
     }
     os.makedirs(os.path.join(repo, "BENCH"), exist_ok=True)
-    with open(os.path.join(repo, "BENCH", "latest_full.json"), "w") as fh:
-        json.dump(detail, fh, indent=1)
+    # IMMUTABLE per-run snapshot: the compact line's "full" pointer must
+    # survive later local runs (latest_full.json is overwritten by every
+    # run, incl. the SPARK_GRAFT_SF1=0 quick loop, which would wipe the
+    # recorded round's sf1 baselines), so each run also writes its own
+    # timestamped file and points the record at THAT
+    full_name = os.path.join(
+        "BENCH", time.strftime("full_%Y%m%dT%H%M%SZ.json", time.gmtime()))
+    for path in (os.path.join(repo, "BENCH", "latest_full.json"),
+                 os.path.join(repo, full_name)):
+        with open(path, "w") as fh:
+            json.dump(detail, fh, indent=1)
 
     # the COMPACT summary is the LAST stdout line: the driver records only
     # a ~2 KB stdout tail and parses the final line (round 4's full line
-    # outgrew it -> "parsed": null). Keep this under ~1.2 KB.
+    # outgrew it -> "parsed": null). Keep this under 1.2 KB (CLAUDE.md
+    # invariant) so the rest of the tail margin stays free.
     compact = {k: detail[k] for k in
                ("metric", "value", "unit", "queries", "sf", "turns_per_sec",
                 "cpus", "calibration_sec", "solo", "sf1_total",
@@ -500,9 +509,9 @@ def main():
     compact["n_regressions"] = len(regressions)
     if regressions:  # names only; baselines live in the detail file
         compact["regressed"] = sorted(regressions)[:4]
-    compact["full"] = "BENCH/latest_full.json"
+    compact["full"] = full_name
     line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1500:  # hard guard: never outgrow the capture again
+    if len(line) > 1200:  # hard guard: never outgrow the capture again
         compact["queries"] = {k: v for k, v in sorted(
             compact["queries"].items(), key=lambda kv: -kv[1])[:10]}
         line = json.dumps(compact, separators=(",", ":"))

@@ -115,12 +115,38 @@ def test_load_prior_baseline_reads_compact_line_via_detail_file(tmp_path):
     """Round 5+ records carry a compact line pointing at the full-detail
     file; sf1 baselines come from there."""
     os.makedirs(tmp_path / "BENCH")
-    (tmp_path / "BENCH" / "latest_full.json").write_text(json.dumps({
+    (tmp_path / "BENCH" / "full_r05.json").write_text(json.dumps({
         "queries": {"a": 1.0}, "sf1_queries": {"a": 9.0},
         "calibration_sec": 0.3}))
     (tmp_path / "BENCH_r05.json").write_text(json.dumps({
         "parsed": {"queries": {"a": 1.0}, "calibration_sec": 0.3,
-                   "full": "BENCH/latest_full.json"}}))
+                   "full": "BENCH/full_r05.json"}}))
     got = load_prior_baseline(str(tmp_path))
     assert got["sf1_queries"] == {"a": 9.0}
     assert got["queries"] == {"a": 1.0}
+
+
+def test_load_prior_baseline_detail_file_backfills_truncated_compact(tmp_path):
+    """When the compact line's size guard truncated the queries dict to
+    the slowest rows, the detail file must supply the FULL dict (a
+    per-key only-if-missing merge would silently drop every fast query's
+    baseline, blinding the detector to regressions there); and the
+    pointer targets the run's immutable full_<stamp>.json, so a later
+    quick-loop run clobbering latest_full.json must not matter."""
+    os.makedirs(tmp_path / "BENCH")
+    full = {"queries": {"slow": 9.0, "fast": 0.3},
+            "sf1_queries": {"slow": 30.0}, "calibration_sec": 0.3}
+    (tmp_path / "BENCH" / "full_20260818T000000Z.json").write_text(
+        json.dumps(full))
+    # a later quick-loop run overwrote latest_full.json with empty sf1
+    (tmp_path / "BENCH" / "latest_full.json").write_text(json.dumps({
+        "queries": {"slow": 99.0}, "sf1_queries": {},
+        "calibration_sec": 9.9}))
+    (tmp_path / "BENCH_r06.json").write_text(json.dumps({
+        "parsed": {"queries": {"slow": 9.0},  # guard-truncated
+                   "calibration_sec": 0.3,
+                   "full": "BENCH/full_20260818T000000Z.json"}}))
+    got = load_prior_baseline(str(tmp_path))
+    assert got["queries"] == {"slow": 9.0, "fast": 0.3}
+    assert got["sf1_queries"] == {"slow": 30.0}
+    assert got["calibration_sec"] == 0.3

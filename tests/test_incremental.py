@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 import pyspark.sql.functions as F
 import pytest
@@ -272,6 +273,53 @@ def test_vacuum_gc_and_log_compaction(spark, tmp_path):
     m4 = table.update(spark, events.limit(100), fingerprint="d3")
     assert m4["applied"] and table.applied_fingerprints() == \
         {"d0", "d1", "d2", "d3"}
+
+
+def test_vacuum_does_not_lose_concurrent_writers_log_record(spark, tmp_path):
+    """vacuum()'s log rewrite runs under the table lock: a writer whose
+    update overlaps the vacuum must block at its log append and land its
+    record AFTER the compacted log is in place — never inside the
+    read-rewrite window, where it would be silently dropped from the
+    rewritten log and its fingerprint forgotten (a replay would then
+    double-fold the delta). The seam fires inside vacuum's locked
+    section; the racing update runs in a thread so its flock actually
+    contends."""
+    import threading
+
+    events = _events(spark)
+    fam = HllFamily(precision=12)
+    tdir = str(tmp_path / "tbl")
+    table = SketchTable(tdir, ["event_type"], "user_id", fam)
+    writer = SketchTable(tdir, ["event_type"], "user_id", fam)
+    table.update(spark, events.filter(F.col("user_id") % 2 == 0),
+                 fingerprint="d0")
+
+    t = threading.Thread(
+        target=lambda: writer.update(
+            spark, events.filter(F.col("user_id") % 2 == 1),
+            fingerprint="d1"))
+
+    def seam():
+        # start the racing writer while vacuum holds the lock; give it
+        # time to reach (and block on) its log-append flock
+        t.start()
+        time.sleep(1.0)
+
+    table._during_vacuum = seam
+    table.vacuum(keep_versions=1)
+    t.join(timeout=120)
+    assert not t.is_alive()
+    # both deltas' fingerprints survive: d0 via the compacted checkpoint,
+    # d1 via the record appended after the rewrite
+    assert table.applied_fingerprints() == {"d0", "d1"}
+    assert table.update(spark, events, fingerprint="d1")["applied"] is False
+    got = _by_key(table.results(spark, keep_sketch=True),
+                  ["event_type"], [SKETCH_COL])
+    want = _by_key(sketch_agg(events, ["event_type"], "user_id", fam,
+                              keep_sketch=True),
+                   ["event_type"], [SKETCH_COL])
+    assert {k: bytes(v[0]) for k, v in got.items()} == \
+           {k: bytes(v[0]) for k, v in want.items()}
 
 
 def test_sketch_table_sink_streaming_exactly_once(spark, tmp_path):

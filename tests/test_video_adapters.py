@@ -58,6 +58,26 @@ def test_avcc_to_annexb_converts_length_prefixes():
     assert avcc_to_annexb(avcc2, length_size=2) == b"\x00\x00\x00\x01" + nal1
 
 
+def test_avcc_to_annexb_ambiguous_first_nal_lengths_still_convert():
+    """An AVCC sample whose first NAL is 256-511 bytes has a 4-byte
+    length prefix of 00 00 01 XX — byte-identical to an Annex-B 3-byte
+    start code — and a 1-byte first NAL yields 00 00 00 01. A prefix
+    sniff alone would misclassify both as already-Annex-B and pass the
+    length-prefixed bytes through verbatim; the strict tiling walk must
+    win and convert them."""
+    nal300 = b"\x65" + b"x" * 299  # 300-byte NAL -> prefix 00 00 01 2C
+    avcc = len(nal300).to_bytes(4, "big") + nal300
+    assert avcc[:3] == b"\x00\x00\x01"  # the ambiguous prefix
+    assert avcc_to_annexb(avcc) == b"\x00\x00\x00\x01" + nal300
+
+    nal1, nal2 = b"\x65", b"\x41abc"
+    avcc2 = (len(nal1).to_bytes(4, "big") + nal1
+             + len(nal2).to_bytes(4, "big") + nal2)
+    assert avcc2[:4] == b"\x00\x00\x00\x01"  # the other ambiguous prefix
+    assert avcc_to_annexb(avcc2) == (b"\x00\x00\x00\x01" + nal1
+                                     + b"\x00\x00\x00\x01" + nal2)
+
+
 def test_avcc_to_annexb_passthrough_and_errors():
     annexb = b"\x00\x00\x00\x01\x65abc"
     assert avcc_to_annexb(annexb) == annexb

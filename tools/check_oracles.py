@@ -54,6 +54,9 @@ def main():
     only = None
     if "--only" in args:
         i = args.index("--only")
+        if i + 1 >= len(args):
+            raise SystemExit("usage: check_oracles.py [sf_dir] "
+                             "--only name1,name2")
         only = set(args[i + 1].split(","))
         del args[i:i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"

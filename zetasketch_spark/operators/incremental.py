@@ -47,16 +47,22 @@ committed version it built on and re-checks it immediately before the
 ``LATEST`` rename; if another writer committed in between, it raises
 ``ConcurrentUpdateError`` instead of publishing a snapshot that silently
 drops the other writer's delta — callers retry the whole ``update`` (the
-fingerprint makes retries idempotent). The check-then-rename pair is not
-atomic across writers that interleave inside it, so true multi-writer
-deployments must still serialize updates externally (one maintenance job
-per table — the module's intended deployment); the check turns the easy
-race (a retried job overlapping the next scheduled one) from silent data
-loss into a loud error.
+fingerprint makes retries idempotent). Log appends, the check-then-rename
+commit, and ``vacuum``'s whole read-compact-replace all hold an exclusive
+``flock`` on the table's ``.lock`` file, so on one host the commit point
+is atomic and a vacuum can never drop a record a concurrent writer just
+appended. flock does not span hosts on most distributed filesystems, so
+cross-host multi-writer deployments must still serialize updates
+externally (one maintenance job per table — the module's intended
+deployment); the optimistic check turns the easy race (a retried job
+overlapping the next scheduled one) from silent data loss into a loud
+error.
 """
 
 from __future__ import annotations
 
+import contextlib
+import fcntl
 import json
 import os
 import re
@@ -106,6 +112,9 @@ class SketchTable:
         self.family = family
         # test seam: called after the log append, before the commit check
         self._before_commit = None
+        # test seam: called inside vacuum's locked section, after the log
+        # read — a racing writer started here must block on the lock
+        self._during_vacuum = None
         os.makedirs(table_dir, exist_ok=True)
         self._check_identity()
 
@@ -146,6 +155,27 @@ class SketchTable:
             os.replace(tmp, meta_path)
 
     # -- snapshot bookkeeping -------------------------------------------
+
+    @contextlib.contextmanager
+    def _log_lock(self):
+        """Exclusive flock over the table's log/commit metadata.
+
+        Held by (a) ``update``'s log append, (b) ``update``'s
+        commit-check + ``LATEST`` rename, and (c) the whole of
+        ``vacuum``'s read-compact-replace — so a writer's just-appended
+        record can never fall between vacuum reading ``snapshots.jsonl``
+        and atomically replacing it (losing the record would make
+        ``applied_fingerprints`` forget history and double-fold a
+        replayed delta). flock serializes across processes on one host;
+        on a distributed store the module's single-maintenance-job
+        deployment note still applies."""
+        path = os.path.join(self.table_dir, ".lock")
+        with open(path, "w") as f:
+            fcntl.flock(f, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(f, fcntl.LOCK_UN)
 
     def latest_version(self) -> int:
         """Committed version (0 = empty table). Only ``LATEST`` counts:
@@ -263,29 +293,32 @@ class SketchTable:
         # record (the chain walk never reaches it — harmless); the reverse
         # order could commit a version whose fingerprints were never
         # logged, so a replay would double-fold the delta
-        with open(os.path.join(self.table_dir, "snapshots.jsonl"), "a") as f:
-            f.write(json.dumps({"version": version,
-                                "parent": base_version,
-                                "new_fingerprints":
-                                    [fingerprint] if fingerprint else [],
-                                "n_keys": n_keys,
-                                "ts": time.time()}) + "\n")
+        with self._log_lock():
+            with open(os.path.join(self.table_dir, "snapshots.jsonl"),
+                      "a") as f:
+                f.write(json.dumps({"version": version,
+                                    "parent": base_version,
+                                    "new_fingerprints":
+                                        [fingerprint] if fingerprint else [],
+                                    "n_keys": n_keys,
+                                    "ts": time.time()}) + "\n")
         if self._before_commit is not None:
             self._before_commit()  # test seam: interleave a racing writer
-        # optimistic-concurrency check immediately before the rename: a
-        # writer that lost the race must not publish a snapshot built on a
-        # stale parent (it would silently drop the winner's delta)
-        now_committed = self.latest_version()
-        if now_committed != base_version:
-            raise ConcurrentUpdateError(
-                f"table advanced v{base_version}->v{now_committed} during "
-                f"update; this delta (fingerprint={fingerprint!r}) was NOT "
-                f"applied — retry update()")
-        # commit point: snapshot becomes visible only now
-        tmp = os.path.join(self.table_dir, "LATEST.tmp")
-        with open(tmp, "w") as f:
-            f.write(str(version))
-        os.replace(tmp, os.path.join(self.table_dir, "LATEST"))
+        with self._log_lock():
+            # optimistic-concurrency check immediately before the rename: a
+            # writer that lost the race must not publish a snapshot built on
+            # a stale parent (it would silently drop the winner's delta)
+            now_committed = self.latest_version()
+            if now_committed != base_version:
+                raise ConcurrentUpdateError(
+                    f"table advanced v{base_version}->v{now_committed} "
+                    f"during update; this delta (fingerprint="
+                    f"{fingerprint!r}) was NOT applied — retry update()")
+            # commit point: snapshot becomes visible only now
+            tmp = os.path.join(self.table_dir, "LATEST.tmp")
+            with open(tmp, "w") as f:
+                f.write(str(version))
+            os.replace(tmp, os.path.join(self.table_dir, "LATEST"))
         return {"version": version, "applied": True, "n_keys": n_keys,
                 "fingerprint": fingerprint, "parent": base_version,
                 "seconds": round(time.time() - t0, 3)}
@@ -332,42 +365,53 @@ class SketchTable:
         """
         import shutil
 
-        committed = self.latest_version()
-        chain = self._chain_versions()
-        keep = set(chain[:max(keep_versions, 1)])
-        cumulative = self.applied_fingerprints()
-        recs = self._log_records()
+        # the WHOLE read-compact-replace runs under the log lock: without
+        # it, a concurrent update's record appended between _log_records()
+        # and the os.replace below would be silently dropped from the
+        # rewritten log — applied_fingerprints() would then forget that
+        # delta and a replay would double-fold it (the exact corruption
+        # the fingerprint chain exists to prevent). The lock also freezes
+        # LATEST (commits take it too), so committed/chain/cumulative are
+        # one consistent snapshot.
+        with self._log_lock():
+            committed = self.latest_version()
+            chain = self._chain_versions()
+            keep = set(chain[:max(keep_versions, 1)])
+            cumulative = self.applied_fingerprints()
+            recs = self._log_records()
+            if self._during_vacuum is not None:
+                self._during_vacuum()  # test seam: racing writer blocks
 
-        removed_dirs = []
-        for name in sorted(os.listdir(self.table_dir)):
-            m = _VDIR.fullmatch(name)
-            if not m:
-                continue
-            v = int(m.group(1))
-            if v < committed and v not in keep:
-                shutil.rmtree(os.path.join(self.table_dir, name))
-                removed_dirs.append(v)
+            removed_dirs = []
+            for name in sorted(os.listdir(self.table_dir)):
+                m = _VDIR.fullmatch(name)
+                if not m:
+                    continue
+                v = int(m.group(1))
+                if v < committed and v not in keep:
+                    shutil.rmtree(os.path.join(self.table_dir, name))
+                    removed_dirs.append(v)
 
-        oldest_kept = min(keep) if keep else 0
-        new_log = []
-        for v in sorted(recs):
-            if v == oldest_kept:
-                base = recs[v]
-                new_log.append({
-                    "version": v,
-                    "fingerprints": sorted(cumulative),
-                    "n_keys": base.get("n_keys"),
-                    "ts": base.get("ts"),
-                    "compacted": True,
-                })
-            elif v in keep or v > committed:
-                new_log.append(recs[v])
-        log = os.path.join(self.table_dir, "snapshots.jsonl")
-        tmp = log + ".tmp"
-        with open(tmp, "w") as f:
-            for rec in new_log:
-                f.write(json.dumps(rec) + "\n")
-        os.replace(tmp, log)
+            oldest_kept = min(keep) if keep else 0
+            new_log = []
+            for v in sorted(recs):
+                if v == oldest_kept:
+                    base = recs[v]
+                    new_log.append({
+                        "version": v,
+                        "fingerprints": sorted(cumulative),
+                        "n_keys": base.get("n_keys"),
+                        "ts": base.get("ts"),
+                        "compacted": True,
+                    })
+                elif v in keep or v > committed:
+                    new_log.append(recs[v])
+            log = os.path.join(self.table_dir, "snapshots.jsonl")
+            tmp = log + ".tmp"
+            with open(tmp, "w") as f:
+                for rec in new_log:
+                    f.write(json.dumps(rec) + "\n")
+            os.replace(tmp, log)
         return {"removed_versions": removed_dirs,
                 "kept_versions": sorted(keep),
                 "log_records": len(new_log)}

@@ -71,26 +71,41 @@ def avcc_to_annexb(data: bytes, length_size: int = 4) -> bytes:
     prefixes, ISO/IEC 14496-15 §5.3.4.2) to an Annex-B byte stream
     (00 00 00 01 start codes). Already-Annex-B input passes through.
     Malformed prefixes (NAL overrunning the sample, zero length) raise
-    ValueError instead of producing a garbage stream."""
+    ValueError instead of producing a garbage stream.
+
+    Detection order matters: an AVCC sample whose first NAL is 256-511
+    bytes long starts with 00 00 01 (and one with a 1-byte first NAL
+    starts with 00 00 00 01), which a prefix sniff alone misreads as a
+    start code. So the strict AVCC walk — every length prefix in bounds
+    and the NALs tiling the sample EXACTLY — is tried first; only when
+    the sample cannot be AVCC does a leading start code mean Annex-B
+    passthrough. (A true Annex-B stream whose bytes also happen to tile
+    exactly as big-endian lengths is undecidable by any sniffer; the walk
+    requirement makes that collision astronomically unlikely rather than
+    a whole misclassified length class.)"""
     data = bytes(data)
     if not 1 <= length_size <= 4:
         raise ValueError(f"NAL length size must be 1..4, got {length_size}")
-    if data[: len(_ANNEXB_PREFIXES[1])] in _ANNEXB_PREFIXES \
-            or data[: len(_ANNEXB_PREFIXES[0])] == _ANNEXB_PREFIXES[0]:
-        return data
-    out = bytearray()
-    pos = 0
-    while pos < len(data):
-        if pos + length_size > len(data):
-            raise ValueError("truncated NAL length prefix in AVCC sample")
-        n = int.from_bytes(data[pos:pos + length_size], "big")
-        pos += length_size
-        if n == 0 or pos + n > len(data):
-            raise ValueError(
-                f"NAL length {n} overruns AVCC sample ({len(data)} bytes)")
-        out += b"\x00\x00\x00\x01" + data[pos:pos + n]
-        pos += n
-    return bytes(out)
+    try:
+        out = bytearray()
+        pos = 0
+        while pos < len(data):
+            if pos + length_size > len(data):
+                raise ValueError("truncated NAL length prefix in AVCC sample")
+            n = int.from_bytes(data[pos:pos + length_size], "big")
+            pos += length_size
+            if n == 0 or pos + n > len(data):
+                raise ValueError(
+                    f"NAL length {n} overruns AVCC sample "
+                    f"({len(data)} bytes)")
+            out += b"\x00\x00\x00\x01" + data[pos:pos + n]
+            pos += n
+        return bytes(out)
+    except ValueError:
+        if data[: len(_ANNEXB_PREFIXES[1])] in _ANNEXB_PREFIXES \
+                or data[: len(_ANNEXB_PREFIXES[0])] == _ANNEXB_PREFIXES[0]:
+            return data  # not AVCC, starts with a start code: Annex-B
+        raise
 
 
 def make_av_decoder(av_module, codec_name: str):
