@@ -1269,16 +1269,32 @@ def q_events_overview(spark, sf_dir):
 
 
 def q_quantile_sketches(spark, sf_dir):
-    """KLL + t-digest rank-bracket certificates in one report (family
-    column): both sketches over the same value stream, each checked
-    against exact ranks with the exact interpolated median companion."""
+    """KLL + t-digest rank-bracket certificates and the DDSketch
+    relative-error certificate in one report (family column): three
+    quantile sketches over the same value stream, each checked against
+    its own published guarantee (KLL/t-digest: rank brackets; DDSketch:
+    value within alpha of the exact order statistic — Masson et al.
+    VLDB 2019), with the exact interpolated median companion."""
+    from zetasketch_spark.operators.verify import (
+        relative_error_quantiles_verified)
+    from zetasketch_spark.sketches.ddsketch import DDSketchFamily
+
     kll = q_kll_value_quantiles(spark, sf_dir).select(
         F.lit("kll").alias("family"), "event_type", "n_rows", "exact_p50",
         F.col("kll_rank_ok").alias("rank_ok"))
     td = q_tdigest_value_quantiles(spark, sf_dir).select(
         F.lit("tdigest").alias("family"), "event_type", "n_rows", "exact_p50",
         F.col("td_rank_ok").alias("rank_ok"))
-    return kll.unionByName(td).orderBy("family", "event_type")
+    e = _t(spark, sf_dir, "events")
+    fam = DDSketchFamily(alpha=0.01, quantiles=(0.1, 0.5, 0.9, 0.99))
+    dd = relative_error_quantiles_verified(
+        e, ["event_type"], "value", fam,
+        qcols={"q10": 0.1, "q50": 0.5, "q90": 0.9, "q99": 0.99},
+        ok_col="rel_ok").select(
+        F.lit("ddsketch").alias("family"), "event_type", "n_rows",
+        "exact_p50", F.col("rel_ok").alias("rank_ok"))
+    return kll.unionByName(td).unionByName(dd) \
+        .orderBy("family", "event_type")
 
 
 def q_docs_dedup_report(spark, sf_dir):
@@ -1851,6 +1867,11 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
             UNION ALL
             SELECT 'tdigest' AS family, event_type, count(*) AS n_rows,
+                   round(quantile_cont(value, 0.5), 6) AS exact_p50,
+                   true AS rank_ok
+            FROM events GROUP BY event_type
+            UNION ALL
+            SELECT 'ddsketch' AS family, event_type, count(value) AS n_rows,
                    round(quantile_cont(value, 0.5), 6) AS exact_p50,
                    true AS rank_ok
             FROM events GROUP BY event_type

@@ -360,6 +360,22 @@ def main():
         best = el if best is None else min(best, el)
     extra_timings["transcripts_len_quantiles"] = round(best, 3)
 
+    # relative-error turn-length quantiles (DDSketch, alpha=0.01) on the
+    # same RDD fast fabric — the latency-metrics twin of the KLL row;
+    # states are byte-identical across partitionings, so the merge tree
+    # carries no accuracy cost at any cluster size
+    from zetasketch_spark.sketches.ddsketch import DDSketchFamily
+
+    best = None
+    for _ in range(N_HEADLINE_TRIALS):
+        t0 = time.time()
+        sketch_agg_rdd(spark, tdir, ["role"], ("length", "text"),
+                       DDSketchFamily(alpha=0.01,
+                                      quantiles=(0.5, 0.9, 0.99))).count()
+        el = time.time() - t0
+        best = el if best is None else min(best, el)
+    extra_timings["transcripts_len_dd"] = round(best, 3)
+
     # theta over the RDD fast fabric: set-op-capable distinct at the
     # flagship throughput path (same scan shape as transcripts_hll_role_day)
     best = None

@@ -167,6 +167,40 @@ def test_rdd_fabric_derived_value_kll(spark, transcripts_path):
             assert lo - 0.03 <= q <= hi + 0.03, (role, qname, est, lo, hi)
 
 
+def test_fastscan_ddsketch_derived_value_byte_equal(spark, transcripts_path):
+    """DDSketch over the RDD fabric with a derived value: bucket counts
+    are pure addition, so the fabric's per-group state must be
+    BYTE-identical to a direct single-pass build over the same values —
+    a stronger cross-fabric contract than KLL's rank envelope — and each
+    quantile must sit within alpha of the exact order statistic."""
+    import numpy as np
+
+    from zetasketch_spark.operators.fastscan import sketch_agg_rdd
+    from zetasketch_spark.sketches.ddsketch import DDSketchFamily
+    from zetasketch_spark.sources.transcripts import load_transcripts
+
+    fam = DDSketchFamily(alpha=0.01, quantiles=(0.5, 0.99))
+    out = {r["role"]: r for r in
+           sketch_agg_rdd(spark, transcripts_path, ["role"],
+                          ("length", "text"), fam,
+                          keep_sketch=True).collect()}
+
+    df = load_transcripts(spark, transcripts_path)
+    pdf = df.select("role",
+                    F.length("text").cast("double").alias("v")).toPandas()
+    assert set(out) == set(pdf["role"].unique())
+    for role, g in pdf.groupby("role"):
+        direct = fam.make()
+        fam.update(direct, g["v"])
+        assert bytes(out[role]["sketch"]) == fam.serialize(direct), role
+        vals = np.sort(g["v"].to_numpy())
+        n = len(vals)
+        assert out[role]["n"] == n
+        for qname, q in (("q50", 0.5), ("q99", 0.99)):
+            exact = vals[int(q * (n - 1))]
+            assert abs(out[role][qname] - exact) <= 0.01 * abs(exact) + 1e-9
+
+
 def test_fastscan_derived_value_sources_pruned(transcripts_path):
     """Split planning for a derived value reads only the source column."""
     from zetasketch_spark.operators.fastscan import _value_source

@@ -331,7 +331,7 @@ def test_topk_provably_complete_flag(spark):
     assert all(not r["provably_complete"] for r in rows)
 
 
-@pytest.mark.parametrize("family", ["countmin", "kll", "tdigest", "bloom", "theta"])
+@pytest.mark.parametrize("family", ["countmin", "kll", "tdigest", "bloom", "theta", "ddsketch"])
 def test_wire_format_versioned_forward_compat(family):
     """Every non-HLL family carries an explicit encoding_version and, like
     the proto surface (reference StateTest unknown-field case), tolerates a
@@ -343,7 +343,8 @@ def test_wire_format_versioned_forward_compat(family):
 
     fam = get_family(family)
     a = fam.make()
-    vals = pd.Series([1.0, 2.0, 3.0, 4.0, 5.0] * 10) if family in ("kll", "tdigest") \
+    vals = pd.Series([1.0, 2.0, 3.0, 4.0, 5.0] * 10) \
+        if family in ("kll", "tdigest", "ddsketch") \
         else pd.Series(["a", "b", "c", "a"] * 10)
     fam.update(a, vals)
     blob = fam.serialize(a)
@@ -370,7 +371,7 @@ def test_wire_format_versioned_forward_compat(family):
         fam.deserialize(bytes(blob[:4]) + bytes([0]) + bytes(blob[5:]))
 
 
-@pytest.mark.parametrize("family", ["countmin", "kll", "tdigest", "bloom", "theta"])
+@pytest.mark.parametrize("family", ["countmin", "kll", "tdigest", "bloom", "theta", "ddsketch"])
 def test_truncated_blob_fails_loudly(family):
     """Every truncation of a serialized state must raise (ValueError /
     struct.error) — never return a silently-corrupt sketch. At 100 TB a
@@ -385,7 +386,8 @@ def test_truncated_blob_fails_loudly(family):
     fam = get_family(family)
     st = fam.make()
     vals = pd.Series([float(i % 97) for i in range(500)]) \
-        if family in ("kll", "tdigest") else pd.Series([f"k{i % 97}" for i in range(500)])
+        if family in ("kll", "tdigest", "ddsketch") \
+        else pd.Series([f"k{i % 97}" for i in range(500)])
     fam.update(st, vals)
     blob = fam.serialize(st)
     full = fam.serialize(fam.deserialize(blob))

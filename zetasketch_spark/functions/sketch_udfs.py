@@ -16,6 +16,10 @@ states (same ``AggregatorStateProto`` wire format):
   spelling — ``hll_count_init`` / ``hll_count_merge_partial`` /
   ``hll_count_merge`` (merge+extract composite, BIGINT) /
   ``hll_count_extract`` — so queries port with a dot→underscore rename.
+  Quantile families: ``kll_init_agg``/``kll_quantile``,
+  ``tdigest_init_agg``/``tdigest_quantile`` and ``dd_init_agg(col,
+  alpha)``/``dd_quantile`` (DDSketch — relative-error guarantee), each
+  with a ``*_merge_agg`` for partial→merge rollups.
 
 The grouped-agg form shuffles raw values per group (Catalyst's own
 aggregation path), which is the convenient-but-shuffle-heavy shape; for
@@ -358,6 +362,9 @@ def register_sql(spark) -> None:
     spark.udf.register("kll_merge_agg", _merge_agg_udf(KllSketch.deserialize))
     spark.udf.register("tdigest_merge_agg", _merge_agg_udf(TDigest.deserialize))
     spark.udf.register("cm_merge_agg", _merge_agg_udf(CountMinSketch.deserialize))
+    from zetasketch_spark.sketches.ddsketch import DDSketch
+
+    spark.udf.register("dd_merge_agg", _merge_agg_udf(DDSketch.deserialize))
 
     @pandas_udf("binary")
     def _init(values: pd.Series, precision: pd.Series,
@@ -434,6 +441,26 @@ def register_sql(spark) -> None:
             lambda td, qs: [td.quantile(float(x)) for x in qs], None)
 
     spark.udf.register("tdigest_quantile", _td_quantile)
+
+    @pandas_udf("binary")
+    def _dd_init(values: pd.Series, alpha: pd.Series) -> bytes:
+        from zetasketch_spark.sketches.ddsketch import DDSketch
+
+        sk = DDSketch(alpha=float(alpha.iloc[0]) if len(alpha) else 0.01)
+        sk.add_series(values)
+        return sk.serialize()
+
+    spark.udf.register("dd_init_agg", _dd_init)
+
+    @pandas_udf("double")
+    def _dd_quantile(states: pd.Series, q: pd.Series) -> pd.Series:
+        from zetasketch_spark.sketches.ddsketch import DDSketch
+
+        return _extract_by_state(
+            states, q, DDSketch.deserialize,
+            lambda sk, qs: [sk.quantile(float(x)) for x in qs], None)
+
+    spark.udf.register("dd_quantile", _dd_quantile)
 
     @pandas_udf("binary")
     def _cm_init(values: pd.Series, width: pd.Series, depth: pd.Series) -> bytes:

@@ -113,6 +113,50 @@ def quantile_sketch_verified(df: DataFrame, keys: list[str], value_col: str,
     return checked.join(exact, keys).select(*keys, "n_rows", "exact_p50", ok_col)
 
 
+def relative_error_quantiles_verified(df: DataFrame, keys: list[str],
+                                      value_col: str, family,
+                                      qcols: dict[str, float],
+                                      ok_col: str) -> DataFrame:
+    """keys + (n_rows, exact_p50, <ok_col>): the DDSketch certificate —
+    each quantile estimate within ``family.alpha`` RELATIVE error of the
+    exact order statistic at rank floor(q·(n−1)) (Masson et al. VLDB
+    2019, Theorem 1; rank convention matches DDSketch.quantiles).
+
+    The sketch runs distributed (``sketch_agg``); the exact companion is
+    one window sort per group plus a broadcast join of the tiny
+    (group × quantile) target-rank table. Like every *_verified oracle
+    here, the exact pass is the gate-scale verification payload — the
+    production path is the sketch alone."""
+    from zetasketch_spark.operators.agg import sketch_agg
+
+    est = sketch_agg(df, keys, value_col, family)
+    vals = df.select(*keys, value_col).where(F.col(value_col).isNotNull())
+    counts = vals.groupBy(*keys).agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.expr(f"percentile({value_col}, 0.5)"), 6).alias("exact_p50"))
+    targets = counts.select(
+        *keys,
+        F.explode(F.array(*[
+            F.struct(F.lit(f"exact_{c}").alias("_qc"),
+                     (F.floor(F.lit(q) * (F.col("n_rows") - 1)) + 1
+                      ).alias("_rk"))
+            for c, q in qcols.items()])).alias("_t")
+    ).select(*keys, "_t._qc", "_t._rk")
+    w = Window.partitionBy(*keys).orderBy(F.col(value_col))
+    ranked = vals.withColumn("_rk", F.row_number().over(w))
+    exact_q = (ranked.join(F.broadcast(targets), [*keys, "_rk"])
+               .groupBy(*keys)
+               .pivot("_qc", [f"exact_{c}" for c in qcols])
+               .agg(F.first(value_col)))
+    ok = F.lit(True)
+    for c in qcols:
+        ok = ok & (F.abs(F.col(c) - F.col(f"exact_{c}"))
+                   <= F.lit(family.alpha) * F.abs(F.col(f"exact_{c}"))
+                   + F.lit(1e-9))
+    return (est.join(exact_q, keys).join(counts, keys)
+            .select(*keys, "n_rows", "exact_p50", ok.alias(ok_col)))
+
+
 # ---------------------------------------------------------------------------
 # Count-Min: exact top-k + overcount bound
 # ---------------------------------------------------------------------------

@@ -251,7 +251,8 @@ def get_family(name: str, **cfg) -> SketchFamily:
         # lazily import the module that registers this family
         import importlib
 
-        for mod in ("countmin", "kll", "tdigest", "bloom", "theta"):
+        for mod in ("countmin", "kll", "tdigest", "bloom", "theta",
+                    "ddsketch"):
             importlib.import_module(f"zetasketch_spark.sketches.{mod}")
     if name not in _REGISTRY:
         raise KeyError(f"unknown sketch family {name!r}; known: {sorted(_REGISTRY)}")
