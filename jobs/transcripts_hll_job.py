@@ -29,12 +29,12 @@ def main(argv=None):
     ap.add_argument("--precision", type=int, default=15)
     ap.add_argument("--sparse-precision", type=int, default=None)
     ap.add_argument("--family", default="hll",
-                    choices=["hll", "theta", "kll", "tdigest", "countmin",
-                             "bloom"],
+                    choices=["hll", "theta", "kll", "tdigest", "ddsketch",
+                             "countmin", "bloom"],
                     help="sketch family; hll takes --precision/"
                          "--sparse-precision, theta takes --k, the rest "
-                         "use their defaults (kll/tdigest need a numeric "
-                         "--col)")
+                         "use their defaults (kll/tdigest/ddsketch need a "
+                         "numeric --col)")
     ap.add_argument("--k", type=int, default=4096, help="theta nominal size")
     ap.add_argument("--output", default=None)
     ap.add_argument("--tree-levels", type=int, default=1)

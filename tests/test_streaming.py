@@ -93,6 +93,50 @@ def test_streaming_theta_matches_batch(spark, tmp_path):
     assert got == want
 
 
+def test_streaming_ddsketch_matches_batch_exactly(spark, tmp_path):
+    """DDSketch through the streaming fabric: because bucket counts are
+    pure addition, the state after the last micro-batch is BYTE-identical
+    to a batch build over the same rows — so the quantile outputs must be
+    EXACTLY equal, not merely convergent (the strongest stream==batch
+    claim any family here can make)."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from zetasketch_spark.sketches.ddsketch import DDSketchFamily
+    from zetasketch_spark.sources.transcripts import write_transcripts_parquet
+    from zetasketch_spark.streaming.agg import streaming_sketch_agg
+
+    path = str(tmp_path / "dd_src")
+    write_transcripts_parquet(path, n_turns=30_000, seed=13,
+                              rows_per_file=10_000)
+    schema = spark.read.parquet(path).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(path)
+              .select("role",
+                      F.length("text").cast("double").alias("turn_len")))
+    fam = DDSketchFamily(alpha=0.01, quantiles=(0.5, 0.99))
+    out = streaming_sketch_agg(stream, ["role"], "turn_len", fam)
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName("dd_stream").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["role"]: (r["q50"], r["q99"], r["n"]) for r in
+           spark.sql("""
+             select role, q50, q99, n from (
+               select role, q50, q99, n, rows_seen,
+                      row_number() over (partition by role
+                                         order by rows_seen desc) rk
+               from dd_stream) where rk = 1
+           """).collect()}
+
+    batch = (spark.read.parquet(path)
+             .select("role", F.length("text").cast("double").alias("v"))
+             .toPandas())
+    for role, grp in batch.groupby("role"):
+        sk = fam.make()
+        fam.update(sk, grp["v"])
+        assert got[role] == fam.result(sk), role
+
+
 def test_streaming_countmin_matches_batch(spark, tmp_path):
     """Count-Min through the streaming fabric: heavy-hitter candidate
     counts converge to a single-threaded batch build (string-canonical
