@@ -275,6 +275,47 @@ def test_vacuum_gc_and_log_compaction(spark, tmp_path):
         {"d0", "d1", "d2", "d3"}
 
 
+def test_time_travel_read_historical_versions(spark, tmp_path):
+    """read(version=N) returns the snapshot as of delta N (byte-equal to
+    a table that stopped folding there); orphan versions are rejected as
+    never-published; vacuumed-away chain versions name the GC."""
+    events = _events(spark)
+    fam = HllFamily(precision=12)
+    table = SketchTable(str(tmp_path / "tbl"), ["event_type"], "user_id", fam)
+    twin = SketchTable(str(tmp_path / "twin"), ["event_type"], "user_id", fam)
+    for i in range(3):
+        table.update(spark, events.filter(F.col("user_id") % 3 == i),
+                     fingerprint=f"d{i}")
+        if i < 2:
+            twin.update(spark, events.filter(F.col("user_id") % 3 == i),
+                        fingerprint=f"d{i}")
+
+    # v2 == the twin that stopped after two deltas, byte-for-byte
+    got = _by_key(table.results(spark, keep_sketch=True, version=2),
+                  ["event_type"], [SKETCH_COL])
+    want = _by_key(twin.results(spark, keep_sketch=True),
+                   ["event_type"], [SKETCH_COL])
+    assert {k: bytes(v[0]) for k, v in got.items()} == \
+           {k: bytes(v[0]) for k, v in want.items()}
+    # latest unaffected by the time-travel read
+    assert table.latest_version() == 3
+
+    # an orphan version number was never published
+    os.makedirs(str(tmp_path / "tbl" / "v00009"))
+    with pytest.raises(ValueError, match="not a readable committed"):
+        table.read(spark, version=9)
+    with pytest.raises(ValueError, match="not a readable committed"):
+        table.read(spark, version=4)
+
+    # vacuum keeps only the newest snapshot: v2's history is folded into
+    # the compaction checkpoint and it is no longer readable
+    table.vacuum(keep_versions=1)
+    with pytest.raises(ValueError, match="not a readable committed"):
+        table.read(spark, version=2)
+    # the compacted chain root still reads (it IS the latest)
+    assert table.read(spark, version=3).count() > 0
+
+
 def test_vacuum_does_not_lose_concurrent_writers_log_record(spark, tmp_path):
     """vacuum()'s log rewrite runs under the table lock: a writer whose
     update overlaps the vacuum must block at its log append and land its

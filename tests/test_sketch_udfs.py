@@ -506,3 +506,46 @@ def test_join_key_profile_planted_overlap(spark):
     assert abs(r["containment_a_in_b"] - 1000 / 3000) < 1e-9
     assert abs(r["containment_b_in_a"] - 1000 / 4000) < 1e-9
     assert abs(r["jaccard"] - 1000 / 6000) < 1e-9
+
+
+def test_hll_estimates_cross_validate_spark_native_datasketches(spark):
+    """Independent-implementation cross-check: our zetasketch-wire HLL++
+    and Spark 4's built-in Apache DataSketches HLL (hll_sketch_agg) must
+    both land within their published envelopes of the exact distinct on
+    the same grouped data — two unrelated codebases agreeing pins the
+    estimator, not just our own tests. (The wire formats are deliberately
+    different: this library's sketches are byte-compatible with
+    BigQuery/ZetaSketch AggregatorStateProto, which the built-in cannot
+    produce — that parity is the point of the repo.)"""
+    import pandas as pd
+
+    from zetasketch_spark.operators.agg import sketch_agg
+    from zetasketch_spark.operators.verify import hll_envelope_bound
+    from zetasketch_spark.sketches.base import HllFamily
+
+    rng_rows = 60_000
+    pdf = pd.DataFrame({
+        "g": [f"g{i % 4}" for i in range(rng_rows)],
+        # per-group distinct cardinalities differ by construction
+        "v": [f"u{(i * 2654435761) % (3000 * (i % 4 + 1))}"
+              for i in range(rng_rows)],
+    })
+    df = spark.createDataFrame(pdf).repartition(8)
+    p = 14
+
+    ours = {r["g"]: r["estimate"] for r in
+            sketch_agg(df, ["g"], "v", HllFamily(precision=p)).collect()}
+    native = {r["g"]: r["native_est"] for r in
+              df.groupBy("g").agg(F.hll_sketch_estimate(
+                  F.hll_sketch_agg("v", F.lit(p))).alias("native_est"))
+              .collect()}
+    exact = {r["g"]: r["x"] for r in
+             df.groupBy("g").agg(F.countDistinct("v").alias("x")).collect()}
+
+    bound = hll_envelope_bound(p)  # 3 sigma of 1.04/sqrt(2^p)
+    for g, x in exact.items():
+        assert abs(ours[g] / x - 1.0) <= bound, (g, ours[g], x)
+        assert abs(native[g] / x - 1.0) <= bound, (g, native[g], x)
+        # and against each other: both inside the envelope of the same
+        # truth means they can differ by at most 2*bound
+        assert abs(ours[g] - native[g]) <= 2 * bound * x, (g, ours[g], native[g])

@@ -237,13 +237,33 @@ class SketchTable:
 
     # -- core operations ------------------------------------------------
 
-    def read(self, spark: SparkSession) -> DataFrame | None:
-        """Latest committed snapshot (``keys…, sketch, rows_seen``), or
-        None for an empty table."""
-        v = self.latest_version()
-        if v == 0:
-            return None
-        return spark.read.parquet(self._vpath(v))
+    def read(self, spark: SparkSession,
+             version: int | None = None) -> DataFrame | None:
+        """A committed snapshot (``keys…, sketch, rows_seen``).
+
+        ``version=None`` reads the latest; an explicit ``version`` is a
+        time-travel read of a historical snapshot (the Iceberg
+        ``VERSION AS OF`` shape) and must be a readable member of the
+        committed chain. Everything else is rejected loudly: orphan
+        versions from crashed/raced writers were never published, and
+        versions below a ``vacuum`` compaction checkpoint no longer
+        exist (their history is folded into the checkpoint). Returns
+        None only for an empty table's latest.
+        """
+        if version is None:
+            v = self.latest_version()
+            if v == 0:
+                return None
+            return spark.read.parquet(self._vpath(v))
+        chain = self._chain_versions()
+        if version not in chain or not os.path.isdir(self._vpath(version)):
+            raise ValueError(
+                f"version {version} is not a readable committed snapshot "
+                f"of {self.table_dir} (retained chain: {sorted(chain)}): "
+                f"either an orphan from a crashed/raced writer (never "
+                f"published), never written, or compacted away by "
+                f"vacuum()")
+        return spark.read.parquet(self._vpath(version))
 
     def update(self, spark: SparkSession, delta: DataFrame,
                fingerprint: str | None = None,
@@ -323,10 +343,11 @@ class SketchTable:
                 "fingerprint": fingerprint, "parent": base_version,
                 "seconds": round(time.time() - t0, 3)}
 
-    def results(self, spark: SparkSession,
-                keep_sketch: bool = False) -> DataFrame | None:
-        """Extract the family's result fields from the latest snapshot."""
-        snap = self.read(spark)
+    def results(self, spark: SparkSession, keep_sketch: bool = False,
+                version: int | None = None) -> DataFrame | None:
+        """Extract the family's result fields from a snapshot (latest by
+        default; pass ``version`` for a time-travel read)."""
+        snap = self.read(spark, version=version)
         if snap is None:
             return None
         return sketch_result(snap, self.family, keep_sketch=keep_sketch)
