@@ -316,6 +316,47 @@ def test_time_travel_read_historical_versions(spark, tmp_path):
     assert table.read(spark, version=3).count() > 0
 
 
+def test_rollup_aggregate_navigation_and_history(spark, tmp_path):
+    """rollup(coarser_keys) merges the snapshot's states down — byte-equal
+    to a direct aggregation at the coarse grain (rollups-are-free) — and
+    history() exposes the committed lineage newest-first."""
+    events = _events(spark).withColumn(
+        "shard", (F.col("user_id") % 4).cast("int"))
+    fam = HllFamily(precision=12)
+    table = SketchTable(str(tmp_path / "tbl"),
+                        ["event_type", "shard"], "user_id", fam)
+    table.update(spark, events.filter(F.col("user_id") % 2 == 0),
+                 fingerprint="even")
+    table.update(spark, events.filter(F.col("user_id") % 2 == 1),
+                 fingerprint="odd")
+
+    got = _by_key(table.rollup(spark, ["event_type"], keep_sketch=True),
+                  ["event_type"], [SKETCH_COL, "estimate"])
+    want = _by_key(sketch_agg(events, ["event_type"], "user_id", fam,
+                              keep_sketch=True),
+                   ["event_type"], [SKETCH_COL, "estimate"])
+    assert {k: (bytes(v[0]), v[1]) for k, v in got.items()} == \
+           {k: (bytes(v[0]), v[1]) for k, v in want.items()}
+
+    # global rollup (no keys) and the salted variant agree
+    [g] = table.rollup(spark, [], keep_sketch=True).collect()
+    [g2] = table.rollup(spark, [], keep_sketch=True,
+                        tree_levels=2).collect()
+    assert bytes(g["sketch"]) == bytes(g2["sketch"])
+    [direct] = sketch_agg(events, [], "user_id", fam,
+                          keep_sketch=True).collect()
+    assert bytes(g["sketch"]) == bytes(direct["sketch"])
+
+    with pytest.raises(ValueError, match="can only DROP keys"):
+        table.rollup(spark, ["event_type", "day"])
+
+    hist = table.history()
+    assert [h["version"] for h in hist] == [2, 1]
+    assert [h["parent"] for h in hist] == [1, 0]
+    assert hist[0]["new_fingerprints"] == ["odd"]
+    assert hist[1]["new_fingerprints"] == ["even"]
+
+
 def test_vacuum_does_not_lose_concurrent_writers_log_record(spark, tmp_path):
     """vacuum()'s log rewrite runs under the table lock: a writer whose
     update overlaps the vacuum must block at its log append and land its

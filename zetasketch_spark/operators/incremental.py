@@ -352,7 +352,43 @@ class SketchTable:
             return None
         return sketch_result(snap, self.family, keep_sketch=keep_sketch)
 
+    def rollup(self, spark: SparkSession, keys: list[str],
+               keep_sketch: bool = False, version: int | None = None,
+               tree_levels: int = 1) -> DataFrame | None:
+        """Aggregate navigation: derive a COARSER grouping from the
+        snapshot by merging its sketch states (``keys`` ⊆ the table's
+        keys) — one pass over n_keys compact rows, never over history.
+        Exact by merge associativity: a (role, day) table answers every
+        (role) / (day) / () query a dedicated table would, byte-equal for
+        HLL (the rollups-are-free invariant, DESIGN.md §1)."""
+        missing = set(keys) - set(self.keys)
+        if missing:
+            raise ValueError(
+                f"rollup keys {sorted(missing)} are not grouping keys of "
+                f"this table (keys={self.keys}); a rollup can only DROP "
+                f"keys, never invent them")
+        snap = self.read(spark, version=version)
+        if snap is None:
+            return None
+        partials = snap.select(*keys, SKETCH_COL, ROWS_COL)
+        if tree_levels >= 2:
+            # salt for hot coarse keys: many fine-grain states fold into
+            # one coarse key, same fan-in story as the update merge
+            partials = partials.withColumn(
+                PARTITION_COL, F.spark_partition_id())
+        merged = sketch_merge(partials, list(keys), self.family,
+                              tree_levels=tree_levels)
+        return sketch_result(merged, self.family, keep_sketch=keep_sketch)
+
     # -- maintenance ------------------------------------------------------
+
+    def history(self) -> list[dict]:
+        """Committed-chain metadata, newest first: one dict per reachable
+        log record (version, parent, new_fingerprints / compacted
+        cumulative checkpoint, n_keys, ts). Orphan records are excluded —
+        this is the table's auditable lineage."""
+        recs = self._log_records()
+        return [recs[v] for v in self._chain_versions() if v in recs]
 
     def _chain_versions(self) -> list[int]:
         """Committed chain, newest first (LATEST, its parent, ...)."""
