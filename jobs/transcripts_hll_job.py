@@ -36,6 +36,8 @@ def main(argv=None):
                          "use their defaults (kll/tdigest/ddsketch need a "
                          "numeric --col)")
     ap.add_argument("--k", type=int, default=4096, help="theta nominal size")
+    ap.add_argument("--alpha", type=float, default=0.01,
+                    help="ddsketch relative-error bound")
     ap.add_argument("--output", default=None)
     ap.add_argument("--tree-levels", type=int, default=1)
     # the two persistence modes are exclusive: --checkpoint-dir resumes a
@@ -67,8 +69,9 @@ def main(argv=None):
     else:
         from zetasketch_spark.sketches.base import get_family
 
-        fam = get_family(args.family,
-                         **({"k": args.k} if args.family == "theta" else {}))
+        extra = {"theta": {"k": args.k},
+                 "ddsketch": {"alpha": args.alpha}}.get(args.family, {})
+        fam = get_family(args.family, **extra)
     keys = [k.strip() for k in args.keys.split(",") if k.strip()]
 
     df = load_transcripts(spark, args.input)
