@@ -130,6 +130,42 @@ def test_collapse_bounds_memory_and_keeps_top_quantiles():
         assert _rel_err(capped.quantile(q), x) <= 0.01 * 1.0001
 
 
+def test_collapse_negative_store_keeps_top_quantiles():
+    """Mirror of the positive collapse contract for NEGATIVE data: the
+    neg store must fold its largest-|v| buckets (the most negative
+    values = the LOWEST global quantiles), so p90/p99 of an all-negative
+    metric keep the alpha guarantee after collapse. Folding the same end
+    as the positive store silently destroyed them (measured rel err 11x
+    at alpha=0.01 before the fix)."""
+    rng = np.random.default_rng(3)
+    vals = -(10.0 ** rng.uniform(-3, 6, 200_000))
+    capped = DDSketch(0.01, max_buckets=900)
+    for chunk in np.array_split(vals, 10):
+        capped.add_array(chunk)
+    assert len(capped.neg) <= 900
+    exact = _exact_order_stats(vals, (0.5, 0.9, 0.99, 1.0))
+    for q, x in zip((0.5, 0.9, 0.99, 1.0), exact):
+        assert _rel_err(capped.quantile(q), x) <= 0.01 * 1.0001, (q, x)
+
+
+def test_quantile_labels_tail_configs_and_duplicates():
+    """(0.99, 0.999, 0.9999) — the DDSketch tail design point — must get
+    distinct result fields (the old round(q*100) formula collapsed all
+    of them to 'q100'); genuinely colliding configs fail loudly."""
+    from zetasketch_spark.sketches.base import quantile_label
+
+    fam = DDSketchFamily(quantiles=(0.99, 0.999, 0.9999))
+    assert [n for n, _ in fam.result_fields] == ["q99", "q999", "q9999", "n"]
+    assert quantile_label(0.5) == "q50"
+    assert quantile_label(0.1) == "q10"
+    assert quantile_label(0.01) == "q01"
+    assert quantile_label(0.0) == "q00"
+    assert quantile_label(1.0) == "q100"
+    assert quantile_label(0.25) == "q25"
+    with pytest.raises(ValueError, match="duplicate result fields"):
+        DDSketchFamily(quantiles=(0.5, 0.5))
+
+
 def test_sketch_agg_pipeline_matches_direct_and_fabrics(spark):
     """DataFrame pipeline (pandas UDAF fabric) == Arrow partial fabric ==
     direct single-pass build, byte-for-byte per group."""

@@ -131,9 +131,13 @@ def relative_error_quantiles_verified(df: DataFrame, keys: list[str],
 
     est = sketch_agg(df, keys, value_col, family)
     vals = df.select(*keys, value_col).where(F.col(value_col).isNotNull())
+    # tiny (one row per group) but referenced twice (targets + final
+    # join): cache it so each reuse doesn't re-scan and re-aggregate the
+    # input through Spark's lineage recomputation
     counts = vals.groupBy(*keys).agg(
         F.count("*").alias("n_rows"),
-        F.round(F.expr(f"percentile({value_col}, 0.5)"), 6).alias("exact_p50"))
+        F.round(F.expr(f"percentile({value_col}, 0.5)"), 6).alias("exact_p50")
+    ).cache()
     targets = counts.select(
         *keys,
         F.explode(F.array(*[
@@ -150,9 +154,14 @@ def relative_error_quantiles_verified(df: DataFrame, keys: list[str],
                .agg(F.first(value_col)))
     ok = F.lit(True)
     for c in qcols:
+        # alpha*1.0001: ~1 ulp of log() can shift a bucket-boundary value
+        # one bucket (midpoint still within alpha + float noise); the
+        # bare bound would flip a healthy sketch's gate row red for
+        # boundary values with |exact| large enough that the noise
+        # exceeds the 1e-9 absolute slack (same factor as the unit test)
         ok = ok & (F.abs(F.col(c) - F.col(f"exact_{c}"))
-                   <= F.lit(family.alpha) * F.abs(F.col(f"exact_{c}"))
-                   + F.lit(1e-9))
+                   <= F.lit(family.alpha * 1.0001)
+                   * F.abs(F.col(f"exact_{c}")) + F.lit(1e-9))
     return (est.join(exact_q, keys).join(counts, keys)
             .select(*keys, "n_rows", "exact_p50", ok.alias(ok_col)))
 

@@ -34,6 +34,32 @@ class _SeriesPrepared:
         return self.series.take(idx)
 
 
+def quantile_label(q: float) -> str:
+    """Collision-free result-field name for a quantile: the fractional
+    digits of q (>=2, trailing zeros stripped) — q50, q99, q999, q9999,
+    q01, q00, q100. The old ``round(q*100)`` formula collapsed every
+    q >= 0.995 to 'q100', so a (0.99, 0.999, 0.9999) tail config — the
+    DDSketch design point — produced duplicate struct fields and
+    indistinguishable answers."""
+    if q >= 1.0:
+        return "q100"
+    frac = f"{q:.6f}".split(".")[1].rstrip("0")
+    return "q" + (frac.ljust(2, "0") if frac else "00")
+
+
+def quantile_result_fields(quantiles) -> list[tuple[str, str]]:
+    """result_fields for a quantile family: one double per quantile plus
+    the exact count, with duplicate labels rejected loudly."""
+    labels = [quantile_label(q) for q in quantiles]
+    dupes = {l for l in labels if labels.count(l) > 1}
+    if dupes:
+        raise ValueError(
+            f"quantiles {tuple(quantiles)} produce duplicate result "
+            f"fields {sorted(dupes)}; quantile labels use up to 6 "
+            f"fractional digits")
+    return [(l, "double") for l in labels] + [("n", "bigint")]
+
+
 class SketchFamily:
     """Base class; subclasses define the five operations."""
 

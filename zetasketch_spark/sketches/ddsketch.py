@@ -23,9 +23,11 @@ Design (the paper's log-bucketed store, vectorized):
   where cross-partition equality is semantic, not byte-level). The
   serialized form sorts bucket indices, making the state canonical.
 * ``max_buckets`` bounds memory (the paper's collapsing variant): when a
-  store exceeds it, the lowest buckets fold into the lowest kept bucket.
-  Low quantiles lose the guarantee after collapse; high quantiles — the
-  latency design point — keep it. Collapse makes byte-equality across
+  store exceeds it, the buckets holding the LOWEST global quantiles fold
+  into the boundary bucket (lowest-|v| buckets of the positive store,
+  largest-|v| buckets of the mirrored negative store). Low quantiles
+  lose the guarantee after collapse; high quantiles — the latency design
+  point — keep it, for positive AND negative data. Collapse makes byte-equality across
   partitionings history-dependent, so the default (2048 per store,
   ~9 decades of dynamic range at alpha = 0.01) is sized to never
   trigger on sane metric data; the bound is a memory SAFETY NET for
@@ -46,7 +48,8 @@ import struct
 import numpy as np
 import pandas as pd
 
-from zetasketch_spark.sketches.base import SketchFamily, register_family
+from zetasketch_spark.sketches.base import (
+    SketchFamily, quantile_result_fields, register_family)
 
 _MAGIC = b"DDS2"  # trailing digit = layout generation (wire.py convention)
 _ENCODING_VERSION = 1
@@ -88,11 +91,19 @@ class DDSketch:
             store[i] = store.get(i, 0) + k
 
     def _collapse(self) -> None:
+        """Bound each store to ``max_buckets`` by folding the buckets
+        holding the LOWEST global quantiles into the boundary bucket —
+        the lowest-index (smallest-value) buckets of the positive store,
+        but the HIGHEST-index (largest-|v|, i.e. most negative) buckets
+        of the mirrored negative store. Folding the same end of both
+        stores would silently destroy p90/p99 for negative-valued
+        metrics, the exact quantiles the collapse contract promises to
+        keep."""
         if self.max_buckets <= 0:
             return
-        for store in (self.pos, self.neg):
+        for store, keep_high in ((self.pos, True), (self.neg, False)):
             if len(store) > self.max_buckets:
-                keys = sorted(store)
+                keys = sorted(store, reverse=not keep_high)
                 cut = len(keys) - self.max_buckets
                 boundary = keys[cut]
                 folded = sum(store.pop(k) for k in keys[:cut])
@@ -224,9 +235,7 @@ class DDSketchFamily(SketchFamily):
         self.alpha = alpha
         self.max_buckets = max_buckets
         self.quantiles = tuple(quantiles)
-        self.result_fields = [
-            (f"q{round(q * 100):02d}", "double") for q in self.quantiles
-        ] + [("n", "bigint")]
+        self.result_fields = quantile_result_fields(self.quantiles)
 
     def make(self):
         return DDSketch(alpha=self.alpha, max_buckets=self.max_buckets)

@@ -206,10 +206,11 @@ class KllFamily(SketchFamily):
     supports_arrow = True
 
     def __init__(self, k: int = 200, quantiles: tuple = (0.1, 0.5, 0.9, 0.99)):
+        from zetasketch_spark.sketches.base import quantile_result_fields
+
         self.k = k
         self.quantiles = tuple(quantiles)
-        self.result_fields = [(f"q{round(q * 100):02d}", "double") for q in self.quantiles] \
-            + [("n", "bigint")]
+        self.result_fields = quantile_result_fields(self.quantiles)
 
     def make(self):
         return KllSketch(self.k)

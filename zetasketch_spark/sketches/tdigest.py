@@ -154,10 +154,11 @@ class TDigestFamily(SketchFamily):
     supports_arrow = True
 
     def __init__(self, delta: float = 200.0, quantiles: tuple = (0.1, 0.5, 0.9, 0.99)):
+        from zetasketch_spark.sketches.base import quantile_result_fields
+
         self.delta = delta
         self.quantiles = tuple(quantiles)
-        self.result_fields = [(f"q{round(q * 100):02d}", "double") for q in self.quantiles] \
-            + [("n", "bigint")]
+        self.result_fields = quantile_result_fields(self.quantiles)
 
     def make(self):
         return TDigest(self.delta)
