@@ -356,6 +356,18 @@ def test_rollup_aggregate_navigation_and_history(spark, tmp_path):
     assert hist[0]["new_fingerprints"] == ["odd"]
     assert hist[1]["new_fingerprints"] == ["even"]
 
+    # sliding-window shape: merge only a key-predicate slice of the
+    # fine-grain states — equals a direct aggregation over the same slice
+    win = _by_key(table.rollup(spark, ["event_type"], keep_sketch=True,
+                               where=F.col("shard") < 2),
+                  ["event_type"], [SKETCH_COL])
+    win_want = _by_key(
+        sketch_agg(events.filter(F.col("shard") < 2),
+                   ["event_type"], "user_id", fam, keep_sketch=True),
+        ["event_type"], [SKETCH_COL])
+    assert {k: bytes(v[0]) for k, v in win.items()} == \
+           {k: bytes(v[0]) for k, v in win_want.items()}
+
 
 def test_vacuum_does_not_lose_concurrent_writers_log_record(spark, tmp_path):
     """vacuum()'s log rewrite runs under the table lock: a writer whose

@@ -354,13 +354,20 @@ class SketchTable:
 
     def rollup(self, spark: SparkSession, keys: list[str],
                keep_sketch: bool = False, version: int | None = None,
-               tree_levels: int = 1) -> DataFrame | None:
+               tree_levels: int = 1, where=None) -> DataFrame | None:
         """Aggregate navigation: derive a COARSER grouping from the
         snapshot by merging its sketch states (``keys`` ⊆ the table's
         keys) — one pass over n_keys compact rows, never over history.
         Exact by merge associativity: a (role, day) table answers every
         (role) / (day) / () query a dedicated table would, byte-equal for
-        HLL (the rollups-are-free invariant, DESIGN.md §1)."""
+        HLL (the rollups-are-free invariant, DESIGN.md §1).
+
+        ``where`` (a Column predicate over the table's key columns)
+        restricts which fine-grain states fold in BEFORE the merge — the
+        sliding-window shape: distinct-over-the-last-7-days from a
+        (role, day) table is ``rollup(["role"],
+        where=F.col("day") >= cutoff)``, merging only the selected days'
+        states instead of rescanning any raw history."""
         missing = set(keys) - set(self.keys)
         if missing:
             raise ValueError(
@@ -370,6 +377,8 @@ class SketchTable:
         snap = self.read(spark, version=version)
         if snap is None:
             return None
+        if where is not None:
+            snap = snap.filter(where)
         partials = snap.select(*keys, SKETCH_COL, ROWS_COL)
         if tree_levels >= 2:
             # salt for hot coarse keys: many fine-grain states fold into
