@@ -52,6 +52,11 @@ def main(argv=None):
                            "aggregation: --input is treated as the arriving "
                            "delta and folded in (idempotent per input "
                            "fingerprint; see operators/incremental.py)")
+    ap.add_argument("--vacuum-keep", type=int, default=0, metavar="N",
+                    help="with --sketch-table: after the fold, "
+                         "garbage-collect snapshot versions, keeping the "
+                         "newest N (replay idempotence is preserved via "
+                         "the compacted log checkpoint); 0 = never vacuum")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -87,6 +92,9 @@ def main(argv=None):
                                fingerprint=input_fingerprint([args.input]),
                                tree_levels=args.tree_levels)
         print("METRICS " + json.dumps(metrics))
+        if args.vacuum_keep > 0:
+            print("VACUUM " + json.dumps(
+                table.vacuum(keep_versions=args.vacuum_keep)))
         result = table.results(spark)
     elif args.checkpoint_dir:
         from zetasketch_spark.operators.checkpoint import checkpointed_sketch_agg
