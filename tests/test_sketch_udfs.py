@@ -549,3 +549,61 @@ def test_hll_estimates_cross_validate_spark_native_datasketches(spark):
         # and against each other: both inside the envelope of the same
         # truth means they can differ by at most 2*bound
         assert abs(ours[g] - native[g]) <= 2 * bound * x, (g, ours[g], native[g])
+
+
+def test_theta_churn_planted_membership_and_table_versions(spark):
+    """theta_churn on planted per-group membership: exact-mode sketches
+    give exact retained/arrived/churned, a key missing on one side gets
+    empty-set semantics, and the SketchTable time-travel composition
+    (churn between two committed versions of a cumulative table) reports
+    churned == 0 and arrived == the delta's new distincts."""
+    import os
+
+    from zetasketch_spark.functions.setops import theta_churn
+    from zetasketch_spark.operators.agg import sketch_agg
+    from zetasketch_spark.sketches.theta import ThetaFamily
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    fam = ThetaFamily(k=4096)  # exact mode at gate-scale distincts
+    uid3 = F.col("user_id") % 3
+
+    old_rows = events.filter((uid3 < 2) & (F.col("event_type") != "click"))
+    new_rows = events.filter(uid3 > 0)
+    churn = {r["event_type"]: r for r in theta_churn(
+        sketch_agg(old_rows, ["event_type"], "user_id", fam,
+                   keep_sketch=True),
+        sketch_agg(new_rows, ["event_type"], "user_id", fam,
+                   keep_sketch=True),
+        ["event_type"]).collect()}
+
+    exact = {r["event_type"]: r for r in events.groupBy("event_type").agg(
+        F.countDistinct(F.when(uid3 == 1, F.col("user_id"))).alias("mod1"),
+        F.countDistinct(F.when(uid3 == 2, F.col("user_id"))).alias("mod2"),
+        F.countDistinct(F.when(uid3 == 0, F.col("user_id"))).alias("mod0"),
+    ).collect()}
+    for et, x in exact.items():
+        c = churn[et]
+        if et == "click":  # absent from old: everything 'arrived'
+            assert (c["retained"], c["churned"]) == (0, 0)
+            assert c["arrived"] == x["mod1"] + x["mod2"]
+        else:
+            assert c["retained"] == x["mod1"], et
+            assert c["arrived"] == x["mod2"], et
+            assert c["churned"] == x["mod0"], et
+
+    # cumulative SketchTable versions: nothing can churn, arrivals exact
+    import tempfile
+
+    from zetasketch_spark.operators.incremental import SketchTable
+
+    table = SketchTable(tempfile.mkdtemp(prefix="zs_churn_"),
+                        ["event_type"], "user_id", fam)
+    table.update(spark, events.filter(uid3 < 2), fingerprint="v1")
+    table.update(spark, events.filter(uid3 == 2), fingerprint="v2")
+    vc = {r["event_type"]: r for r in theta_churn(
+        table.read(spark, version=1), table.read(spark, version=2),
+        ["event_type"]).collect()}
+    for et, x in exact.items():
+        assert vc[et]["churned"] == 0, et
+        assert vc[et]["arrived"] == x["mod2"], et

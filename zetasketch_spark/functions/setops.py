@@ -87,3 +87,42 @@ def hll_union_estimate_col(a, b):
 
     return _uni(F.col(a) if isinstance(a, str) else a,
                 F.col(b) if isinstance(b, str) else b)
+
+
+def theta_churn(old, new, keys: list[str],
+                sketch_col: str = "sketch"):
+    """Per-key distinct CHURN between two theta state frames: how many
+    keys' members were retained, arrived, and left between two
+    populations — the snapshot-diff question (DAU day-over-day, corpus
+    membership across ingestion runs) answered from compact states
+    alone, never rescanning either population.
+
+    ``old``/``new`` are any ``keys… + <sketch_col>`` frames holding
+    serialized THETA states — ``SketchTable.read(version=…)`` /
+    ``rollup(..., keep_sketch=True)`` outputs, or ``sketch_agg(...,
+    keep_sketch=True)`` results. Theta is required because churn needs
+    direct intersection/difference; HLL merges are union-only (see the
+    module docstring for why inclusion-exclusion is too noisy for small
+    differences). A key present on only one side gets empty-set
+    semantics for the other (the theta scalars' null rule), so
+    first-seen and fully-departed keys report correctly.
+
+    Returns ``keys… + (retained, arrived, churned)`` — estimates exact
+    whenever both states are in theta exact mode (< k distincts).
+    One full-outer join of two n_keys-row frames; scale-free.
+    """
+    from zetasketch_spark.functions.sketch_udfs import (
+        theta_a_not_b_estimate, theta_intersection_estimate)
+
+    o = old.select(*keys, F.col(sketch_col).alias("_sk_old"))
+    n = new.select(*keys, F.col(sketch_col).alias("_sk_new"))
+    return (
+        o.join(n, list(keys), "full_outer")
+        .select(*keys,
+                theta_intersection_estimate("_sk_new", "_sk_old")
+                .alias("retained"),
+                theta_a_not_b_estimate("_sk_new", "_sk_old")
+                .alias("arrived"),
+                theta_a_not_b_estimate("_sk_old", "_sk_new")
+                .alias("churned"))
+    )
