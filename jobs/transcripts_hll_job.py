@@ -58,6 +58,9 @@ def main(argv=None):
                          "newest N (replay idempotence is preserved via "
                          "the compacted log checkpoint); 0 = never vacuum")
     args = ap.parse_args(argv)
+    if args.vacuum_keep > 0 and not args.sketch_table:
+        ap.error("--vacuum-keep only applies to --sketch-table mode "
+                 "(nothing to vacuum otherwise)")
 
     from pyspark.sql import SparkSession
 

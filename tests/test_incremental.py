@@ -501,3 +501,19 @@ def test_concurrent_writer_race_aborts_loser(spark, tmp_path):
                    ["event_type"], [SKETCH_COL])
     assert {k: bytes(v[0]) for k, v in got.items()} == \
            {k: bytes(v[0]) for k, v in want.items()}
+
+
+def test_jobs_cli_vacuum_keep_requires_sketch_table_mode():
+    """--vacuum-keep outside --sketch-table mode must be a loud usage
+    error, not a silently-ignored flag (the same silent-ignore class the
+    CLI's mutually-exclusive persistence modes already fixed)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "job_cli_guard", os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "jobs", "transcripts_hll_job.py"))
+    job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(job)
+    with pytest.raises(SystemExit):
+        job.main(["--input", "/nonexistent", "--vacuum-keep", "2"])

@@ -607,3 +607,35 @@ def test_theta_churn_planted_membership_and_table_versions(spark):
     for et, x in exact.items():
         assert vc[et]["churned"] == 0, et
         assert vc[et]["arrived"] == x["mod2"], et
+
+
+def test_theta_churn_null_key_groups_match_null_safe(spark):
+    """A NULL-keyed group present on BOTH sides must come back as ONE
+    matched row (null-safe join), not a bogus fully-churned +
+    fully-arrived pair — groupBy keeps NULL groups, so state frames can
+    legitimately carry them."""
+    import os
+
+    from zetasketch_spark.functions.setops import theta_churn
+    from zetasketch_spark.operators.agg import sketch_agg
+    from zetasketch_spark.sketches.theta import ThetaFamily
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    fam = ThetaFamily(k=4096)
+    uid3 = F.col("user_id") % 3
+    nullkey = F.lit(None).cast("string")
+
+    old = sketch_agg(events.filter(uid3 < 2).withColumn("k", nullkey),
+                     ["k"], "user_id", fam, keep_sketch=True)
+    new = sketch_agg(events.filter(uid3 > 0).withColumn("k", nullkey),
+                     ["k"], "user_id", fam, keep_sketch=True)
+    rows = theta_churn(old, new, ["k"]).collect()
+    assert len(rows) == 1 and rows[0]["k"] is None
+    [x] = events.agg(
+        F.countDistinct(F.when(uid3 == 1, F.col("user_id"))).alias("m1"),
+        F.countDistinct(F.when(uid3 == 2, F.col("user_id"))).alias("m2"),
+        F.countDistinct(F.when(uid3 == 0, F.col("user_id"))).alias("m0"),
+    ).collect()
+    assert (rows[0]["retained"], rows[0]["arrived"], rows[0]["churned"]) \
+        == (x["m1"], x["m2"], x["m0"])

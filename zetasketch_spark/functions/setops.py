@@ -109,20 +109,42 @@ def theta_churn(old, new, keys: list[str],
 
     Returns ``keys… + (retained, arrived, churned)`` — estimates exact
     whenever both states are in theta exact mode (< k distincts).
-    One full-outer join of two n_keys-row frames; scale-free.
+    One full-outer join of two n_keys-row frames (NULL-SAFE on the key
+    columns: groupBy keeps NULL-key groups, and a plain equality join
+    would split a stable NULL-key population into a bogus
+    fully-churned + fully-arrived row pair); one pandas UDF per row
+    deserializes each side's state exactly once for all three outputs.
+    Scale-free.
     """
-    from zetasketch_spark.functions.sketch_udfs import (
-        theta_a_not_b_estimate, theta_intersection_estimate)
 
-    o = old.select(*keys, F.col(sketch_col).alias("_sk_old"))
-    n = new.select(*keys, F.col(sketch_col).alias("_sk_new"))
+    @pandas_udf("struct<retained:long,arrived:long,churned:long>")
+    def _churn_rows(old_s: pd.Series, new_s: pd.Series) -> pd.DataFrame:
+        from zetasketch_spark.sketches.theta import ThetaSketch
+
+        rows = []
+        for bo, bn in zip(old_s, new_s):
+            # a missing side is the empty set (same rule as the theta
+            # set-op scalars in sketch_udfs._theta_setop_udf)
+            so = ThetaSketch.deserialize(bytes(bo)) if bo is not None \
+                else ThetaSketch()
+            sn = ThetaSketch.deserialize(bytes(bn)) if bn is not None \
+                else ThetaSketch()
+            rows.append((int(sn.intersect(so).estimate()),
+                         int(sn.a_not_b(so).estimate()),
+                         int(so.a_not_b(sn).estimate())))
+        return pd.DataFrame(rows,
+                            columns=["retained", "arrived", "churned"])
+
+    o = old.select(*keys, F.col(sketch_col).alias("_sk_old")).alias("_co")
+    n = new.select(*keys, F.col(sketch_col).alias("_sk_new")).alias("_cn")
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & F.col(f"_co.{k}").eqNullSafe(F.col(f"_cn.{k}"))
+    out_keys = [F.coalesce(F.col(f"_co.{k}"), F.col(f"_cn.{k}")).alias(k)
+                for k in keys]
     return (
-        o.join(n, list(keys), "full_outer")
-        .select(*keys,
-                theta_intersection_estimate("_sk_new", "_sk_old")
-                .alias("retained"),
-                theta_a_not_b_estimate("_sk_new", "_sk_old")
-                .alias("arrived"),
-                theta_a_not_b_estimate("_sk_old", "_sk_new")
-                .alias("churned"))
+        o.join(n, cond, "full_outer")
+        .select(*out_keys,
+                _churn_rows("_sk_old", "_sk_new").alias("_c"))
+        .select(*keys, "_c.retained", "_c.arrived", "_c.churned")
     )
