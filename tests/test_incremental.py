@@ -517,3 +517,114 @@ def test_jobs_cli_vacuum_keep_requires_sketch_table_mode():
     spec.loader.exec_module(job)
     with pytest.raises(SystemExit):
         job.main(["--input", "/nonexistent", "--vacuum-keep", "2"])
+
+
+def test_torn_trailing_log_line_does_not_brick_the_table(spark, tmp_path):
+    """A crash mid-append leaves a torn snapshots.jsonl line WITHOUT a
+    trailing newline. The record is an uncommitted orphan by
+    construction (commit renames only after the append returned), so
+    every metadata read must skip it, and the NEXT append must heal the
+    tail onto a fresh line — otherwise the new committed record would be
+    swallowed into the garbage fragment and its chain's fingerprints
+    silently forgotten (replays would double-fold)."""
+    events = _events(spark)
+    fam = HllFamily(precision=12)
+    tdir = str(tmp_path / "tbl")
+    table = SketchTable(tdir, ["event_type"], "user_id", fam)
+    table.update(spark, events.limit(300), fingerprint="d0")
+
+    log = os.path.join(tdir, "snapshots.jsonl")
+    with open(log, "a") as f:
+        f.write('{"version": 2, "parent": 1, "new_fing')  # torn, no \n
+    assert table.applied_fingerprints() == {"d0"}
+    assert table.history()[0]["version"] == 1
+    m = table.update(spark, events.limit(500), fingerprint="d1")
+    assert m["applied"]
+    # the healed append kept the committed chain fully readable
+    assert table.applied_fingerprints() == {"d0", "d1"}
+    assert table.update(spark, events.limit(500),
+                        fingerprint="d1")["applied"] is False
+    # the torn fragment is still there, isolated on its own line; the
+    # committed records parse cleanly around it
+    with open(log) as f:
+        lines = f.readlines()
+    assert sum(not _loads_ok(l) for l in lines) == 1
+    assert [json.loads(l)["version"] for l in lines
+            if _loads_ok(l)] == [1, m["version"]]
+
+
+def _loads_ok(line):
+    try:
+        json.loads(line)
+        return True
+    except ValueError:
+        return False
+
+
+def test_version_numbers_roll_past_five_digits(tmp_path):
+    """f"v{n:05d}" grows to 6 digits at version 100000; allocation must
+    keep counting (a 10s streaming trigger gets there in ~12 days)."""
+    table = SketchTable(str(tmp_path / "tbl"), ["k"], "v",
+                        HllFamily(precision=10))
+    os.makedirs(str(tmp_path / "tbl" / "v100000"))
+    assert table._next_version() == 100001
+
+
+def test_empty_string_fingerprint_replays_as_noop(spark, tmp_path):
+    """A falsy-but-set fingerprint ('' from a missing upstream field)
+    must be logged and detected on replay like any other."""
+    events = _events(spark)
+    table = SketchTable(str(tmp_path / "tbl"), ["event_type"], "user_id",
+                        HllFamily(precision=12))
+    assert table.update(spark, events.limit(200),
+                        fingerprint="")["applied"]
+    m = table.update(spark, events.limit(200), fingerprint="")
+    assert m["applied"] is False
+
+
+def test_value_domain_drift_across_deltas_rejected(spark, tmp_path):
+    """An HLL family with value_type=None derives its hash recipe from
+    each delta's declared column type; upstream schema drift (int ->
+    bigint) across deltas must fail loudly instead of silently merging
+    registers hashed through two recipes."""
+    events = _events(spark)
+    table = SketchTable(str(tmp_path / "tbl"), ["event_type"], "uid",
+                        HllFamily(precision=12))
+    table.update(spark, events.select(
+        "event_type", F.col("user_id").cast("int").alias("uid")),
+        fingerprint="ints")
+    with pytest.raises(ValueError, match="value-domain mismatch"):
+        table.update(spark, events.select(
+            "event_type", F.col("user_id").cast("bigint").alias("uid")),
+            fingerprint="longs")
+    # same-typed replay keeps working, and an EXPLICIT value_type opts out
+    assert table.update(spark, events.select(
+        "event_type", F.col("user_id").cast("int").alias("uid")),
+        fingerprint="ints")["applied"] is False
+
+
+def test_identity_guard_ignores_runtime_caches_and_reopens_quantile(
+        spark, tmp_path):
+    """Runtime caches (underscore attrs like HllFamily's memoized
+    _arrow_value_type) must not change a table's identity, and quantile
+    families (whose result_fields hold nested tuples) must reopen
+    cleanly — JSON round-trips tuples to lists, which a naive equality
+    check false-fails."""
+    events = _events(spark)
+    fam = HllFamily(precision=12)
+    tdir = str(tmp_path / "hll")
+    SketchTable(tdir, ["event_type"], "user_id", fam)
+    fam2 = HllFamily(precision=12)
+    fam2._arrow_value_type = 8  # exercised-before-open runtime cache
+    SketchTable(tdir, ["event_type"], "user_id", fam2)  # must not raise
+
+    kdir = str(tmp_path / "kll")
+    kfam = KllFamily(k=200, quantiles=(0.5, 0.9))
+    table = SketchTable(kdir, ["event_type"], "value", kfam)
+    table.update(spark, events, fingerprint="a")
+    reopened = SketchTable(kdir, ["event_type"], "value",
+                           KllFamily(k=200, quantiles=(0.5, 0.9)))
+    assert reopened.latest_version() == 1
+    with pytest.raises(ValueError, match="identity mismatch"):
+        SketchTable(kdir, ["event_type"], "value",
+                    KllFamily(k=100, quantiles=(0.5, 0.9)))

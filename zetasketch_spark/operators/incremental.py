@@ -81,7 +81,10 @@ from zetasketch_spark.operators.agg import (
 )
 from zetasketch_spark.sketches.base import SketchFamily
 
-_VDIR = re.compile(r"v(\d{5})$")
+# 5-OR-MORE digits: f"v{n:05d}" grows to 6 digits at version 100000 (a
+# 10s-trigger streaming sink gets there in ~12 days); a fixed {5} would
+# stop counting those dirs and brick version allocation at rollover
+_VDIR = re.compile(r"v(\d{5,})$")
 
 
 class ConcurrentUpdateError(RuntimeError):
@@ -120,13 +123,24 @@ class SketchTable:
 
     def _identity(self) -> dict:
         # family identity = class + its scalar/tuple parameters (JSON-safe,
-        # deterministic across processes; cached arrays etc. are excluded)
+        # deterministic across processes; cached arrays etc. are excluded).
+        # Underscore-prefixed attrs are runtime caches, not parameters
+        # (e.g. HllFamily.prepare_arrow memoizes _arrow_value_type): a
+        # family instance that was exercised before the table was opened
+        # must hash to the same identity as a pristine one.
         params = {}
         for k, v in sorted(vars(self.family).items()):
+            if k.startswith("_"):
+                continue
             if isinstance(v, tuple):
                 v = list(v)
             if v is None or isinstance(v, (int, float, str, bool, list)):
-                params[k] = v
+                # canonicalize through JSON so NESTED tuples (e.g. the
+                # quantile families' result_fields list of pairs) compare
+                # equal to what a reopen loads back from meta.json —
+                # (a, b) != [a, b] in Python, so without this a reopened
+                # KLL/DD table would false-fail the identity guard
+                params[k] = json.loads(json.dumps(v))
         return {"keys": self.keys, "col": self.col,
                 "family": type(self.family).__name__,
                 "family_params": params}
@@ -144,7 +158,10 @@ class SketchTable:
         if os.path.exists(meta_path):
             with open(meta_path) as f:
                 existing = json.load(f)
-            if existing != ident:
+            # compare the identity keys only: meta.json also carries
+            # state pinned later (value_domain, below), which a fresh
+            # open legitimately doesn't know yet
+            if {k: existing.get(k) for k in ident} != ident:
                 raise ValueError(
                     f"SketchTable identity mismatch at {self.table_dir}: "
                     f"table was created as {existing}, opened as {ident}")
@@ -153,6 +170,45 @@ class SketchTable:
             with open(tmp, "w") as f:
                 json.dump(ident, f)
             os.replace(tmp, meta_path)
+
+    def _check_value_domain(self, delta: DataFrame) -> None:
+        """An HLL-like family with ``value_type=None`` derives its hash
+        recipe from each delta's DECLARED column type
+        (``pin_value_type``), which the identity guard cannot see:
+        upstream schema drift (int → bigint) across deltas would merge
+        registers hashed through two different recipes — silently wrong
+        estimates. Pin the first delta's derived domain in ``meta.json``
+        and reject mismatching deltas loudly; a caller whose column
+        legitimately changed representation declares ``value_type``
+        explicitly on the family instead."""
+        if getattr(self.family, "value_type", "n/a") is not None:
+            return
+        from zetasketch_spark.functions.sketch_udfs import (
+            SPARK_TYPE_TO_HASH_DOMAIN)
+
+        domain = SPARK_TYPE_TO_HASH_DOMAIN.get(
+            delta.schema[self.col].dataType.simpleString())
+        meta_path = os.path.join(self.table_dir, "meta.json")
+        with self._log_lock():
+            with open(meta_path) as f:
+                meta = json.load(f)
+            if "value_domain" in meta:
+                if meta["value_domain"] != domain:
+                    raise ValueError(
+                        f"SketchTable value-domain mismatch at "
+                        f"{self.table_dir}: the table pinned hash domain "
+                        f"{meta['value_domain']!r} from its first delta's "
+                        f"schema; this delta's {self.col!r} column derives "
+                        f"{domain!r} — folding it in would mix incompatible "
+                        f"hash recipes. If the column type legitimately "
+                        f"changed representation, declare value_type on "
+                        f"the family explicitly.")
+            else:
+                meta["value_domain"] = domain
+                tmp = meta_path + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(meta, f)
+                os.replace(tmp, meta_path)
 
     # -- snapshot bookkeeping -------------------------------------------
 
@@ -202,9 +258,37 @@ class SketchTable:
         if os.path.exists(log):
             with open(log) as f:
                 for line in f:
-                    rec = json.loads(line)
+                    try:
+                        rec = json.loads(line)
+                    except ValueError:
+                        # a torn line is ALWAYS an uncommitted orphan: the
+                        # commit rename happens only after its record's
+                        # append returned, so a committed version's line
+                        # is never partial — and _append_log_record heals
+                        # the tail before writing, so later records never
+                        # merge into the torn fragment. Skipping it keeps
+                        # the table fully usable after a mid-append crash
+                        # (the crash-safety contract).
+                        continue
                     recs[rec["version"]] = rec
         return recs
+
+    def _append_log_record(self, rec: dict) -> None:
+        """Append one record under the log lock, healing a torn tail
+        first: if a crashed writer left the file without a trailing
+        newline, start a fresh line so THIS record can't be swallowed
+        into the garbage fragment (a committed version whose record is
+        unreadable would silently forget its chain's fingerprints)."""
+        log = os.path.join(self.table_dir, "snapshots.jsonl")
+        with self._log_lock():
+            lead = ""
+            if os.path.exists(log) and os.path.getsize(log) > 0:
+                with open(log, "rb") as f:
+                    f.seek(-1, os.SEEK_END)
+                    if f.read(1) != b"\n":
+                        lead = "\n"
+            with open(log, "a") as f:
+                f.write(lead + json.dumps(rec) + "\n")
 
     def applied_fingerprints(self) -> set[str]:
         """Fingerprints folded into the committed snapshot chain.
@@ -281,6 +365,7 @@ class SketchTable:
         docstring) — retry the whole call.
         """
         t0 = time.time()
+        self._check_value_domain(delta)
         base_version = self.latest_version()
         applied = self.applied_fingerprints()
         if fingerprint is not None and fingerprint in applied:
@@ -303,25 +388,50 @@ class SketchTable:
         merged = sketch_merge(partials, self.keys, self.family,
                               tree_levels=tree_levels)
 
-        version = self._next_version()
-        vpath = self._vpath(version)
-        merged.select(*self.keys, SKETCH_COL, ROWS_COL) \
-              .write.mode("errorifexists").parquet(vpath)
-
-        n_keys = spark.read.parquet(vpath).count()
+        # allocate + RESERVE the version dir under the lock: two same-host
+        # writers that both scanned the same max would otherwise pick the
+        # same number and interleave parquet files into one directory
+        # (mode('errorifexists') is a non-atomic check-then-act) — silent
+        # snapshot corruption instead of the loud race error. A crash
+        # after the reservation leaves an empty orphan dir: invisible
+        # (never committed), number burned, vacuum collects it.
+        with self._log_lock():
+            version = self._next_version()
+            vpath = self._vpath(version)
+            os.makedirs(vpath, exist_ok=False)
+        try:
+            # 'overwrite' targets only our freshly reserved, empty dir
+            merged.select(*self.keys, SKETCH_COL, ROWS_COL) \
+                  .write.mode("overwrite").parquet(vpath)
+            n_keys = spark.read.parquet(vpath).count()
+        except Exception:
+            # the lazy read of the prior snapshot executes inside the
+            # write job above; if a concurrent vacuum collected our base
+            # version mid-job the failure is a confusing Spark
+            # FileNotFound — re-check and surface it as the retryable
+            # race error the caller's retry loop expects
+            if self.latest_version() != base_version:
+                raise ConcurrentUpdateError(
+                    f"table advanced past v{base_version} while this "
+                    f"update was executing (its snapshot may have been "
+                    f"vacuumed); this delta (fingerprint={fingerprint!r}) "
+                    f"was NOT applied — retry update()")
+            raise
         # log record BEFORE the commit pointer: a crash here orphans the
         # record (the chain walk never reaches it — harmless); the reverse
         # order could commit a version whose fingerprints were never
         # logged, so a replay would double-fold the delta
-        with self._log_lock():
-            with open(os.path.join(self.table_dir, "snapshots.jsonl"),
-                      "a") as f:
-                f.write(json.dumps({"version": version,
-                                    "parent": base_version,
-                                    "new_fingerprints":
-                                        [fingerprint] if fingerprint else [],
-                                    "n_keys": n_keys,
-                                    "ts": time.time()}) + "\n")
+        # `is not None`, matching the idempotence check above: a
+        # falsy-but-set fingerprint ('' from a missing upstream field)
+        # must still be logged, or its replay would pass the applied
+        # check and double-fold
+        self._append_log_record({"version": version,
+                                 "parent": base_version,
+                                 "new_fingerprints":
+                                     [fingerprint]
+                                     if fingerprint is not None else [],
+                                 "n_keys": n_keys,
+                                 "ts": time.time()})
         if self._before_commit is not None:
             self._before_commit()  # test seam: interleave a racing writer
         with self._log_lock():
@@ -428,6 +538,14 @@ class SketchTable:
         exactly preserved while dropping every record the chain no longer
         needs. Records above LATEST are preserved verbatim for the same
         in-flight-writer reason as the directories.
+
+        In-flight READERS: Spark reads are lazy, so a concurrent job
+        still consuming a superseded version's files when it is deleted
+        fails with a FileNotFound-style error (an in-flight ``update``
+        re-checks LATEST and converts this to the retryable
+        ``ConcurrentUpdateError``). When readers/writers overlap vacuum,
+        run it with ``keep_versions`` large enough to cover their
+        read horizon.
         """
         import shutil
 
