@@ -166,6 +166,29 @@ def test_quantile_labels_tail_configs_and_duplicates():
         DDSketchFamily(quantiles=(0.5, 0.5))
 
 
+def test_extreme_double_range_clamps_instead_of_overflowing():
+    """Finite values near DBL_MAX and denormals are legal inputs: the
+    bucket midpoint computation must not raise OverflowError (float **
+    does), and the quantile must clamp into the observed [min, max] so
+    the estimate stays finite and within alpha at the extremes."""
+    big = 1.79e308
+    sk = DDSketch(0.01)
+    sk.add_array(np.array([big, big / 2]))
+    q = sk.quantile(1.0)
+    assert np.isfinite(q) and _rel_err(q, big) <= 0.01 * 1.0001
+
+    tiny = 5e-324  # denormal: midpoint underflows to 0.0 -> clamps to min
+    sk2 = DDSketch(0.01)
+    sk2.add_array(np.array([tiny, 1.0]))
+    assert sk2.quantile(0.0) == tiny
+    assert _rel_err(sk2.quantile(1.0), 1.0) <= 0.01 * 1.0001
+
+    neg = DDSketch(0.01)
+    neg.add_array(np.array([-big, -1.0]))
+    assert np.isfinite(neg.quantile(0.0))
+    assert _rel_err(neg.quantile(0.0), -big) <= 0.01 * 1.0001
+
+
 def test_sketch_agg_pipeline_matches_direct_and_fabrics(spark):
     """DataFrame pipeline (pandas UDAF fabric) == Arrow partial fabric ==
     direct single-pass build, byte-for-byte per group."""

@@ -60,9 +60,16 @@ def hll_verified(df: DataFrame, keys: list[str], col: str, precision: int,
     bound = hll_envelope_bound(precision)
     return (
         exact.join(approx.select(*keys, "approx_distinct"), keys)
+        # exact_distinct == 0 (all-null column): the ratio is a
+        # null-producing division — the healthy outcome is approx == 0,
+        # not a null boolean that hash-mismatches the oracle's true
         .withColumn("within_envelope",
-                    F.abs(F.col("approx_distinct") / F.col("exact_distinct") - 1.0)
-                    <= F.lit(bound))
+                    F.when(F.col("exact_distinct") == 0,
+                           F.col("approx_distinct") == 0)
+                    .otherwise(
+                        F.abs(F.col("approx_distinct")
+                              / F.col("exact_distinct") - 1.0)
+                        <= F.lit(bound)))
         .select(*keys, "n_rows", "exact_distinct", "within_envelope")
     )
 
@@ -84,16 +91,25 @@ def rank_check(df: DataFrame, keys: list[str], value_col: str,
         eps = {c: eps for c in qcols}
     est = estimates.select(*keys, *qcols.keys())
     j = df.select(*keys, value_col).join(F.broadcast(est), keys)
-    aggs = [F.count("*").alias("n_rows")]
+    # the bracket denominator must be the NON-NULL value count (what the
+    # sketch actually saw): the _lo/_hi sums skip null comparisons, so
+    # dividing by count(*) on null-bearing data halves the fractions and
+    # flips the certificate red on a healthy sketch. n_rows stays
+    # count(*) — it is the oracle-matched output column.
+    aggs = [F.count("*").alias("n_rows"),
+            F.count(value_col).alias("_nn")]
     for c in qcols:
         aggs.append(F.sum((F.col(value_col) < F.col(c)).cast("long")).alias(f"_lo_{c}"))
         aggs.append(F.sum((F.col(value_col) <= F.col(c)).cast("long")).alias(f"_hi_{c}"))
     g = j.groupBy(*keys).agg(*aggs)
     ok = F.lit(True)
     for c, phi in qcols.items():
-        lo = F.col(f"_lo_{c}") / F.col("n_rows") - F.lit(eps[c])
-        hi = F.col(f"_hi_{c}") / F.col("n_rows") + F.lit(eps[c])
+        lo = F.col(f"_lo_{c}") / F.col("_nn") - F.lit(eps[c])
+        hi = F.col(f"_hi_{c}") / F.col("_nn") + F.lit(eps[c])
         ok = ok & (F.lit(phi) >= lo) & (F.lit(phi) <= hi)
+    # a group with zero non-null values passes vacuously (the sketch saw
+    # nothing; null/0 division would otherwise yield a null boolean)
+    ok = F.when(F.col("_nn") == 0, F.lit(True)).otherwise(ok)
     return g.select(*keys, "n_rows", ok.alias(ok_col))
 
 
@@ -129,15 +145,29 @@ def relative_error_quantiles_verified(df: DataFrame, keys: list[str],
     production path is the sketch alone."""
     from zetasketch_spark.operators.agg import sketch_agg
 
+    if not keys:
+        raise ValueError("relative_error_quantiles_verified needs at "
+                         "least one grouping key (the all-group left "
+                         "joins below are keyed)")
     est = sketch_agg(df, keys, value_col, family)
-    vals = df.select(*keys, value_col).where(F.col(value_col).isNotNull())
-    # tiny (one row per group) but referenced twice (targets + final
-    # join): cache it so each reuse doesn't re-scan and re-aggregate the
-    # input through Spark's lineage recomputation
+    # align the exact side with what the SKETCH saw: the families drop
+    # null AND NaN (NaN is not null, so isNotNull alone would shift every
+    # target rank and let Spark's sort-NaN-last pick NaN as a tail order
+    # statistic, nulling the certificate boolean)
+    finite = F.col(value_col).isNotNull()
+    if df.schema[value_col].dataType.simpleString() in ("double", "float"):
+        finite = finite & ~F.isnan(value_col)
+    vals = df.select(*keys, value_col).where(finite)
     counts = vals.groupBy(*keys).agg(
         F.count("*").alias("n_rows"),
-        F.round(F.expr(f"percentile({value_col}, 0.5)"), 6).alias("exact_p50")
-    ).cache()
+        F.round(F.expr(f"percentile({value_col}, 0.5)"), 6).alias("exact_p50"))
+    # tiny (one row per group) but referenced twice (targets + final
+    # join): materialize it ONCE driver-side — .cache() has no unpersist
+    # path from a lazy builder and would leak executor storage across
+    # the 50-query gate / hostile replays (same eager pattern as
+    # cm_topk_verified)
+    spark = df.sparkSession
+    counts = spark.createDataFrame(counts.collect(), schema=counts.schema)
     targets = counts.select(
         *keys,
         F.explode(F.array(*[
@@ -162,8 +192,18 @@ def relative_error_quantiles_verified(df: DataFrame, keys: list[str],
         ok = ok & (F.abs(F.col(c) - F.col(f"exact_{c}"))
                    <= F.lit(family.alpha * 1.0001)
                    * F.abs(F.col(f"exact_{c}")) + F.lit(1e-9))
-    return (est.join(exact_q, keys).join(counts, keys)
-            .select(*keys, "n_rows", "exact_p50", ok.alias(ok_col)))
+    # LEFT joins from the full group set: a group whose values are all
+    # null/NaN has no exact companion rows, and an inner join would drop
+    # it while the SQL oracle still emits it (row-count mismatch). Such
+    # a group passes vacuously — the sketch saw nothing.
+    groups = df.select(*keys).distinct()
+    ok = F.when(F.coalesce(F.col("n_rows"), F.lit(0)) == 0,
+                F.lit(True)).otherwise(ok)
+    return (groups.join(est, keys, "left")
+            .join(exact_q, keys, "left").join(counts, keys, "left")
+            .select(*keys,
+                    F.coalesce(F.col("n_rows"), F.lit(0)).alias("n_rows"),
+                    "exact_p50", ok.alias(ok_col)))
 
 
 # ---------------------------------------------------------------------------
@@ -229,10 +269,16 @@ def bloom_verified(build: DataFrame, build_col: str, probe: DataFrame,
 
     from pyspark.sql.functions import pandas_udf
 
+    _bf_cache: dict = {}  # survives across batches within a python worker
+
     @pandas_udf("boolean")
     def probe_udf(keys: pd.Series) -> pd.Series:
-        bf = fam.deserialize(blob)
-        return pd.Series(bf.contains_series(keys))
+        # deserialize the filter once per worker, not once per ~10k-row
+        # pandas batch — a large-m filter re-parsed per batch dominates
+        # the probe pass
+        if "bf" not in _bf_cache:
+            _bf_cache["bf"] = fam.deserialize(blob)
+        return pd.Series(_bf_cache["bf"].contains_series(keys))
 
     actual_keys = build.select(F.col(build_col).alias("_k")).distinct()
     flagged = (

@@ -110,7 +110,13 @@ class DDSketch:
                 store[boundary] += folded
 
     def _midpoint(self, index: int) -> float:
-        return 2.0 * self.gamma ** index / (self.gamma + 1.0)
+        # log-space via np.exp: a bucket at the edge of the double range
+        # must degrade to inf / 0.0 — which quantiles() then clamps to
+        # the observed min/max — instead of float.__pow__ raising
+        # OverflowError for finite inputs near DBL_MAX
+        with np.errstate(over="ignore", under="ignore"):
+            return float(np.exp(index * math.log(self.gamma))
+                         * (2.0 / (self.gamma + 1.0)))
 
     # -- contract ----------------------------------------------------------
 
@@ -135,10 +141,9 @@ class DDSketch:
         self._collapse()
 
     def add_series(self, values) -> None:
+        # Series.dropna() drops None AND NaN for both nullable and plain
+        # float64 columns (same rule the KLL fabric documents)
         arr = np.asarray(pd.Series(values).dropna(), dtype=np.float64)
-        # pandas dropna() keeps NaN out of nullable batches; a plain
-        # float64 column's NaN slips through — mask it like the fabrics do
-        arr = arr[~np.isnan(arr)]
         self.add_array(arr)
 
     def merge(self, other: "DDSketch") -> None:
@@ -182,7 +187,13 @@ class DDSketch:
             target = q * (self.n - 1)
             j = int(np.searchsorted(counts, target, side="right"))
             j = min(j, len(buckets) - 1)
-            out.append(float(buckets[j][0]))
+            # clamp into the OBSERVED value range: only tightens the
+            # estimate (every bucket's members lie within [min, max]),
+            # and it is what keeps the extremes sane when a bucket
+            # midpoint falls outside the double range (inf / 0.0 for
+            # values near DBL_MAX / denormals)
+            out.append(float(min(max(buckets[j][0], self._min),
+                                 self._max)))
         return out
 
     # -- serde ---------------------------------------------------------------
