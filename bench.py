@@ -279,6 +279,13 @@ def main():
                      f"bench_transcripts_{n_turns // 1_000_000}m"))
     write_transcripts_parquet(tdir, n_turns=n_turns, seed=42,
                               rows_per_file=1_250_000)
+    # untimed warm read of EVERY transcript column (same hygiene as
+    # _warm_tables): the text column is ~10x the rest combined and is not
+    # touched by the role_day row, so on a fresh box the text row's first
+    # trial measures cold parquet page-cache fill (~5x), not hashing —
+    # best-of-4 usually hides it, but not inside a slow-box window
+    tw = spark.read.parquet(tdir)
+    tw.select(F.count(F.xxhash64(*tw.columns))).collect()
     fam = HllFamily(precision=15)
     best = None
     for _ in range(N_TRANSCRIPT_TRIALS):
