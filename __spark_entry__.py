@@ -489,12 +489,62 @@ def q_multi_stats_by_type_pure(spark, sf_dir):
 
 def q_bloom_membership(spark, sf_dir):
     """Bloom over orders.o_custkey probed with customer keys: zero false
-    negatives (forbidden by construction) + bounded false-positive rate."""
+    negatives (forbidden by construction) + bounded false-positive rate.
+
+    Second arm: sketch-accelerated scan pruning (operators/scanindex.py)
+    — a per-file Bloom+min/max index over a 16-file hash-scattered copy
+    of orders (the high-cardinality unsorted layout where parquet
+    min/max prunes nothing), probed with the 8 smallest orderkeys. The
+    pruned IN-list read must EQUAL the full-scan filter (zero false
+    negatives), while touching strictly fewer files; an out-of-range
+    probe must prune every file. All file contents are a deterministic
+    function of the data (hash partitioning on the key), so the
+    booleans and exact companions are environment-stable."""
+    import shutil
+    import tempfile
+
+    from zetasketch_spark.operators.scanindex import (
+        build_scan_index, prune_candidates, pruned_read)
     from zetasketch_spark.operators.verify import bloom_verified
 
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
-    return bloom_verified(o, "o_custkey", c, "c_custkey", m=1 << 17, k=7)
+    base = bloom_verified(o, "o_custkey", c, "c_custkey", m=1 << 17, k=7)
+
+    work = tempfile.mkdtemp(prefix="zs_gate_sgi_")
+    try:
+        tpath = f"{work}/orders16"
+        o.repartition(16, "o_orderkey").write.parquet(tpath)
+        idx = f"{work}/idx"
+        meta = build_scan_index(spark, tpath, "o_orderkey", idx, fpr=0.001)
+        probe = [r[0] for r in
+                 o.select("o_orderkey").orderBy("o_orderkey").limit(8)
+                 .collect()]
+        full = o.where(F.col("o_orderkey").isin(probe))
+        pruned = pruned_read(spark, tpath, idx, values=probe)
+        eq = (pruned.select(o.columns).exceptAll(full).count() == 0
+              and full.exceptAll(pruned.select(o.columns)).count() == 0)
+        _, stats = prune_candidates(spark, idx, values=probe)
+        files_pruned = bool(0 < stats["n_kept"] < meta["n_files"])
+        # out-of-range probe: min/max alone must prune every file
+        far = [probe[-1] + 10_000_000 + i for i in range(3)]
+        kept_far, stats_far = prune_candidates(spark, idx, values=far)
+        absent_clean = bool(stats_far["n_kept"] == 0
+                            and pruned_read(spark, tpath, idx,
+                                            values=far).count() == 0)
+        matched = pruned.agg(
+            F.count("*").alias("n"),
+            F.sum("o_orderkey").alias("s")).collect()[0]
+        return (base
+                .withColumn("sgi_matched_rows",
+                            F.lit(int(matched["n"])).cast("long"))
+                .withColumn("sgi_matched_key_sum",
+                            F.lit(int(matched["s"])).cast("long"))
+                .withColumn("sgi_pruned_equals_full", F.lit(bool(eq)))
+                .withColumn("sgi_files_pruned", F.lit(files_pruned))
+                .withColumn("sgi_absent_clean", F.lit(absent_clean)))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def q_bloom_membership_pure(spark, sf_dir):
@@ -1884,12 +1934,23 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
         """,
         "bloom_membership": """
+            WITH p AS (SELECT o_orderkey FROM orders
+                       ORDER BY o_orderkey LIMIT 8)
             SELECT (SELECT count(*) FROM customer) AS n_probed,
                    (SELECT count(*) FROM customer
                      WHERE c_custkey IN (SELECT o_custkey FROM orders))
                        AS n_actual_members,
                    true AS no_false_negatives,
-                   true AS fp_bounded
+                   true AS fp_bounded,
+                   (SELECT CAST(count(*) AS BIGINT) FROM orders
+                     WHERE o_orderkey IN (SELECT o_orderkey FROM p))
+                       AS sgi_matched_rows,
+                   (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM orders
+                     WHERE o_orderkey IN (SELECT o_orderkey FROM p))
+                       AS sgi_matched_key_sum,
+                   true AS sgi_pruned_equals_full,
+                   true AS sgi_files_pruned,
+                   true AS sgi_absent_clean
         """,
         "minhash_near_dups": _SHINGLE_PAIRS + """
             SELECT id_a, id_b, round(j, 4) AS jaccard
