@@ -1063,12 +1063,57 @@ def q_join_profile(spark, sf_dir):
     b_ok = abs(prof["distinct_b"] / max(exact_b, 1) - 1.0) <= 4 * rse
     ca_ok = abs(prof["containment_a_in_b"] - exact_ov / max(exact_a, 1)) <= 0.05
     cb_ok = abs(prof["containment_b_in_a"] - exact_ov / max(exact_b, 1)) <= 0.05
+
+    # Bloom semi-join prefilter arm (operators/bloomjoin.py): join
+    # lineitem to the URGENT orders' keys with the big side prefiltered
+    # by a broadcast Bloom digest. Zero false negatives -> identical
+    # join output (witnessed by exact aggregate certificates the oracle
+    # recomputes); effectiveness = the prefilter actually dropped
+    # non-matching rows while passing every matching one.
+    from zetasketch_spark.operators.bloomjoin import (bloom_prefilter,
+                                                      build_key_bloom)
+    urgent = (o.filter(F.col("o_orderpriority") == "1-URGENT")
+              .select("o_orderkey"))
+    blob, _meta = build_key_bloom(urgent, "o_orderkey", fpr=0.005)
+    kept = bloom_prefilter(li, "l_orderkey", blob)
+    joined = kept.join(urgent, on=kept["l_orderkey"] == urgent["o_orderkey"],
+                       how="inner")
+    plain = li.join(urgent, on=li["l_orderkey"] == urgent["o_orderkey"],
+                    how="inner")
+
+    # ONE action certifies both joins: tagged union -> per-arm exact
+    # aggregates (count, qty sum, key sums) that any row difference
+    # would perturb
+    cols = [F.count(F.lit(1)).alias("c"),
+            F.sum(F.col("l_quantity").cast("long")).alias("q"),
+            F.sum("l_orderkey").alias("ok"),
+            F.sum(F.col("l_linenumber").cast("long")).alias("ln")]
+    certs = {r["arm"]: (int(r["c"]), int(r["q"] or 0), int(r["ok"] or 0),
+                        int(r["ln"] or 0))
+             for r in (joined.select(F.lit("bloom").alias("arm"),
+                                     "l_quantity", "l_orderkey",
+                                     "l_linenumber")
+                       .unionByName(plain.select(
+                           F.lit("plain").alias("arm"), "l_quantity",
+                           "l_orderkey", "l_linenumber"))
+                       .groupBy("arm").agg(*cols).collect())}
+    cert_bloom = certs.get("bloom", (0, 0, 0, 0))
+    cert_plain = certs.get("plain", (0, 0, 0, 0))
+    n_kept = kept.count()
+    n_total = li.count()
+    join_identical = cert_bloom == cert_plain
+    prefilter_effective = cert_plain[0] <= n_kept < n_total
+
     return spark.createDataFrame(pd.DataFrame(
         [[exact_a, exact_b, exact_ov,
-          bool(a_ok), bool(b_ok), bool(ca_ok and cb_ok)]],
+          bool(a_ok), bool(b_ok), bool(ca_ok and cb_ok),
+          cert_plain[0], cert_plain[1],
+          bool(join_identical), bool(prefilter_effective)]],
         columns=["exact_distinct_lineitem", "exact_distinct_orders",
                  "exact_overlap", "distinct_a_within_envelope",
-                 "distinct_b_within_envelope", "containment_within_bound"]))
+                 "distinct_b_within_envelope", "containment_within_bound",
+                 "exact_urgent_join_rows", "exact_urgent_qty_sum",
+                 "bloom_join_identical", "bloom_prefilter_effective"]))
 
 
 def q_events_analyze_pure(spark, sf_dir):
@@ -2347,7 +2392,18 @@ def oracle_sql() -> dict[str, str]:
                        AS exact_overlap,
                    true AS distinct_a_within_envelope,
                    true AS distinct_b_within_envelope,
-                   true AS containment_within_bound
+                   true AS containment_within_bound,
+                   (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+                      JOIN orders o ON l.l_orderkey = o.o_orderkey
+                     WHERE o.o_orderpriority = '1-URGENT')
+                       AS exact_urgent_join_rows,
+                   (SELECT CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                      FROM lineitem l
+                      JOIN orders o ON l.l_orderkey = o.o_orderkey
+                     WHERE o.o_orderpriority = '1-URGENT')
+                       AS exact_urgent_qty_sum,
+                   true AS bloom_join_identical,
+                   true AS bloom_prefilter_effective
         """,
         "events_analyze": """
             SELECT c.col AS "column",

@@ -1,0 +1,142 @@
+"""Bloom semi-join prefilter: cut the big side's shuffle before a
+selective join.
+
+At 100 TB the dominant cost of ``fact JOIN keys`` is usually not the
+matching rows — it is shuffling the NON-matching fact rows (and their
+wide text/binary columns) to the join stage that will drop them. When
+the key side's distinct set fits in a broadcast, Spark's own
+broadcast/left-semi join (or AQE's runtime bloom filter) already solves
+this. The regime this operator targets is the one Spark can't: a key
+side with 10^8–10^9 distinct keys (an 8 GB exact broadcast — too big)
+whose Bloom digest at fpr≈0.2% is ~10× smaller and still ships.
+
+Execution shape (same discipline as ``operators/decontaminate.py``):
+
+1. **digest** — one Bloom filter over the key side's join keys, built
+   distributed through the shared sketch harness (per-partition partial
+   filters via ``sketch_partial`` — raw keys never leave their
+   partitions — then bit-OR merge; only ``m/8``-byte states shuffle).
+2. **broadcast** — the blob travels as a real Spark broadcast (once per
+   executor, not once per task) and deserializes once per executor
+   process (``decontaminate._cached_bloom``).
+3. **prefilter** — one vectorized ``contains`` pass per Arrow batch over
+   the big side's key column, BEFORE the join's shuffle. Only the key
+   column crosses the JVM→Python boundary: Spark ships a pandas UDF its
+   input columns only and applies the returned boolean mask JVM-side,
+   so the fact table's wide columns never leave Tungsten until after
+   the filter.
+
+Correctness contract: zero false negatives by construction, so the
+prefiltered inner/semi join returns EXACTLY the rows of the plain join;
+false positives only pass extra rows for the join itself to drop (rate
+bounded by ``expected_fpr``, reported in the metrics). Outer joins that
+must KEEP unmatched big-side rows are rejected — a prefilter is the
+wrong tool there by definition.
+
+Hash-domain discipline: both key columns must carry the same Spark
+type. The typed fingerprint recipes are per-domain (wire spec,
+``hashing.py``), so a bigint build probed through an int column would
+fork the domain and silently produce false negatives — that is a
+modeling bug at the call site, and this module raises instead of
+coercing. The probe path pins ``value_type`` from the big side's
+DECLARED schema (``pin_value_type`` rule) so Arrow's per-batch
+nullable-int→float64 promotion cannot fork recipes between batches.
+
+No reference analog: google/zetasketch is a sketch library; this is the
+sketch applied to Spark's join planning, the same way `scanindex.py`
+applies it to scan pruning.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from zetasketch_spark.sketches.bloom import BloomFamily, optimal_params
+
+#: joins where dropping non-matching BIG-side rows early is semantics-
+#: preserving. ("right"/"full" would need the big side's unmatched rows;
+#: "left" is fine only when big is the RIGHT input — callers pass big as
+#: the probe/left side here, so it is excluded.)
+_PREFILTERABLE = {"inner", "semi", "leftsemi", "left_semi"}
+
+
+def build_key_bloom(keys_df: DataFrame, key: str, fpr: float = 0.002,
+                    n_hint: int | None = None) -> tuple[bytes, dict]:
+    """One serialized Bloom digest of ``keys_df[key]``, built distributed.
+
+    ``n_hint`` sizes the filter (defaults to ``keys_df.count()`` — an
+    upper bound on distinct keys, so the realized FPR is ≤ target).
+    Returns ``(blob, meta)``; ``meta`` records the sizing decision so a
+    caller can log why the digest is as big as it is.
+    """
+    from zetasketch_spark.operators.agg import (SKETCH_COL, sketch_merge,
+                                                sketch_partial)
+
+    n = int(n_hint) if n_hint is not None else keys_df.count()
+    m, k = optimal_params(max(n, 1), fpr)
+    fam = BloomFamily(m=m, k=k)  # sketch_partial pins value_type itself
+    partials = sketch_partial(keys_df.select(key), [], key, fam)
+    rows = sketch_merge(partials, [], fam).collect()  # ONE m/8-byte state
+    if rows and rows[0][SKETCH_COL] is not None:
+        blob = bytes(rows[0][SKETCH_COL])
+    else:  # empty key side: empty digest (prefilter keeps nothing)
+        blob = fam.serialize(fam.make())
+    meta = {"m_bits": m, "k_hashes": k, "sized_for_n": n,
+            "target_fpr": float(fpr), "digest_bytes": len(blob)}
+    return blob, meta
+
+
+def bloom_prefilter(big: DataFrame, key: str, blob: bytes) -> DataFrame:
+    """``big`` minus rows whose ``key`` is provably absent from the
+    digest (plus NULL keys, which cannot match any equi-join). Zero
+    false negatives: every genuinely matching row survives."""
+    from zetasketch_spark.operators.decontaminate import (_broadcast_blob,
+                                                          _cached_bloom)
+    from zetasketch_spark.functions.sketch_udfs import \
+        SPARK_TYPE_TO_HASH_DOMAIN
+
+    spark = big.sparkSession
+    bc = _broadcast_blob(spark, blob)
+    # pin the probe hash domain from the DECLARED type, never batch dtype
+    vt = SPARK_TYPE_TO_HASH_DOMAIN.get(
+        big.schema[key].dataType.simpleString())
+
+    @pandas_udf("boolean")
+    def _keep(keys: pd.Series) -> pd.Series:
+        bf = _cached_bloom(bc.value)
+        return pd.Series(bf.contains_series(keys, value_type=vt))
+
+    return big.filter(_keep(F.col(key)))
+
+
+def bloom_join(big: DataFrame, small: DataFrame, big_key: str,
+               small_key: str, how: str = "inner", fpr: float = 0.002,
+               n_hint: int | None = None) -> tuple[DataFrame, dict]:
+    """``big.join(small, big[big_key] == small[small_key], how)`` with a
+    Bloom prefilter on ``big`` — identical rows, a fraction of the
+    shuffle. Returns ``(joined, meta)``.
+
+    ``how`` must be inner/semi: those are exactly the joins where a
+    non-matching big-side row contributes nothing, so dropping it before
+    the shuffle is free. Key columns must carry the same Spark type
+    (typed hash recipes — see module docstring)."""
+    hn = how.lower().replace("outer", "").strip("_ ")
+    if hn not in _PREFILTERABLE:
+        raise ValueError(
+            f"bloom_join cannot prefilter how={how!r}: only inner/semi "
+            "joins may drop non-matching big-side rows early")
+    bt = big.schema[big_key].dataType.simpleString()
+    st = small.schema[small_key].dataType.simpleString()
+    if bt != st:
+        raise TypeError(
+            f"join key types differ ({big_key}:{bt} vs {small_key}:{st}); "
+            "the typed hash recipes are per-domain, so probing a "
+            f"{st}-built digest with a {bt} column would fork the hash "
+            "domain (false negatives). Cast one side explicitly.")
+    blob, meta = build_key_bloom(small, small_key, fpr=fpr, n_hint=n_hint)
+    kept = bloom_prefilter(big, big_key, blob)
+    joined = kept.join(small, on=kept[big_key] == small[small_key], how=how)
+    return joined, meta
