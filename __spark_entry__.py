@@ -1165,11 +1165,25 @@ def q_events_skew_report(spark, sf_dir):
     """Hot-key skew report (operators/skew.py): exact counts + shares for
     the top user_ids via the CM/Misra-Gries-bounded pass — the
     pre-join diagnosis that decides WHICH keys to salt. Exact output, so
-    DuckDB's plain top-10-with-shares is a direct oracle."""
+    DuckDB's plain top-10-with-shares is a direct oracle.
+
+    Diagnose->defuse arm (operators/rangepart.py): KLL-boundary balanced
+    range repartition of the same skewed key column, hot values salted
+    across their equal-boundary runs. `repart_rows` is the exact row
+    count DuckDB recomputes; `repart_balanced` asserts every bucket
+    within 1.5x ideal and >=14/16 buckets populated (measured band
+    across 1/8/97-partition runs: 1.07-1.11x, 16/16)."""
+    from zetasketch_spark.operators.rangepart import balance_report
     from zetasketch_spark.operators.skew import key_skew_report
 
     e = _t(spark, sf_dir, "events")
-    return key_skew_report(e, "user_id", top=10, threshold=0.008)
+    rep = key_skew_report(e, "user_id", top=10, threshold=0.008)
+    bal = balance_report(e, "user_id", 16, salt_cols=["event_id"])
+    balanced = (bal["max_over_ideal"] <= 1.5 and bal["buckets_used"] >= 14)
+    return (rep
+            .withColumn("repart_rows",
+                        F.lit(int(bal["n_rows"])).cast("long"))
+            .withColumn("repart_balanced", F.lit(bool(balanced))))
 
 
 def q_events_topk_rerank(spark, sf_dir):
@@ -2353,7 +2367,9 @@ def oracle_sql() -> dict[str, str]:
                    exact_count / (SELECT CAST(n AS DOUBLE) FROM t) AS share,
                    exact_count / (SELECT CAST(n AS DOUBLE) FROM t) > 0.008 AS skewed,
                    (SELECT min(exact_count) FROM r WHERE rank <= 10)
-                     > (SELECT n // 513 FROM t) AS provably_complete
+                     > (SELECT n // 513 FROM t) AS provably_complete,
+                   (SELECT CAST(n AS BIGINT) FROM t) AS repart_rows,
+                   true AS repart_balanced
             FROM r WHERE rank <= 10
         """,
         "events_topk_rerank": """

@@ -1,0 +1,170 @@
+"""Sketch-driven balanced range repartitioning: defuse skew with
+boundaries from a mergeable KLL sketch instead of a sampling job.
+
+``df.repartitionByRange(n, col)`` makes Spark run a dedicated
+reservoir-sampling pass over the column every time it plans the
+exchange; at 100 TB that is a full extra scan, the boundaries are
+thrown away afterwards, and a genuinely hot key still lands in one
+partition. This operator derives the boundaries from a KLL quantile
+sketch instead:
+
+* **one cheap pass** — per-partition KLL partials through the shared
+  harness (``operators/agg.py``), O(k) state per partition, driver
+  merge; or reuse a sketch you already have (ANALYZE's per-column KLL,
+  a ``SketchTable`` snapshot folded incrementally — boundaries for
+  TODAY's repartition can come from yesterday's table + today's delta
+  without rescanning history).
+* **rank-error-bounded balance** — KLL rank error ε (~1.5% at k=200)
+  bounds every bucket's share within ``1/n ± 2ε`` of the rows, so the
+  balance guarantee survives any data distribution.
+* **hot keys get salted, not stacked** — when one value spans several
+  quantile boundaries (a conversation/user hot enough to exceed a whole
+  partition's share), range partitioning alone CANNOT split it (equal
+  keys compare equal). The assigner detects equal-boundary runs and
+  spreads exactly those rows across the run's buckets by a hash of
+  caller-chosen ``salt_cols`` — the explicit "salting for skew"
+  move the north rule demands, applied only where the sketch proves
+  it is needed.
+
+Bucket assignment is pure Catalyst (two ``size(filter(array<...>))``
+expressions over the boundary literal + one ``xxhash64``): no Python in
+the per-row path, codegen-friendly, O(n_parts) per row (fine for the
+n_parts ≤ ~1024 exchanges this targets). Determinism: given the same
+boundaries and salt columns, every row's bucket is a pure function of
+its values — repartitioning is idempotent and replayable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from zetasketch_spark.sketches.kll import KllSketch
+
+BUCKET_COL = "_range_bucket"
+
+
+def kll_boundaries(df: DataFrame, col: str, n_parts: int,
+                   k: int = 200) -> list[float]:
+    """Interior range boundaries (length ``n_parts - 1``) from one
+    KLL pass over ``df[col]`` (numeric)."""
+    from zetasketch_spark.operators.agg import SKETCH_COL, sketch_partial
+    from zetasketch_spark.sketches.kll import KllFamily
+
+    fam = KllFamily(k=k)
+    acc = KllSketch(k=k)
+    for row in sketch_partial(df.select(F.col(col).cast("double")
+                                        .alias(col)), [], col,
+                              fam).collect():
+        if row[SKETCH_COL] is not None:
+            acc.merge(KllSketch.deserialize(bytes(row[SKETCH_COL])))
+    return boundaries_from_sketch(acc, n_parts)
+
+
+def boundaries_from_sketch(sketch: KllSketch, n_parts: int) -> list[float]:
+    """Interior boundaries from an existing sketch (reuse ANALYZE's or a
+    SketchTable snapshot's state — no rescan)."""
+    if n_parts < 1:
+        raise ValueError("n_parts must be >= 1")
+    if n_parts == 1 or sketch.n == 0:
+        return []
+    qs = [i / n_parts for i in range(1, n_parts)]
+    return [float(v) for v in sketch.quantiles(qs)]
+
+
+def assign_range_buckets(df: DataFrame, col: str, boundaries: list[float],
+                         salt_cols: list[str] | None = None,
+                         bucket_col: str = BUCKET_COL) -> DataFrame:
+    """Add ``bucket_col`` ∈ [0, len(boundaries)]: searchsorted rank of
+    ``col`` among the boundaries, with rows whose value EQUALS a
+    boundary run of length t spread across that run's t+1 buckets by a
+    hash of ``salt_cols`` (the hot-key split). NULLs get bucket 0 —
+    they sort first, like Spark's own null ordering."""
+    b = sorted(float(x) for x in boundaries)
+    if not b:
+        return df.withColumn(bucket_col, F.lit(0))
+    arr = F.array(*[F.lit(x) for x in b])
+    v = F.col(col).cast("double")
+    lo = F.size(F.filter(arr, lambda x: x < v))       # #{b < v}
+    hi = F.size(F.filter(arr, lambda x: x <= v))      # #{b <= v}
+    if salt_cols:
+        span = hi - lo + F.lit(1)
+        salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), span)
+        bucket = lo + salt
+    else:
+        bucket = lo
+    return df.withColumn(
+        bucket_col,
+        F.when(v.isNull(), F.lit(0)).otherwise(bucket).cast("int"))
+
+
+_SLOT_TOKENS: dict[int, list[int]] = {}
+
+
+def _slot_tokens(spark, n_parts: int) -> list[int]:
+    """tokens[i] = an int whose Murmur3 hash lands in partition slot i
+    under ``pmod(hash(t), n_parts)`` — the inverse of Spark's own
+    HashPartitioning, probed once per n_parts with one tiny JVM job and
+    memoized. Lets a plain hash exchange place bucket i EXACTLY in
+    partition i (``repartitionByRange`` on the dense bucket id would
+    re-sample and can coalesce two buckets into one partition)."""
+    toks = _SLOT_TOKENS.get(n_parts)
+    if toks is None:
+        rows = (spark.range(0, max(64, 32 * n_parts))
+                .select(F.col("id"),
+                        F.pmod(F.hash("id"), F.lit(n_parts)).alias("slot"))
+                .groupBy("slot").agg(F.min("id").alias("tok")).collect())
+        by_slot = {int(r["slot"]): int(r["tok"]) for r in rows}
+        if len(by_slot) != n_parts:  # astronomically unlikely; widen probe
+            rows = (spark.range(0, 4096 * n_parts)
+                    .select(F.col("id"),
+                            F.pmod(F.hash("id"),
+                                   F.lit(n_parts)).alias("slot"))
+                    .groupBy("slot").agg(F.min("id").alias("tok")).collect())
+            by_slot = {int(r["slot"]): int(r["tok"]) for r in rows}
+        toks = [by_slot[i] for i in range(n_parts)]
+        _SLOT_TOKENS[n_parts] = toks
+    return toks
+
+
+def repartition_by_sketch_range(df: DataFrame, col: str, n_parts: int,
+                                k: int = 200,
+                                salt_cols: list[str] | None = None,
+                                boundaries: list[float] | None = None,
+                                keep_bucket: bool = False) -> DataFrame:
+    """Range-repartition ``df`` into ``n_parts`` rank-balanced pieces:
+    bucket i goes wholly (and exactly) to partition i via the
+    slot-token hash exchange — no sampling pass over ``col``, bucket
+    locality preserved, placement a pure function of the row."""
+    if boundaries is None:
+        boundaries = kll_boundaries(df, col, n_parts, k=k)
+    out = assign_range_buckets(df, col, boundaries, salt_cols=salt_cols)
+    tokens = _slot_tokens(df.sparkSession, n_parts)
+    # tokens were probed as BIGINT (Murmur3 differs by integer width, so
+    # an int literal would hash to a different slot than the probe saw)
+    route = F.element_at(
+        F.array(*[F.lit(t).cast("bigint") for t in tokens]),
+        F.col(BUCKET_COL) + 1)
+    out = out.repartition(n_parts, route)
+    return out if keep_bucket else out.drop(BUCKET_COL)
+
+
+def balance_report(df: DataFrame, col: str, n_parts: int, k: int = 200,
+                   salt_cols: list[str] | None = None) -> dict:
+    """Plan + audit in one: bucket counts, the max/ideal balance factor,
+    and how many buckets a hot-key salt actually spread into."""
+    boundaries = kll_boundaries(df, col, n_parts, k=k)
+    bucketed = assign_range_buckets(df, col, boundaries,
+                                    salt_cols=salt_cols)
+    counts = {int(r[BUCKET_COL]): int(r["c"]) for r in
+              bucketed.groupBy(BUCKET_COL).agg(
+                  F.count(F.lit(1)).alias("c")).collect()}
+    total = sum(counts.values())
+    ideal = total / max(n_parts, 1)
+    return {
+        "boundaries": boundaries,
+        "bucket_counts": counts,
+        "n_rows": total,
+        "buckets_used": len(counts),
+        "max_over_ideal": (max(counts.values()) / ideal) if total else 0.0,
+    }
