@@ -426,6 +426,66 @@ def main():
     finally:
         shutil.rmtree(inc_dir, ignore_errors=True)
 
+    # Bloom semi-join prefilter (operators/bloomjoin.py) vs the plain
+    # join on the same selective key set. At this scale the small side
+    # broadcasts exactly, so the pair MEASURES THE PREFILTER'S FIXED
+    # OVERHEAD (digest build + the ~1 s per-stage Python probe constant,
+    # see fastscan.py notes) — the regime the operator exists for
+    # (key side too big to broadcast, fact shuffle dominates) cannot
+    # occur at sf0.1; the paired rows pin that the overhead stays a
+    # small constant, not a multiple of the data.
+    from zetasketch_spark.operators.bloomjoin import bloom_join
+
+    li_b = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    urg = (spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+           .filter(F.col("o_orderpriority") == "1-URGENT")
+           .select("o_orderkey"))
+    best_b = best_p = None
+    for _ in range(N_HEADLINE_TRIALS):
+        t0 = time.time()
+        bloom_join(li_b, urg, "l_orderkey", "o_orderkey")[0].count()
+        el = time.time() - t0
+        best_b = el if best_b is None else min(best_b, el)
+        t0 = time.time()
+        li_b.join(urg, on=li_b["l_orderkey"] == urg["o_orderkey"],
+                  how="inner").count()
+        el = time.time() - t0
+        best_p = el if best_p is None else min(best_p, el)
+    extra_timings["bloom_join_urgent"] = round(best_b, 3)
+    extra_timings["plain_join_urgent"] = round(best_p, 3)
+
+    # sketch-driven balanced range repartition (operators/rangepart.py):
+    # KLL boundary planning + the full physical exchange. The noop sink
+    # executes the whole plan JVM-side (a bare count() could elide the
+    # repartition; .rdd would pickle every row into Python)
+    from zetasketch_spark.operators.rangepart import \
+        repartition_by_sketch_range
+
+    best = None
+    for _ in range(N_HEADLINE_TRIALS):
+        t0 = time.time()
+        (repartition_by_sketch_range(
+            li_b, "l_extendedprice", 32,
+            salt_cols=["l_orderkey", "l_linenumber"])
+         .write.format("noop").mode("overwrite").save())
+        el = time.time() - t0
+        best = el if best is None else min(best, el)
+    extra_timings["sketch_range_repartition"] = round(best, 3)
+
+    # paired reference: Spark's own sampling-based repartitionByRange on
+    # the same column — parity here means the sketch path's boundary
+    # planning costs no more than the built-in's sampling pass, while
+    # its boundaries are reusable (ANALYZE/SketchTable) and its hot-key
+    # salting has no built-in equivalent
+    best = None
+    for _ in range(N_HEADLINE_TRIALS):
+        t0 = time.time()
+        (li_b.repartitionByRange(32, F.col("l_extendedprice"))
+         .write.format("noop").mode("overwrite").save())
+        el = time.time() - t0
+        best = el if best is None else min(best, el)
+    extra_timings["spark_range_repartition"] = round(best, 3)
+
     # sf1 section (10x data, deterministic, generated once into data/sf1):
     # measures the kernels instead of the sandbox's fixed per-stage costs.
     # Disable with SPARK_GRAFT_SF1=0.

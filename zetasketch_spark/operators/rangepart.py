@@ -72,6 +72,24 @@ def boundaries_from_sketch(sketch: KllSketch, n_parts: int) -> list[float]:
     return [float(v) for v in sketch.quantiles(qs)]
 
 
+def _searchsorted_expr(v, b: list[float], strict: bool, lo: int = 0,
+                       hi: int | None = None):
+    """Balanced CASE-WHEN binary-search tree: #{x ∈ b : x < v} (strict)
+    or #{x ∈ b : x <= v}. O(log n) codegen-friendly comparisons per row
+    — a higher-order ``filter(array, ...)`` lambda is interpreted per
+    ELEMENT and measured ~2.5x slower on the whole exchange."""
+    if hi is None:
+        hi = len(b)
+    if lo == hi:
+        return F.lit(lo)
+    mid = (lo + hi) // 2
+    # strict: b[mid] < v counts  <->  v >  b[mid]
+    # else:   b[mid] <= v counts <->  v >= b[mid]
+    cond = (v > F.lit(b[mid])) if strict else (v >= F.lit(b[mid]))
+    return (F.when(cond, _searchsorted_expr(v, b, strict, mid + 1, hi))
+            .otherwise(_searchsorted_expr(v, b, strict, lo, mid)))
+
+
 def assign_range_buckets(df: DataFrame, col: str, boundaries: list[float],
                          salt_cols: list[str] | None = None,
                          bucket_col: str = BUCKET_COL) -> DataFrame:
@@ -83,11 +101,10 @@ def assign_range_buckets(df: DataFrame, col: str, boundaries: list[float],
     b = sorted(float(x) for x in boundaries)
     if not b:
         return df.withColumn(bucket_col, F.lit(0))
-    arr = F.array(*[F.lit(x) for x in b])
     v = F.col(col).cast("double")
-    lo = F.size(F.filter(arr, lambda x: x < v))       # #{b < v}
-    hi = F.size(F.filter(arr, lambda x: x <= v))      # #{b <= v}
+    lo = _searchsorted_expr(v, b, strict=True)    # #{b < v}
     if salt_cols:
+        hi = _searchsorted_expr(v, b, strict=False)   # #{b <= v}
         span = hi - lo + F.lit(1)
         salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), span)
         bucket = lo + salt
