@@ -218,3 +218,53 @@ def test_merged_query_plan_shapes(spark):
     # exchange: the shuffle carries (key, fingerprint), never raw text
     assert "partial_count" in dplan.lower() or "HashAggregate" in dplan
     assert "CartesianProduct" not in dplan
+
+
+def test_rangepart_exchange_stays_jvm_side(spark):
+    """Bucket assignment is a codegen'd CASE-WHEN binary-search tree +
+    xxhash64 — the exchange plan must contain NO Python evaluation node
+    and exactly one shuffle (the routed repartition itself)."""
+    from zetasketch_spark.operators.rangepart import (
+        assign_range_buckets, repartition_by_sketch_range)
+    from zetasketch_spark.plans.explain import exchange_count, physical_plan
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    b = [float(x) for x in range(1000, 32000, 1000)]
+    out = repartition_by_sketch_range(
+        li, "l_extendedprice", 32, boundaries=b,
+        salt_cols=["l_orderkey", "l_linenumber"])
+    plan = physical_plan(out)
+    assert "EvalPython" not in plan and "MapInPandas" not in plan, plan
+    assert exchange_count(out) == 1, plan
+    # assignment alone adds no exchange at all
+    assert exchange_count(
+        assign_range_buckets(li, "l_extendedprice", b,
+                             salt_cols=["l_orderkey"])) == 0
+
+
+def test_bloom_prefilter_ships_key_column_only(spark):
+    """The prefilter's ArrowEvalPython node must receive ONLY the join
+    key — wide columns stay JVM-side until after the boolean mask — and
+    must sit BELOW the join in the plan (filter-then-shuffle)."""
+    import pyspark.sql.functions as F
+
+    from zetasketch_spark.operators.bloomjoin import bloom_join
+    from zetasketch_spark.plans.explain import physical_plan
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    urgent = (o.filter(F.col("o_orderpriority") == "1-URGENT")
+              .select("o_orderkey"))
+    joined, _ = bloom_join(li, urgent, "l_orderkey", "o_orderkey")
+    plan = physical_plan(joined)
+    assert "ArrowEvalPython" in plan, plan
+    eval_line = next(l for l in plan.splitlines() if "ArrowEvalPython" in l)
+    # the only input column named on the Python eval node is the key
+    assert "l_orderkey" in eval_line, eval_line
+    for wide in ("l_comment", "l_shipinstruct", "l_extendedprice",
+                 "l_partkey"):
+        assert wide not in eval_line, eval_line
+    # prefilter below the join: Python eval appears after (deeper than)
+    # the join node in the tree rendering
+    join_pos = plan.find("Join")
+    assert join_pos != -1 and plan.find("ArrowEvalPython") > join_pos, plan

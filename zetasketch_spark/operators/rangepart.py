@@ -26,12 +26,15 @@ sketch instead:
   move the north rule demands, applied only where the sketch proves
   it is needed.
 
-Bucket assignment is pure Catalyst (two ``size(filter(array<...>))``
-expressions over the boundary literal + one ``xxhash64``): no Python in
-the per-row path, codegen-friendly, O(n_parts) per row (fine for the
-n_parts ≤ ~1024 exchanges this targets). Determinism: given the same
-boundaries and salt columns, every row's bucket is a pure function of
-its values — repartitioning is idempotent and replayable.
+Bucket assignment is pure Catalyst: a balanced CASE-WHEN binary-search
+tree over the boundary literals (O(log n_parts) whole-stage-codegen
+comparisons per row — a higher-order ``filter(array)`` lambda is
+interpreted per element and measured ~2.5x slower on the full
+exchange) plus one ``xxhash64`` for the salt. No Python in the per-row
+path; expression size stays JIT-friendly up to the n_parts ≤ ~1024
+exchanges this targets. Determinism: given the same boundaries and
+salt columns, every row's bucket is a pure function of its values —
+repartitioning is idempotent and replayable.
 """
 
 from __future__ import annotations
