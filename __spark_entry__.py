@@ -1104,16 +1104,36 @@ def q_join_profile(spark, sf_dir):
     join_identical = cert_bloom == cert_plain
     prefilter_effective = cert_plain[0] <= n_kept < n_total
 
+    # Count-Min join-size arm (joinprofile.join_size_estimate): the
+    # row-blowup question (|lineitem JOIN orders| WITH multiplicity) via
+    # the CM inner product. DuckDB recomputes the exact join size;
+    # booleans pin the published guarantees (Cormode & Muthukrishnan
+    # 2005 §4.2: never undercounts, within eps*n_a*n_b). Deterministic:
+    # CM hashing is fixed, counters are additive, so the estimate is a
+    # pure function of the data — environment-stable.
+    from zetasketch_spark.operators.joinprofile import join_size_estimate
+    jse = join_size_estimate(li, "l_orderkey", o, "o_orderkey",
+                             width=8192, depth=5).collect()[0]
+    exact_join = li.join(o, on=li["l_orderkey"] == o["o_orderkey"],
+                         how="inner").count()
+    jse_never_under = int(jse["est_join_size"]) >= exact_join
+    jse_within = (int(jse["est_join_size"])
+                  <= exact_join + int(jse["eps_bound"]))
+
     return spark.createDataFrame(pd.DataFrame(
         [[exact_a, exact_b, exact_ov,
           bool(a_ok), bool(b_ok), bool(ca_ok and cb_ok),
           cert_plain[0], cert_plain[1],
-          bool(join_identical), bool(prefilter_effective)]],
+          bool(join_identical), bool(prefilter_effective),
+          int(exact_join),
+          bool(jse_never_under), bool(jse_within)]],
         columns=["exact_distinct_lineitem", "exact_distinct_orders",
                  "exact_overlap", "distinct_a_within_envelope",
                  "distinct_b_within_envelope", "containment_within_bound",
                  "exact_urgent_join_rows", "exact_urgent_qty_sum",
-                 "bloom_join_identical", "bloom_prefilter_effective"]))
+                 "bloom_join_identical", "bloom_prefilter_effective",
+                 "exact_join_rows",
+                 "jse_never_undercounts", "jse_within_bound"]))
 
 
 def q_events_analyze_pure(spark, sf_dir):
@@ -2419,7 +2439,12 @@ def oracle_sql() -> dict[str, str]:
                      WHERE o.o_orderpriority = '1-URGENT')
                        AS exact_urgent_qty_sum,
                    true AS bloom_join_identical,
-                   true AS bloom_prefilter_effective
+                   true AS bloom_prefilter_effective,
+                   (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+                      JOIN orders o ON l.l_orderkey = o.o_orderkey)
+                       AS exact_join_rows,
+                   true AS jse_never_undercounts,
+                   true AS jse_within_bound
         """,
         "events_analyze": """
             SELECT c.col AS "column",
