@@ -393,6 +393,27 @@ def main():
         el = time.time() - t0
         best = el if best is None else min(best, el)
     extra_timings["transcripts_theta_conv"] = round(best, 3)
+
+    # the daily-rollup shape: HLL distinct + CM heavy hitters + DDSketch
+    # length quantiles in ONE scan (multi_sketch_agg_rdd) — at 100 TB this
+    # replaces three full table scans; compare against the sum of the
+    # single-family rows above
+    from zetasketch_spark.operators.fastscan import multi_sketch_agg_rdd
+    from zetasketch_spark.sketches.ddsketch import DDSketchFamily
+
+    best = None
+    for _ in range(N_HEADLINE_TRIALS):
+        t0 = time.time()
+        multi_sketch_agg_rdd(spark, tdir, ["role"], {
+            "convs": ("conv_id", HllFamily(precision=15)),
+            "tools": ("tool", CountMinFamily(width=4096, depth=5,
+                                             max_candidates=256)),
+            "lens": (("length", "text"),
+                     DDSketchFamily(alpha=0.01, quantiles=(0.5, 0.9, 0.99))),
+        }).count()
+        el = time.time() - t0
+        best = el if best is None else min(best, el)
+    extra_timings["transcripts_multi_one_scan"] = round(best, 3)
     for name in EXTRA:
         best = None
         for _ in range(N_HEADLINE_TRIALS):  # same noise floor as headline

@@ -231,3 +231,46 @@ def test_rdd_fabric_derived_value_tdigest(spark, transcripts_path):
         lo = np.searchsorted(vals, est, side="left") / n
         hi = np.searchsorted(vals, est, side="right") / n
         assert lo - 0.05 <= 0.5 <= hi + 0.05, (role, est, lo, hi)
+
+
+def test_multi_sketch_agg_rdd_one_scan_equals_singles(spark, transcripts_path):
+    """One-scan multi-family aggregation on the RDD fabric: every spec's
+    result columns must equal the corresponding single-family
+    ``sketch_agg_rdd`` run exactly (HLL register-max, Count-Min counts,
+    and DDSketch bucket counts are all merge-order-independent), under a
+    derived day key and a derived turn-length value."""
+    from zetasketch_spark.operators.fastscan import (
+        multi_sketch_agg_rdd, sketch_agg_rdd)
+    from zetasketch_spark.sketches.base import HllFamily
+    from zetasketch_spark.sketches.countmin import CountMinFamily
+    from zetasketch_spark.sketches.ddsketch import DDSketchFamily
+
+    hll = HllFamily(precision=13)
+    cm = CountMinFamily(width=1024, depth=5, max_candidates=64)
+    dd = DDSketchFamily(alpha=0.01, quantiles=(0.5, 0.99))
+    keys = ["role", "day"]
+    dk = {"day": ("to_date", "ts")}
+
+    out = {(r["role"], str(r["day"])): r for r in multi_sketch_agg_rdd(
+        spark, transcripts_path, keys,
+        {"convs": ("conv_id", hll),
+         "tools": ("tool", cm),
+         "lens": (("length", "text"), dd)},
+        derived_keys=dk).collect()}
+    assert len(out) > 3
+
+    singles = {}
+    for name, col, fam in [("convs", "conv_id", hll),
+                           ("tools", "tool", cm),
+                           ("lens", ("length", "text"), dd)]:
+        singles[name] = {(r["role"], str(r["day"])): r for r in
+                         sketch_agg_rdd(spark, transcripts_path, keys, col,
+                                        fam, derived_keys=dk).collect()}
+
+    assert set(out) == set(singles["convs"])
+    for key, row in out.items():
+        assert row["rows_seen"] == singles["convs"][key]["rows_seen"]
+        for name, fam in [("convs", hll), ("tools", cm), ("lens", dd)]:
+            for fn, _ in fam.result_fields:
+                assert row[f"{name}_{fn}"] == singles[name][key][fn], \
+                    (key, name, fn)

@@ -157,6 +157,53 @@ def _derive_value_array(tbl, col):
     return val
 
 
+# arrow physical type -> Spark DDL for group-key columns materialized from
+# the RDD fabric (unmapped exotic types fall back to their string form
+# rather than failing at planning time)
+_ARROW_TO_DDL = {"string": "string", "large_string": "string",
+                 "int64": "bigint", "int32": "int", "int16": "int",
+                 "int8": "int", "bool": "boolean",
+                 "double": "double", "float": "float",
+                 "timestamp[us]": "timestamp", "timestamp[ns]": "timestamp",
+                 "timestamp[ms]": "timestamp", "date32[day]": "date"}
+
+
+def _plan_key_types(splits, keys, derived, part_keys) -> list[str]:
+    """Spark DDL type per group key, resolved from the first split's
+    parquet footer (derived keys and path-materialized partition keys
+    have fixed types)."""
+    import pyarrow.parquet as pq
+
+    sample_schema = pq.read_schema(splits[0][0]) if splits else None
+
+    def _key_type(k: str) -> str:
+        if k in derived:
+            return "date" if derived[k][0] == "to_date" else "string"
+        if k in part_keys:
+            return "string"
+        if sample_schema is None:
+            return "string"
+        return _ARROW_TO_DDL.get(str(sample_schema.field(k).type), "string")
+
+    return [_key_type(k) for k in keys]
+
+
+def _coerce_key(v, t):
+    # pandas surfaces nullable int keys as floats with NaN — restore
+    # the declared type (None for NaN) so the explicit schema accepts it
+    import math
+
+    if isinstance(v, np.generic):
+        v = v.item()
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return None
+    if t in ("bigint", "int") and isinstance(v, float):
+        return int(v)
+    if t == "string" and not isinstance(v, str):
+        return str(v)
+    return v
+
+
 def sketch_partial_fastscan(
     spark: SparkSession,
     path: str,
@@ -342,28 +389,9 @@ def sketch_agg_rdd(spark, path, keys, col, family,
     # collect, so a high-cardinality group key is as safe here as in the
     # DataFrame path (the old collect() shortcut capped this fabric at
     # driver-memory group counts).
-    import pyarrow.parquet as pq
     from pyspark.sql.types import _parse_datatype_string
 
-    sample_schema = pq.read_schema(splits[0][0]) if splits else None
-    type_map = {"string": "string", "large_string": "string", "int64": "bigint",
-                "int32": "int", "int16": "int", "int8": "int", "bool": "boolean",
-                "double": "double", "float": "float",
-                "timestamp[us]": "timestamp", "timestamp[ns]": "timestamp",
-                "timestamp[ms]": "timestamp", "date32[day]": "date"}
-
-    def _key_type(k: str) -> str:
-        if k in derived:
-            return "date" if derived[k][0] == "to_date" else "string"
-        if k in part_keys:
-            return "string"
-        if sample_schema is None:
-            return "string"
-        # unmapped exotic types fall back to their string form rather than
-        # failing at planning time
-        return type_map.get(str(sample_schema.field(k).type), "string")
-
-    key_types = [_key_type(k) for k in keys]
+    key_types = _plan_key_types(splits, keys, derived, part_keys)
     fields = [StructField(k, _parse_datatype_string(t))
               for k, t in zip(keys, key_types)]
     fields.append(StructField(ROWS_COL, LongType()))
@@ -372,29 +400,122 @@ def sketch_agg_rdd(spark, path, keys, col, family,
     if keep_sketch:
         fields.append(StructField(SKETCH_COL, BinaryType()))
 
-    def _coerce(v, t):
-        # pandas surfaces nullable int keys as floats with NaN — restore
-        # the declared type (None for NaN) so the explicit schema accepts it
-        import math
-
-        if isinstance(v, np.generic):
-            v = v.item()
-        if v is None or (isinstance(v, float) and math.isnan(v)):
-            return None
-        if t in ("bigint", "int") and isinstance(v, float):
-            return int(v)
-        if t == "string" and not isinstance(v, str):
-            return str(v)
-        return v
-
     def to_row(kv):
         key, (blob, rows_seen) = kv
-        rec = [_coerce(v, t) for v, t in zip(key, key_types)]
+        rec = [_coerce_key(v, t) for v, t in zip(key, key_types)]
         rec.append(int(rows_seen))
         rec += [x.item() if isinstance(x, np.generic) else x
                 for x in family.result(family.deserialize(blob))]
         if keep_sketch:
             rec.append(blob)
+        return tuple(rec)
+
+    return spark.createDataFrame(merged.map(to_row), StructType(fields))
+
+
+def multi_sketch_agg_rdd(spark, path, keys, specs,
+                         derived_keys=None,
+                         target_split_bytes: int = 96 << 20,
+                         reduce_partitions: int | None = None,
+                         partition_filter: dict | None = None):
+    """One parquet scan, many sketches, on the flagship RDD fabric.
+
+    ``specs``: ``{output_name: (value_col_or_derived, family)}`` — the
+    same shape as ``operators.multi.multi_sketch_agg`` (result columns
+    are prefixed by the spec name: spec ``users`` with an HLL family
+    yields ``users_estimate``), with the fast fabric's derived-value
+    forms allowed (``("length", "text")``).
+
+    Why: at 100 TB the scan dominates every north-star job, and the
+    daily rollup wants HLL distinct + Count-Min heavy hitters + KLL/DD
+    quantiles over the SAME transcripts table. Run separately that is
+    3-4 full scans; here each split is decoded once, every family's
+    ``prepare_arrow`` kernel runs on the shared Arrow batch, and only a
+    tuple of serialized states per (task, key) crosses the process
+    boundary. State equality with per-family ``sketch_agg_rdd`` runs is
+    asserted in tests (same splits, same batches, same estimates).
+    """
+    derived = derived_keys or {}
+    names = list(specs)
+    splits = plan_splits(path, target_split_bytes, partition_filter)
+    part_cols = set(partition_values(splits[0][0], path)) if splits else set()
+    part_keys = {k for k in keys if k in part_cols and k not in derived}
+    read_cols = sorted({*[_value_source(c) for c, _ in specs.values()],
+                        *[k for k in keys
+                          if k not in derived and k not in part_keys],
+                        *[src for (_, src) in derived.values()]})
+    sc = spark.sparkContext
+    cpus = sc.defaultParallelism
+    n_tasks = max(1, min(len(splits), 2 * cpus))
+    items = [(f, rgs, partition_values(f, path) if part_keys else None)
+             for f, rgs in splits]
+    rdd = sc.parallelize(items, n_tasks)
+    keys_t = tuple(keys)
+
+    def run_split(it):
+        import pyarrow as pa
+        import pyarrow.parquet as pq  # noqa: F811
+
+        acc: dict = {}
+        rows: dict = {}
+        for f, rgs, pv in it:
+            pf = pq.ParquetFile(f)
+            tbl = pf.read_row_groups(rgs, columns=read_cols, use_threads=False)
+            tbl = tbl.combine_chunks()
+            prepared = {n: fam.prepare_arrow(_derive_value_array(tbl, c))
+                        for n, (c, fam) in specs.items()}
+            if keys_t:
+                karrs = _derive_key_arrays(tbl, keys_t, derived, pv)
+                kpdf = pa.table(karrs).to_pandas()
+                groups = kpdf.groupby(list(keys_t), sort=False,
+                                      dropna=False).indices
+            else:
+                groups = {(): np.arange(tbl.num_rows)}
+            for key, idx in groups.items():
+                if not isinstance(key, tuple):
+                    key = (key,)
+                states = acc.get(key)
+                if states is None:
+                    states = {n: specs[n][1].make() for n in names}
+                    acc[key] = states
+                    rows[key] = 0
+                for n in names:
+                    specs[n][1].update_prepared(states[n], prepared[n][idx])
+                rows[key] += len(idx)
+        for key, states in acc.items():
+            yield (key, (tuple(specs[n][1].serialize(states[n])
+                               for n in names), rows[key]))
+
+    def merge_pair(a, b):
+        blobs = tuple(
+            specs[n][1].serialize(
+                specs[n][1].merge(specs[n][1].deserialize(ba),
+                                  specs[n][1].deserialize(bb)))
+            for n, ba, bb in zip(names, a[0], b[0]))
+        return (blobs, a[1] + b[1])
+
+    n_red = reduce_partitions or max(4, min(64, len(splits)))
+    merged = rdd.mapPartitions(run_split).reduceByKey(
+        merge_pair, numPartitions=n_red)
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    key_types = _plan_key_types(splits, keys, derived, part_keys)
+    fields = [StructField(k, _parse_datatype_string(t))
+              for k, t in zip(keys, key_types)]
+    fields.append(StructField(ROWS_COL, LongType()))
+    for n in names:
+        fields += [StructField(f"{n}_{fn}", _parse_datatype_string(t))
+                   for fn, t in specs[n][1].result_fields]
+
+    def to_row(kv):
+        key, (blobs, rows_seen) = kv
+        rec = [_coerce_key(v, t) for v, t in zip(key, key_types)]
+        rec.append(int(rows_seen))
+        for n, blob in zip(names, blobs):
+            fam = specs[n][1]
+            rec += [x.item() if isinstance(x, np.generic) else x
+                    for x in fam.result(fam.deserialize(blob))]
         return tuple(rec)
 
     return spark.createDataFrame(merged.map(to_row), StructType(fields))
