@@ -274,3 +274,41 @@ def test_multi_sketch_agg_rdd_one_scan_equals_singles(spark, transcripts_path):
             for fn, _ in fam.result_fields:
                 assert row[f"{name}_{fn}"] == singles[name][key][fn], \
                     (key, name, fn)
+
+
+def test_derived_length_on_dictionary_encoded_text(spark, tmp_path):
+    """Parquet written from a DictionaryArray round-trips as
+    dictionary<string> (the pooled 600M scaling table's layout);
+    ("length", ...) must length the dictionary VALUES once and gather by
+    index — pc.utf8_length has no dictionary kernel — and match the
+    plain-encoded build byte-for-byte (DDSketch states are
+    order-independent)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from zetasketch_spark.operators.fastscan import sketch_agg_rdd
+    from zetasketch_spark.sketches.ddsketch import DDSketchFamily
+
+    pool = ["a", "bb" * 5, "ccc" * 7, "dddd"]
+    idx = [0, 1, 2, 3, 1, None, 0, 2] * 50
+    roles = (["user", "assistant"] * 200)
+    dict_arr = pa.DictionaryArray.from_arrays(
+        pa.array(idx, type=pa.int32()), pa.array(pool))
+    plain_arr = pa.array([None if i is None else pool[i] for i in idx])
+
+    d_dict, d_plain = tmp_path / "dict", tmp_path / "plain"
+    for d, arr in ((d_dict, dict_arr), (d_plain, plain_arr)):
+        d.mkdir()
+        pq.write_table(pa.table({"role": pa.array(roles), "text": arr}),
+                       str(d / "part-0.parquet"))
+    assert pq.read_schema(str(d_dict / "part-0.parquet")).field(
+        "text").type == pa.dictionary(pa.int32(), pa.string())
+
+    fam = DDSketchFamily(alpha=0.01, quantiles=(0.5, 0.99))
+    got = {}
+    for label, d in (("dict", d_dict), ("plain", d_plain)):
+        got[label] = {r["role"]: bytes(r["sketch"]) for r in sketch_agg_rdd(
+            spark, str(d), ["role"], ("length", "text"), fam,
+            keep_sketch=True).collect()}
+    assert got["dict"] == got["plain"]
+    assert set(got["dict"]) == {"user", "assistant"}

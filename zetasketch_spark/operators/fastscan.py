@@ -143,7 +143,25 @@ def _derive_value_array(tbl, col):
     if isinstance(col, tuple):
         op, src = col
         if op == "length":
-            val = pc.cast(pc.utf8_length(tbl[src]), pa.float64())
+            src_arr = tbl[src]
+            if pa.types.is_dictionary(src_arr.type):
+                # dictionary-encoded strings (parquet's default for
+                # repetitive text): length each dictionary VALUE once,
+                # gather by index — pc.utf8_length has no dictionary
+                # kernel, and this is O(dict) instead of O(rows) anyway.
+                # Null rows have null indices, which take() preserves.
+                if isinstance(src_arr, pa.ChunkedArray):
+                    src_arr = src_arr.combine_chunks()
+                chunks = (src_arr.chunks
+                          if isinstance(src_arr, pa.ChunkedArray)
+                          else [src_arr])
+                val = pa.chunked_array([
+                    pc.take(pc.cast(pc.utf8_length(c.dictionary),
+                                    pa.float64()), c.indices)
+                    for c in chunks] or
+                    [pa.array([], type=pa.float64())])
+            else:
+                val = pc.cast(pc.utf8_length(src_arr), pa.float64())
         elif op == "cast_double":
             val = pc.cast(tbl[src], pa.float64())
         else:
