@@ -445,33 +445,62 @@ def q_tdigest_value_quantiles_pure(spark, sf_dir):
 
 def q_multi_stats_by_type(spark, sf_dir):
     """One scan, two sketches (HLL users + KLL quantiles), both checked:
-    HLL within envelope, KLL within rank brackets."""
+    HLL within envelope, KLL within rank brackets.
+
+    Third arm (`rdd_ok`): the same spec through the RDD fast fabric's
+    one-scan path (`fastscan.multi_sketch_agg_rdd`, reading the parquet
+    file directly in-worker) must agree with the DataFrame fabric —
+    HLL estimates exactly equal (order-independent state), rows_seen
+    exactly equal to count(*), and the fabric's KLL quantiles inside the
+    same rank brackets. This gives the flagship throughput fabric a
+    direct driver CORRECTNESS row instead of only transitive pytest
+    byte-equality."""
     import math
 
+    from zetasketch_spark.operators.fastscan import multi_sketch_agg_rdd
     from zetasketch_spark.operators.multi import multi_sketch_agg
     from zetasketch_spark.operators.verify import rank_check
     from zetasketch_spark.sketches.base import HllFamily
     from zetasketch_spark.sketches.kll import KllFamily
 
     e = _t(spark, sf_dir, "events")
-    res = multi_sketch_agg(e, ["event_type"], {
+    specs = lambda: {  # noqa: E731 — fresh stateless families per fabric
         "users": ("user_id", HllFamily(precision=14)),
         "values": ("value", KllFamily(k=200, quantiles=(0.5, 0.9))),
-    }).localCheckpoint(eager=True)  # consumed by two joins: run ONCE
+    }
+    res = multi_sketch_agg(e, ["event_type"], specs()) \
+        .localCheckpoint(eager=True)  # consumed by two joins: run ONCE
+    rdd = multi_sketch_agg_rdd(spark, f"{sf_dir}/events.parquet",
+                               ["event_type"], specs()) \
+        .localCheckpoint(eager=True)
     exact = e.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_users"))
     kll_ok = rank_check(e, ["event_type"], "value", res,
                         {"values_q50": 0.5, "values_q90": 0.9},
                         eps=0.025, ok_col="kll_ok")
+    rdd_kll = rank_check(e, ["event_type"], "value", rdd,
+                         {"values_q50": 0.5, "values_q90": 0.9},
+                         eps=0.025, ok_col="rdd_kll_ok") \
+        .select("event_type", "rdd_kll_ok")
     from zetasketch_spark.operators.verify import hll_envelope_bound
     bound = hll_envelope_bound(14)
     return (
         kll_ok.join(exact, "event_type")
         .join(res.select("event_type", "users_estimate"), "event_type")
+        .join(rdd.select("event_type",
+                         F.col("users_estimate").alias("_rdd_users"),
+                         F.col("rows_seen").alias("_rdd_rows")),
+              "event_type")
+        .join(rdd_kll, "event_type")
         .withColumn("hll_ok",
                     F.abs(F.col("users_estimate") / F.col("exact_users") - 1.0)
                     <= F.lit(bound))
-        .select("event_type", "n_rows", "exact_users", "hll_ok", "kll_ok")
+        .withColumn("rdd_ok",
+                    (F.col("_rdd_users") == F.col("users_estimate"))
+                    & (F.col("_rdd_rows") == F.col("n_rows"))
+                    & F.col("rdd_kll_ok"))
+        .select("event_type", "n_rows", "exact_users", "hll_ok", "kll_ok",
+                "rdd_ok")
     )
 
 
@@ -2009,7 +2038,7 @@ def oracle_sql() -> dict[str, str]:
         "multi_stats_by_type": """
             SELECT event_type, count(*) AS n_rows,
                    count(DISTINCT user_id) AS exact_users,
-                   true AS hll_ok, true AS kll_ok
+                   true AS hll_ok, true AS kll_ok, true AS rdd_ok
             FROM events GROUP BY event_type
         """,
         "bloom_membership": """

@@ -67,8 +67,14 @@ def plan_splits(path: str, target_bytes: int = 96 << 20,
     Iceberg's partition-spec scan planning."""
     import pyarrow.parquet as pq
 
-    files = sorted(_glob.glob(os.path.join(path, "*.parquet"))) or \
-        sorted(_glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+    if os.path.isfile(path):
+        # single-file table (e.g. the driver's sf*/events.parquet): one
+        # file, still row-group split below; no partition columns
+        files = [path]
+    else:
+        files = sorted(_glob.glob(os.path.join(path, "*.parquet"))) or \
+            sorted(_glob.glob(os.path.join(path, "**", "*.parquet"),
+                              recursive=True))
     norm = {}
     for k, v in (partition_filter or {}).items():
         vals = list(v) if isinstance(v, (list, tuple, set, frozenset)) else [v]
