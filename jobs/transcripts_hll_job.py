@@ -38,6 +38,15 @@ def main(argv=None):
     ap.add_argument("--k", type=int, default=4096, help="theta nominal size")
     ap.add_argument("--alpha", type=float, default=0.01,
                     help="ddsketch relative-error bound")
+    ap.add_argument("--multi", default=None, metavar="SPEC",
+                    help="one-scan multi-sketch mode (fastscan."
+                         "multi_sketch_agg_rdd): comma-separated "
+                         "name=family:col entries, e.g. "
+                         "'convs=hll:conv_id,tools=countmin:tool,"
+                         "lens=ddsketch:length(text)'; every family is "
+                         "computed from a SINGLE pass over --input. "
+                         "Ignores --col/--family; incompatible with "
+                         "--checkpoint-dir/--sketch-table")
     ap.add_argument("--output", default=None)
     ap.add_argument("--tree-levels", type=int, default=1)
     # the two persistence modes are exclusive: --checkpoint-dir resumes a
@@ -61,6 +70,9 @@ def main(argv=None):
     if args.vacuum_keep > 0 and not args.sketch_table:
         ap.error("--vacuum-keep only applies to --sketch-table mode "
                  "(nothing to vacuum otherwise)")
+    if args.multi and (args.sketch_table or args.checkpoint_dir):
+        ap.error("--multi is a one-shot scan; it cannot be combined with "
+                 "--checkpoint-dir or --sketch-table")
 
     from pyspark.sql import SparkSession
 
@@ -71,16 +83,46 @@ def main(argv=None):
     from zetasketch_spark.sources.tables import with_day
     from zetasketch_spark.sources.transcripts import load_transcripts
 
-    if args.family == "hll":
-        fam = HllFamily(precision=args.precision,
-                        sparse_precision=args.sparse_precision)
-    else:
+    def make_family(name: str):
+        if name == "hll":
+            return HllFamily(precision=args.precision,
+                             sparse_precision=args.sparse_precision)
         from zetasketch_spark.sketches.base import get_family
 
         extra = {"theta": {"k": args.k},
-                 "ddsketch": {"alpha": args.alpha}}.get(args.family, {})
-        fam = get_family(args.family, **extra)
+                 "ddsketch": {"alpha": args.alpha}}.get(name, {})
+        return get_family(name, **extra)
+
     keys = [k.strip() for k in args.keys.split(",") if k.strip()]
+
+    if args.multi:
+        from zetasketch_spark.operators.fastscan import multi_sketch_agg_rdd
+
+        specs = {}
+        for entry in args.multi.split(","):
+            entry = entry.strip()
+            try:
+                name, rest = entry.split("=", 1)
+                family, col = rest.split(":", 1)
+            except ValueError:
+                ap.error(f"--multi entry {entry!r} is not name=family:col")
+            if col.startswith("length(") and col.endswith(")"):
+                col = ("length", col[len("length("):-1])
+            specs[name.strip()] = (col, make_family(family.strip()))
+        dk = {"day": ("to_date", "ts")} if "day" in keys else None
+        result = multi_sketch_agg_rdd(spark, args.input, keys, specs,
+                                      derived_keys=dk)
+        if args.output:
+            result.write.mode("overwrite").parquet(args.output)
+            print(f"WROTE {args.output}")
+        else:
+            for row in result.orderBy(*keys).collect():
+                print("ROW " + json.dumps(
+                    {k: str(row[k]) for k in row.asDict()}))
+        spark.stop()
+        return
+
+    fam = make_family(args.family)
 
     df = load_transcripts(spark, args.input)
     if "day" in keys:

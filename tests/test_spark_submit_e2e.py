@@ -128,3 +128,40 @@ def test_spark_submit_sketch_table_delta_maintenance(tmp_path):
     envelope = 1.04 / (2 ** 13) ** 0.5
     for role, est in got.items():
         assert abs(est / exact[role] - 1) <= envelope, (role, est, exact[role])
+
+
+@pytest.mark.skipif(spark_submit is None, reason="spark-submit not on PATH")
+def test_spark_submit_multi_one_scan(tmp_path):
+    """--multi mode: one scan computes every spec'd family
+    (multi_sketch_agg_rdd through the real spark-submit surface); HLL
+    stays in its envelope, rows_seen is exact, and the DDSketch median
+    of length(text) is within alpha of the exact order statistic."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from tools.make_pyfiles_zip import main as make_zip
+    from zetasketch_spark.sources.transcripts import write_transcripts_parquet
+
+    zip_path = make_zip(str(tmp_path / "zetasketch_spark.zip"))
+    inp = str(tmp_path / "transcripts")
+    write_transcripts_parquet(inp, n_turns=20_000, seed=9, n_convs=500)
+
+    out = str(tmp_path / "out")
+    _run_job(zip_path, [
+        "--input", inp, "--keys", "role", "--precision", "13",
+        "--multi", "convs=hll:conv_id,lens=ddsketch:length(text)",
+        "--output", out])
+
+    got = {r["role"]: r for r in pq.read_table(out).to_pylist()}
+    con = duckdb.connect()
+    exact = {role: (d, n, med) for role, d, n, med in con.execute(
+        "SELECT role, count(DISTINCT conv_id), count(*), "
+        "median(length(text)) FROM "
+        f"read_parquet('{inp}/*.parquet') GROUP BY role").fetchall()}
+    assert set(got) == set(exact)
+    envelope = 1.04 / (2 ** 13) ** 0.5
+    for role, r in got.items():
+        d, n, med = exact[role]
+        assert abs(r["convs_estimate"] / d - 1) <= envelope, (role, r)
+        assert r["rows_seen"] == n
+        assert abs(r["lens_q50"] - med) <= 0.02 * med + 1.0, (role, r, med)
