@@ -45,8 +45,10 @@ def main(argv=None):
                          "'convs=hll:conv_id,tools=countmin:tool,"
                          "lens=ddsketch:length(text)'; every family is "
                          "computed from a SINGLE pass over --input. "
-                         "Ignores --col/--family; incompatible with "
-                         "--checkpoint-dir/--sketch-table")
+                         "Ignores --col/--family; with --sketch-table DIR "
+                         "the one scan maintains a persistent table per "
+                         "spec under DIR/<name>; incompatible with "
+                         "--checkpoint-dir")
     ap.add_argument("--output", default=None)
     ap.add_argument("--tree-levels", type=int, default=1)
     # the two persistence modes are exclusive: --checkpoint-dir resumes a
@@ -70,9 +72,11 @@ def main(argv=None):
     if args.vacuum_keep > 0 and not args.sketch_table:
         ap.error("--vacuum-keep only applies to --sketch-table mode "
                  "(nothing to vacuum otherwise)")
-    if args.multi and (args.sketch_table or args.checkpoint_dir):
-        ap.error("--multi is a one-shot scan; it cannot be combined with "
-                 "--checkpoint-dir or --sketch-table")
+    if args.multi and args.checkpoint_dir:
+        ap.error("--multi cannot be combined with --checkpoint-dir "
+                 "(partition-resume checkpoints are single-family); "
+                 "use --multi with --sketch-table for persistent "
+                 "multi-family maintenance")
 
     from pyspark.sql import SparkSession
 
@@ -96,8 +100,6 @@ def main(argv=None):
     keys = [k.strip() for k in args.keys.split(",") if k.strip()]
 
     if args.multi:
-        from zetasketch_spark.operators.fastscan import multi_sketch_agg_rdd
-
         specs = {}
         for entry in args.multi.split(","):
             entry = entry.strip()
@@ -109,6 +111,56 @@ def main(argv=None):
             if col.startswith("length(") and col.endswith(")"):
                 col = ("length", col[len("length("):-1])
             specs[name.strip()] = (col, make_family(family.strip()))
+
+        if args.sketch_table:
+            # persistent mode: one delta scan maintains one SketchTable
+            # per spec under <table-dir>/<name> (shared fingerprint —
+            # exactly-once per table even across crash-interrupted runs)
+            import os as _os
+
+            from zetasketch_spark.operators.checkpoint import (
+                input_fingerprint)
+            from zetasketch_spark.operators.incremental import (
+                SketchTable, update_tables)
+            from zetasketch_spark.sources.tables import with_day
+            from zetasketch_spark.sources.transcripts import load_transcripts
+
+            df = load_transcripts(spark, args.input)
+            if "day" in keys:
+                df = with_day(df)
+            tables = {}
+            for name, (col, fam2) in specs.items():
+                if isinstance(col, tuple):
+                    # materialize the derived value as a stable column so
+                    # the table identity stays a plain (keys, col, family)
+                    mat = f"__{col[0]}_{col[1]}"
+                    if mat not in df.columns:
+                        from pyspark.sql import functions as _F
+
+                        df = df.withColumn(
+                            mat, _F.length(col[1]).cast("double"))
+                    col = mat
+                tables[name] = SketchTable(
+                    _os.path.join(args.sketch_table, name), keys, col, fam2)
+            metrics = update_tables(
+                spark, df, tables,
+                fingerprint=input_fingerprint([args.input]),
+                tree_levels=args.tree_levels)
+            print("METRICS " + json.dumps(metrics))
+            if args.vacuum_keep > 0:
+                print("VACUUM " + json.dumps(
+                    {n: t.vacuum(keep_versions=args.vacuum_keep)
+                     for n, t in tables.items()}))
+            if args.output:
+                for name, t in tables.items():
+                    t.results(spark).write.mode("overwrite").parquet(
+                        _os.path.join(args.output, name))
+                print(f"WROTE {args.output}")
+            spark.stop()
+            return
+
+        from zetasketch_spark.operators.fastscan import multi_sketch_agg_rdd
+
         dk = {"day": ("to_date", "ts")} if "day" in keys else None
         result = multi_sketch_agg_rdd(spark, args.input, keys, specs,
                                       derived_keys=dk)

@@ -628,3 +628,65 @@ def test_identity_guard_ignores_runtime_caches_and_reopens_quantile(
     with pytest.raises(ValueError, match="identity mismatch"):
         SketchTable(kdir, ["event_type"], "value",
                     KllFamily(k=100, quantiles=(0.5, 0.9)))
+
+
+def test_update_tables_one_scan_matches_individual(spark, tmp_path):
+    """`update_tables` folds one delta into several tables from a single
+    scan (multi_sketch_partial); every table's snapshot must equal the
+    table maintained by independent per-table update() calls — byte-level
+    for the order-independent families used here (HLL registers, CM
+    counters) — and the shared fingerprint must replay as a per-table
+    no-op, including after a partial (crash-interrupted) fold."""
+    from zetasketch_spark.operators.incremental import update_tables
+    from zetasketch_spark.sketches.countmin import CountMinFamily
+
+    events = _events(spark).withColumn("day", F.dayofmonth("ts"))
+    slices = [events.filter(F.col("day") % 2 == i) for i in range(2)]
+
+    def mk(prefix):
+        return {
+            "users": SketchTable(str(tmp_path / f"{prefix}_u"),
+                                 ["event_type"], "user_id",
+                                 HllFamily(precision=13)),
+            "events": SketchTable(str(tmp_path / f"{prefix}_e"),
+                                  ["event_type"], "event_id",
+                                  CountMinFamily(width=256, depth=5,
+                                                 max_candidates=16)),
+        }
+
+    combined, solo = mk("c"), mk("s")
+    for i, sl in enumerate(slices):
+        got = update_tables(spark, sl, combined, fingerprint=f"d{i}")
+        assert all(m["applied"] for m in got.values())
+        for t in solo.values():
+            assert t.update(spark, sl, fingerprint=f"d{i}")["applied"]
+
+    for name in combined:
+        a = _by_key(combined[name].results(spark, keep_sketch=True),
+                    ["event_type"], ["rows_seen", SKETCH_COL])
+        b = _by_key(solo[name].results(spark, keep_sketch=True),
+                    ["event_type"], ["rows_seen", SKETCH_COL])
+        assert a == b and a, name
+
+    # shared-fingerprint replay: committed no-op in every table
+    replay = update_tables(spark, slices[0], combined, fingerprint="d0")
+    assert all(m["applied"] is False for m in replay.values())
+
+    # crash between folds: one table already committed d2 individually;
+    # re-running the whole call folds ONLY the table that missed it
+    extra = events.filter(F.col("day") % 5 == 0)
+    pre = combined["users"].update(spark, extra, fingerprint="d2")
+    assert pre["applied"]
+    after = update_tables(spark, extra, combined, fingerprint="d2")
+    assert after["users"]["applied"] is False
+    assert after["events"]["applied"] is True
+
+    # guard rails: mismatched keys and reserved-name collisions are loud
+    bad = {"users": combined["users"],
+           "other": SketchTable(str(tmp_path / "bad"), ["day"], "user_id",
+                                HllFamily(precision=13))}
+    with pytest.raises(ValueError, match="shared key set"):
+        update_tables(spark, events, bad)
+    with pytest.raises(ValueError, match="collide"):
+        update_tables(spark, events,
+                      {"event_type": combined["users"]})

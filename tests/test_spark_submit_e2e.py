@@ -165,3 +165,47 @@ def test_spark_submit_multi_one_scan(tmp_path):
         assert abs(r["convs_estimate"] / d - 1) <= envelope, (role, r)
         assert r["rows_seen"] == n
         assert abs(r["lens_q50"] - med) <= 0.02 * med + 1.0, (role, r, med)
+
+
+@pytest.mark.skipif(spark_submit is None, reason="spark-submit not on PATH")
+def test_spark_submit_multi_sketch_table(tmp_path):
+    """--multi + --sketch-table: one delta scan maintains a persistent
+    table per spec; the shared fingerprint replays as a per-table no-op,
+    and a second delta folds in (HLL estimate over both deltas in
+    envelope)."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from tools.make_pyfiles_zip import main as make_zip
+    from zetasketch_spark.sources.transcripts import write_transcripts_parquet
+
+    zip_path = make_zip(str(tmp_path / "zetasketch_spark.zip"))
+    d1, d2 = str(tmp_path / "delta1"), str(tmp_path / "delta2")
+    write_transcripts_parquet(d1, n_turns=8_000, seed=21, n_convs=300)
+    write_transcripts_parquet(d2, n_turns=8_000, seed=22, n_convs=300)
+
+    tdir, out = str(tmp_path / "tables"), str(tmp_path / "out")
+    common = ["--keys", "role", "--precision", "13",
+              "--multi", "convs=hll:conv_id,lens=ddsketch:length(text)",
+              "--sketch-table", tdir, "--output", out]
+
+    m1 = _run_job(zip_path, ["--input", d1] + common)
+    assert all(v["applied"] and v["version"] == 1 for v in m1.values())
+    m1b = _run_job(zip_path, ["--input", d1] + common)
+    assert all(v["applied"] is False for v in m1b.values())
+    m2 = _run_job(zip_path, ["--input", d2] + common)
+    assert all(v["applied"] and v["version"] == 2 for v in m2.values())
+
+    got = {r["role"]: r["estimate"] for r in
+           pq.read_table(f"{out}/convs").to_pylist()}
+    con = duckdb.connect()
+    exact = dict(con.execute(
+        "SELECT role, count(DISTINCT conv_id) FROM read_parquet("
+        f"['{d1}/*.parquet', '{d2}/*.parquet']) GROUP BY role").fetchall())
+    assert set(got) == set(exact)
+    envelope = 1.04 / (2 ** 13) ** 0.5
+    for role, est in got.items():
+        assert abs(est / exact[role] - 1) <= envelope, (role, est, exact[role])
+    lens = {r["role"]: r for r in pq.read_table(f"{out}/lens").to_pylist()}
+    assert set(lens) == set(exact) and all(
+        r["n"] > 0 and r["q50"] > 0 for r in lens.values())

@@ -351,7 +351,8 @@ class SketchTable:
 
     def update(self, spark: SparkSession, delta: DataFrame,
                fingerprint: str | None = None,
-               tree_levels: int = 1) -> dict:
+               tree_levels: int = 1,
+               delta_is_partials: bool = False) -> dict:
         """Fold ``delta`` into the table; returns a metrics dict.
 
         The plan scans ONLY the delta (stage-1 partials) plus the prior
@@ -360,12 +361,28 @@ class SketchTable:
         same contract as ``sketch_agg``. With ``fingerprint`` set, a
         replay of an already-applied delta is a committed no-op.
 
+        ``delta_is_partials=True`` treats ``delta`` as ALREADY-COMPUTED
+        stage-1 partials (``keys…, sketch, rows_seen, partition_id`` —
+        the `sketch_partial`/`multi_sketch_partial` output shape) and
+        skips the scan stage entirely. The states must come from THIS
+        table's family identity — the bytes are opaque, so that cannot
+        be validated here; `update_tables` (which derives the partials
+        from each table's own family) is the safe producer.
+
         Raises ``ConcurrentUpdateError`` if another writer committed
         between the snapshot read and the commit rename (see module
         docstring) — retry the whole call.
         """
         t0 = time.time()
-        self._check_value_domain(delta)
+        if delta_is_partials:
+            missing = {*self.keys, SKETCH_COL, ROWS_COL,
+                       PARTITION_COL} - set(delta.columns)
+            if missing:
+                raise ValueError(
+                    f"delta_is_partials=True but the frame is missing "
+                    f"partial-stage columns {sorted(missing)}")
+        else:
+            self._check_value_domain(delta)
         base_version = self.latest_version()
         applied = self.applied_fingerprints()
         if fingerprint is not None and fingerprint in applied:
@@ -373,7 +390,10 @@ class SketchTable:
                     "reason": "fingerprint already applied",
                     "fingerprint": fingerprint}
 
-        partials = sketch_partial(delta, self.keys, self.col, self.family)
+        partials = (delta.select(*self.keys, SKETCH_COL, ROWS_COL,
+                                 PARTITION_COL)
+                    if delta_is_partials else
+                    sketch_partial(delta, self.keys, self.col, self.family))
         # read the EXACT version this update builds on (not latest-at-read
         # time) so the committed chain's parent pointer is always the
         # snapshot whose states were actually folded in
@@ -599,6 +619,58 @@ class SketchTable:
         return {"removed_versions": removed_dirs,
                 "kept_versions": sorted(keep),
                 "log_records": len(new_log)}
+
+
+def update_tables(spark: SparkSession, delta: DataFrame,
+                  tables: dict[str, SketchTable],
+                  fingerprint: str | None = None,
+                  tree_levels: int = 1) -> dict:
+    """Fold ONE delta into several sketch tables with a SINGLE scan.
+
+    The daily north-star pipeline maintains an HLL-distinct table, a
+    Count-Min heavy-hitter table, and a quantile table over the same
+    arriving transcripts; updated independently, each table re-scans the
+    delta. Here `multi_sketch_partial` computes every table's stage-1
+    partials from one pass (each family's Arrow kernel on the shared
+    batch), the tiny partial-state frame is pinned with localCheckpoint,
+    and each table folds its own slice via
+    ``update(delta_is_partials=True)``.
+
+    All tables must share the same group keys. Each table logs the
+    fingerprint in its OWN chain, so a crash between folds is safe:
+    replaying the whole call no-ops the tables that committed and folds
+    only the ones that did not — exactly-once per table, same contract
+    as calling update() per table.
+
+    Returns ``{name: update-metrics}``.
+    """
+    from zetasketch_spark.operators.multi import multi_sketch_partial
+
+    if not tables:
+        return {}
+    keys_sets = {tuple(t.keys) for t in tables.values()}
+    if len(keys_sets) != 1:
+        raise ValueError(
+            f"update_tables needs one shared key set; got {sorted(keys_sets)}")
+    keys = list(next(iter(keys_sets)))
+    reserved = {*keys, SKETCH_COL, ROWS_COL, PARTITION_COL}
+    clash = reserved & set(tables)
+    if clash:
+        raise ValueError(
+            f"table names {sorted(clash)} collide with key/partial columns")
+    specs = {name: (t.col, t.family) for name, t in tables.items()}
+    # one scan; the result is O(partitions × keys) serialized states —
+    # pin it so each table's fold reuses the frame instead of rescanning
+    parts = multi_sketch_partial(delta, keys, specs).localCheckpoint(
+        eager=True)
+    out = {}
+    for name, t in tables.items():
+        p = parts.select(*keys, F.col(name).alias(SKETCH_COL),
+                         ROWS_COL, PARTITION_COL)
+        out[name] = t.update(spark, p, fingerprint=fingerprint,
+                             tree_levels=tree_levels,
+                             delta_is_partials=True)
+    return out
 
 
 def sketch_table_sink(table: SketchTable, stream_id: str,
