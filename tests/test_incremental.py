@@ -690,3 +690,52 @@ def test_update_tables_one_scan_matches_individual(spark, tmp_path):
     with pytest.raises(ValueError, match="collide"):
         update_tables(spark, events,
                       {"event_type": combined["users"]})
+
+
+def test_sketch_tables_sink_multi_table_streaming(spark, tmp_path):
+    """Multi-table foreachBatch sink: one availableNow stream maintains an
+    HLL table and a Count-Min table from a single scan per micro-batch;
+    each equals its batch-mode twin byte-exactly, and full redelivery
+    (same stream_id + batch ids) is a per-table no-op."""
+    from zetasketch_spark.operators.incremental import sketch_tables_sink
+    from zetasketch_spark.sketches.countmin import CountMinFamily
+    from zetasketch_spark.sources.transcripts import write_transcripts_parquet
+
+    src = str(tmp_path / "src")
+    write_transcripts_parquet(src, n_turns=30_000, seed=13,
+                              rows_per_file=10_000)
+    schema = spark.read.parquet(src).schema
+    tables = {
+        "convs": SketchTable(str(tmp_path / "t_convs"), ["role"], "conv_id",
+                             HllFamily(precision=12)),
+        "tools": SketchTable(str(tmp_path / "t_tools"), ["role"], "tool",
+                             CountMinFamily(width=256, depth=5,
+                                            max_candidates=16)),
+    }
+
+    def run(ckpt):
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src)
+                  .select("role", "conv_id", "tool"))
+        q = (stream.writeStream
+             .foreachBatch(sketch_tables_sink(tables, "transcripts-multi-v1"))
+             .option("checkpointLocation", str(tmp_path / ckpt))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    run("ckpt1")
+    versions = {n: t.latest_version() for n, t in tables.items()}
+    assert all(v >= 3 for v in versions.values())
+    batch = spark.read.parquet(src)
+    for name, t in tables.items():
+        got = _by_key(t.results(spark, keep_sketch=True),
+                      ["role"], [SKETCH_COL])
+        want = _by_key(
+            sketch_agg(batch.select("role", t.col), ["role"], t.col,
+                       t.family, keep_sketch=True),
+            ["role"], [SKETCH_COL])
+        assert {k: bytes(v[0]) for k, v in got.items()} == \
+               {k: bytes(v[0]) for k, v in want.items()}, name
+
+    run("ckpt2")  # full redelivery: no table advances
+    assert {n: t.latest_version() for n, t in tables.items()} == versions

@@ -702,3 +702,21 @@ def sketch_table_sink(table: SketchTable, stream_id: str,
                      tree_levels=tree_levels)
 
     return fold
+
+
+def sketch_tables_sink(tables: dict[str, SketchTable], stream_id: str,
+                       tree_levels: int = 1):
+    """``foreachBatch`` sink folding each micro-batch into SEVERAL sketch
+    tables from one scan (`update_tables`) — the streaming form of the
+    one-scan daily rollup. Same exactly-once contract as
+    ``sketch_table_sink``, held PER TABLE: the shared
+    ``{stream_id}/batch-{batch_id}`` fingerprint means a re-delivered
+    batch (or a batch that crashed between folds) no-ops the tables that
+    already committed it and folds only the rest."""
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        update_tables(batch_df.sparkSession, batch_df, tables,
+                      fingerprint=f"{stream_id}/batch-{batch_id}",
+                      tree_levels=tree_levels)
+
+    return fold
