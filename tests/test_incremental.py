@@ -753,3 +753,22 @@ def test_sketch_tables_sink_multi_table_streaming(spark, tmp_path):
 
     run("ckpt2")  # full redelivery: no table advances
     assert {n: t.latest_version() for n, t in tables.items()} == versions
+
+
+def test_value_domain_drift_rejected_through_update_tables(spark, tmp_path):
+    """The one-scan path must keep the schema-drift guard: update()
+    skips _check_value_domain when fed precomputed partials, so
+    update_tables runs it per table against the raw delta."""
+    from zetasketch_spark.operators.incremental import update_tables
+
+    events = _events(spark)
+    tables = {"users": SketchTable(str(tmp_path / "u"), ["event_type"],
+                                   "uid", HllFamily(precision=12))}
+    m = update_tables(spark, events.select(
+        "event_type", F.col("user_id").cast("int").alias("uid")),
+        tables, fingerprint="ints")
+    assert m["users"]["applied"]
+    with pytest.raises(ValueError, match="value-domain mismatch"):
+        update_tables(spark, events.select(
+            "event_type", F.col("user_id").cast("bigint").alias("uid")),
+            tables, fingerprint="longs")

@@ -659,6 +659,11 @@ def update_tables(spark: SparkSession, delta: DataFrame,
         raise ValueError(
             f"table names {sorted(clash)} collide with key/partial columns")
     specs = {name: (t.col, t.family) for name, t in tables.items()}
+    # the partials path inside update() cannot see the raw delta's schema,
+    # so run each table's value-domain drift guard here, against the
+    # delta each partial state is actually derived from
+    for t in tables.values():
+        t._check_value_domain(delta)
     # one scan; the result is O(partitions × keys) serialized states —
     # pin it so each table's fold reuses the frame instead of rescanning
     parts = multi_sketch_partial(delta, keys, specs).localCheckpoint(
