@@ -287,24 +287,30 @@ def main():
     tw = spark.read.parquet(tdir)
     tw.select(F.count(F.xxhash64(*tw.columns))).collect()
     fam = HllFamily(precision=15)
-    best = None
-    for _ in range(N_TRANSCRIPT_TRIALS):
+
+    def _time_transcripts_role_day():
         t0 = time.time()
-        out = sketch_agg_rdd(spark, tdir, ["role", "day"], "conv_id", fam,
-                             derived_keys={"day": ("to_date", "ts")})
-        out.count()
-        tsec = time.time() - t0
-        best = tsec if best is None else min(best, tsec)
+        sketch_agg_rdd(spark, tdir, ["role", "day"], "conv_id", fam,
+                       derived_keys={"day": ("to_date", "ts")}).count()
+        return time.time() - t0
+
+    def _time_transcripts_text():
+        t0 = time.time()
+        sketch_agg_rdd(spark, tdir, ["role"], "text", fam).count()
+        return time.time() - t0
+
+    # named so the confirm pass (below) can re-measure a flagged
+    # transcripts row the same way it re-measures a flagged headline row
+    TRANSCRIPT_ROWS = {"transcripts_hll_role_day": _time_transcripts_role_day,
+                       "transcripts_hll_text": _time_transcripts_text}
+    best = min(_time_transcripts_role_day()
+               for _ in range(N_TRANSCRIPT_TRIALS))
     timings["transcripts_hll_role_day"] = round(best, 3)
     turns_per_sec = int(n_turns / best)
 
     # north-star secondary metric: approx distinct of the full turn text
-    best_txt = None
-    for _ in range(N_TRANSCRIPT_TRIALS):
-        t0 = time.time()
-        sketch_agg_rdd(spark, tdir, ["role"], "text", fam).count()
-        tsec = time.time() - t0
-        best_txt = tsec if best_txt is None else min(best_txt, tsec)
+    best_txt = min(_time_transcripts_text()
+                   for _ in range(N_TRANSCRIPT_TRIALS))
     timings["transcripts_hll_text"] = round(best_txt, 3)
 
 
@@ -549,14 +555,22 @@ def main():
     # confirm pass: a candidate flag must survive a fresh re-measure of
     # JUST that query (tables re-warmed) — transient slow windows flag
     # different untouched rows run-to-run; a real code regression
-    # reproduces every time
-    confirm = [n for n in regressions if n in qs]
+    # reproduces every time. Covers the transcripts fabric rows too: they
+    # are measured before the headline loop, so a cold-cache window there
+    # used to stick in the record with no second chance (the recurring
+    # transcripts_hll_role_day false flag, adjudicated in BENCH/BASELINE.md)
+    confirm = [n for n in regressions if n in qs or n in TRANSCRIPT_ROWS]
     if confirm:
         _warm_tables(sf_dir)
+        if any(n in TRANSCRIPT_ROWS for n in confirm):
+            tw.select(F.count(F.xxhash64(*tw.columns))).collect()
         for name in confirm:
+            timer = TRANSCRIPT_ROWS.get(name) or (
+                lambda name=name: _time_query(name, sf_dir))
             for _ in range(2):
-                timings[name] = round(
-                    min(timings[name], _time_query(name, sf_dir)), 3)
+                timings[name] = round(min(timings[name], timer()), 3)
+        if "transcripts_hll_role_day" in confirm:
+            turns_per_sec = int(n_turns / timings["transcripts_hll_role_day"])
         total = round(sum(v for k, v in timings.items()
                           if k != "transcripts_hll_text"), 3)
         regressions = detect_regressions(timings, prior.get("queries", {}),
