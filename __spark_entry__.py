@@ -210,7 +210,10 @@ def q_docs_lang_id(spark, sf_dir):
 
 
 
-def q_embedding_norms(spark, sf_dir):
+def q_embedding_norms_pure(spark, sf_dir):
+    """Relational per-label embedding profile (the bench twin: the gate
+    variant below adds a Frequent-Directions verification arm whose
+    exact-Gram oracle would measure the oracle, not the operator)."""
     emb = _t(spark, sf_dir, "embeddings")
     norm = F.expr("sqrt(aggregate(embedding, cast(0.0 as double), "
                   "(acc, x) -> acc + cast(x as double) * cast(x as double)))")
@@ -220,6 +223,63 @@ def q_embedding_norms(spark, sf_dir):
         .agg(F.count("*").alias("n_vecs"),
              F.round(F.avg("norm"), 4).alias("avg_norm"))
     )
+
+
+def q_embedding_norms(spark, sf_dir):
+    """Per-label embedding profile + the Frequent Directions gate arm
+    (sketches/freqdirs.py — the matrix-sketch family: one pass, an
+    ell x dim state per label, Gram-matrix guarantee
+    0 <= A^T A - B^T B <= certificate <= |A|_F^2/ell in PSD order).
+
+    The relational columns (n_vecs, avg_norm) stay DuckDB-exact. The
+    fd_* booleans assert the FD THEOREMS per label against an exactly
+    computed Gram matrix (gate-scale oracle, same pattern as
+    media_features/minhash ground truth): PSD order, spectral error
+    within the state's own shrink certificate, certificate within the
+    paper's a-priori bound, and exact n/|A|_F^2 counters. The theorems
+    hold under EVERY partitioning and merge order, so the booleans are
+    stable across the hostile-replay environments even though the
+    sketch bytes (like t-digest's) are order-dependent."""
+    import numpy as np
+
+    from zetasketch_spark.operators.agg import (SKETCH_COL, sketch_merge,
+                                                sketch_partial)
+    from zetasketch_spark.sketches.freqdirs import (FrequentDirections,
+                                                    FreqDirsFamily)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    rel = q_embedding_norms_pure(spark, sf_dir)
+
+    fam = FreqDirsFamily(ell=16)
+    # spread over several partitions so the gate exercises the real
+    # partial -> shuffle -> merge path even on a single-split input
+    spread = emb.repartition(8, "vec_id")
+    states = sketch_merge(
+        sketch_partial(spread, ["label"], "embedding", fam), ["label"], fam)
+    fd_by_label = {
+        r["label"]: FrequentDirections.deserialize(bytes(r[SKETCH_COL]))
+        for r in states.select("label", SKETCH_COL).collect()}  # 10 labels
+
+    # exact Gram per label — gate-scale oracle (500..20k rows x 64 dims)
+    pdf = emb.select("label", "embedding").toPandas()
+    flags = []
+    for label, grp in pdf.groupby("label"):
+        a = np.array(grp["embedding"].to_list(), dtype=np.float64)
+        fd = fd_by_label[label]
+        ev = np.linalg.eigvalsh(a.T @ a - fd.gram())
+        frob2 = float(np.einsum("ij,ij->", a, a))
+        tol = 1e-8 * max(frob2, 1.0)
+        flags.append((
+            int(label),
+            bool(ev.min() >= -tol),
+            bool(float(ev.max()) <= fd.error_certificate() + tol),
+            bool(fd.error_certificate() <= frob2 / fd.ell + tol),
+            bool(fd.n == len(a) and abs(fd.frob2 - frob2) <= tol),
+        ))
+    flag_df = spark.createDataFrame(
+        flags, "label int, fd_psd_ok boolean, fd_err_le_cert boolean, "
+               "fd_cert_le_bound boolean, fd_mass_ok boolean")
+    return rel.join(flag_df, "label")
 
 
 def q_supplier_nation(spark, sf_dir):
@@ -1638,6 +1698,7 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups_pure,
         "docs_winnow_fingerprints": q_docs_winnow_fingerprints_pure,
         "hll_sql_surface": q_hll_sql_surface_pure,
+        "embedding_norms": q_embedding_norms_pure,
         "ann_lsh_topk": q_ann_lsh_topk_pure,
         "ann_ivf_topk": q_ann_ivf_topk_pure,
         "theta_set_ops": q_theta_set_ops_pure,
@@ -1917,9 +1978,14 @@ def oracle_sql() -> dict[str, str]:
             FROM scores GROUP BY 1
         """,
         "embedding_norms": """
+            -- the fd_* booleans are the Frequent-Directions theorem gate,
+            -- verified Spark-side against an exactly computed Gram matrix
+            -- (self-verifying pattern: the oracle pins them at true)
             SELECT label, count(*) AS n_vecs,
                    round(avg(sqrt(list_sum(list_transform(embedding,
-                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS avg_norm
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS avg_norm,
+                   true AS fd_psd_ok, true AS fd_err_le_cert,
+                   true AS fd_cert_le_bound, true AS fd_mass_ok
             FROM embeddings GROUP BY label
         """,
         "supplier_nation": """

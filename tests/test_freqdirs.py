@@ -1,0 +1,178 @@
+"""Frequent Directions (Liberty KDD'13; Ghashami et al. SICOMP'16): the
+matrix-sketch family. The pinned facts are the THEOREMS the gate query
+asserts — PSD order (0 <= A^T A - B^T B), spectral error within the
+state's own shrink certificate, certificate within the a-priori
+|A|_F^2/ell bound — plus exact n/frobenius counters, merge-order
+robustness, serde round-trips, and the Spark harness integration over a
+real array<float> column."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from zetasketch_spark.sketches.freqdirs import (FreqDirsFamily,
+                                                FrequentDirections,
+                                                _stack_rows)
+
+
+def _theorems_hold(a: np.ndarray, fd: FrequentDirections) -> None:
+    frob2 = float((a * a).sum())
+    tol = 1e-8 * max(frob2, 1.0)
+    ev = np.linalg.eigvalsh(a.T @ a - fd.gram())
+    assert ev.min() >= -tol, "PSD order violated"
+    assert float(ev.max()) <= fd.error_certificate() + tol, \
+        "spectral error exceeds the shrink certificate"
+    assert fd.error_certificate() <= frob2 / fd.ell + tol, \
+        "certificate exceeds the a-priori |A|_F^2/ell bound"
+    assert fd.n == a.shape[0]
+    assert abs(fd.frob2 - frob2) <= tol
+
+
+@pytest.mark.parametrize("n,d,ell", [(500, 64, 16), (2000, 32, 8),
+                                     (100, 8, 4), (50, 64, 32),
+                                     (3, 16, 8)])
+def test_bound_theorems_single_pass(n, d, ell):
+    rng = np.random.default_rng(7 * n + d + ell)
+    a = rng.normal(size=(n, d)) * np.linspace(3.0, 0.1, d)
+    fd = FrequentDirections(ell=ell)
+    # uneven batch splits exercise the buffer-wrap path
+    for part in np.array_split(a, 7):
+        fd.add_matrix(part)
+    _theorems_hold(a, fd)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_bound_theorems_any_merge_order(seed):
+    """Split the input into unequal sketches and merge them in a shuffled
+    order: the guarantee composes (the Frobenius-mass accounting is
+    global), which is what makes the family distributable through the
+    standard partial->merge harness."""
+    rng = np.random.default_rng(seed)
+    a = rng.normal(size=(1200, 48)) * np.linspace(5.0, 0.05, 48)
+    pieces = np.array_split(a[rng.permutation(len(a))], 9)
+    sketches = []
+    for p in pieces:
+        s = FrequentDirections(ell=12)
+        s.add_matrix(p)
+        sketches.append(s)
+    rng.shuffle(sketches)
+    acc = FrequentDirections(ell=12)
+    for s in sketches:
+        acc.merge(s)
+    _theorems_hold(a, acc)
+
+
+def test_rank_deficient_input_is_exact():
+    """rank(A) < ell means no shrink is ever forced: the sketch's Gram
+    matrix equals A^T A exactly and the certificate stays 0 — the
+    low-rank-recovery anchor."""
+    rng = np.random.default_rng(11)
+    a = rng.normal(size=(300, 5)) @ rng.normal(size=(5, 64))
+    fd = FrequentDirections(ell=16)
+    fd.add_matrix(a)
+    assert fd.error_certificate() <= 1e-12 * (a * a).sum()
+    assert np.allclose(fd.gram(), a.T @ a, atol=1e-8 * (a * a).sum())
+
+
+def test_top_directions_recover_planted_subspace():
+    rng = np.random.default_rng(3)
+    v = rng.normal(size=64)
+    v /= np.linalg.norm(v)
+    a = np.outer(rng.normal(size=2000) * 10, v) + \
+        rng.normal(size=(2000, 64)) * 0.1
+    fd = FrequentDirections(ell=8)
+    fd.add_matrix(a)
+    s2, vecs = fd.top_directions(1)
+    assert s2.shape == (1,) and vecs.shape == (1, 64)
+    assert abs(float(vecs[0] @ v)) > 0.99
+
+
+def test_serde_round_trip_byte_exact():
+    rng = np.random.default_rng(5)
+    fd = FrequentDirections(ell=10)
+    fd.add_matrix(rng.normal(size=(333, 24)))
+    blob = fd.serialize()
+    back = FrequentDirections.deserialize(blob)
+    assert back.serialize() == blob
+    assert back.n == fd.n and back.dim == fd.dim
+    assert back.shrink_total == fd.shrink_total
+    assert np.array_equal(back.sketch_matrix(), fd.sketch_matrix())
+    # empty sketch round-trips too (dim unpinned)
+    empty = FrequentDirections(ell=4)
+    back2 = FrequentDirections.deserialize(empty.serialize())
+    assert back2.n == 0 and back2.dim is None
+    # wrong magic rejected loudly
+    with pytest.raises(ValueError, match="FrequentDirections"):
+        FrequentDirections.deserialize(b"XXX1" + blob[4:])
+
+
+def test_guards():
+    fd = FrequentDirections(ell=4)
+    fd.add_matrix(np.ones((3, 8)))
+    with pytest.raises(ValueError, match="dim"):
+        fd.add_matrix(np.ones((2, 9)))  # ragged dims
+    with pytest.raises(ValueError, match="non-finite"):
+        fd.add_matrix(np.array([[np.nan] * 8]))
+    other = FrequentDirections(ell=5)
+    with pytest.raises(ValueError, match="ell=4"):
+        fd.merge(other)
+    with pytest.raises(ValueError, match="ell"):
+        FrequentDirections(ell=0)
+    # merging an empty sketch is a no-op; merging INTO an empty pins dim
+    before = fd.serialize()
+    fd.merge(FrequentDirections(ell=4))
+    assert fd.serialize() == before
+    tgt = FrequentDirections(ell=4)
+    tgt.merge(fd)
+    assert tgt.dim == 8 and tgt.n == fd.n
+
+
+def test_stack_rows_drops_nulls_and_handles_lists():
+    s = pd.Series([np.array([1.0, 2.0]), None, [3.0, 4.0]])
+    out = _stack_rows(s)
+    assert out.shape == (2, 2) and out.dtype == np.float64
+    assert _stack_rows(pd.Series([None, None])).size == 0
+
+
+def test_family_contract():
+    fam = FreqDirsFamily(ell=6)
+    st = fam.make()
+    fam.update(st, pd.Series([np.arange(4, dtype=float) + i
+                              for i in range(50)] + [None]))
+    st2 = fam.make()
+    fam.update(st2, pd.Series([np.arange(4, dtype=float) * 2 + i
+                               for i in range(30)]))
+    merged = fam.merge(fam.deserialize(fam.serialize(st)),
+                       fam.deserialize(fam.serialize(st2)))
+    n, dim, cert, bound = fam.result(merged)
+    assert (n, dim) == (80, 4)
+    assert 0.0 <= cert <= bound
+    # registry round-trip (the lazy-import list includes freqdirs)
+    from zetasketch_spark.sketches.base import get_family
+    assert isinstance(get_family("freqdirs", ell=6), FreqDirsFamily)
+
+
+def test_spark_harness_integration(spark):
+    """The standard partial -> shuffle -> merge pipeline over a real
+    array<double> column, grouped: exact counters per group and the
+    theorems against each group's exactly computed Gram matrix."""
+    from zetasketch_spark.operators.agg import (SKETCH_COL, sketch_merge,
+                                                sketch_partial)
+
+    rng = np.random.default_rng(21)
+    rows = [(int(i % 3), rng.normal(size=16).tolist()) for i in range(900)]
+    df = spark.createDataFrame(rows, "g int, emb array<double>") \
+              .repartition(8, "g")
+    fam = FreqDirsFamily(ell=8)
+    merged = sketch_merge(sketch_partial(df, ["g"], "emb", fam),
+                          ["g"], fam)
+    states = {r["g"]: fam.deserialize(r[SKETCH_COL])
+              for r in merged.collect()}
+    assert set(states) == {0, 1, 2}
+    by_g = {}
+    for g, emb in rows:
+        by_g.setdefault(g, []).append(emb)
+    for g, embs in by_g.items():
+        _theorems_hold(np.array(embs), states[g])

@@ -1,0 +1,290 @@
+"""Frequent Directions: a mergeable matrix sketch over embedding columns
+(Liberty, KDD 2013; Ghashami, Liberty, Phillips, Woodruff, SIAM
+J. Comput. 2016 — "Frequent Directions: Simple and Deterministic Matrix
+Sketching").
+
+The missing sketch class in the family set: HLL/theta summarize SETS,
+Count-Min summarizes FREQUENCIES, KLL/t-digest/DDSketch summarize
+DISTRIBUTIONS — FD summarizes a MATRIX. For a 100 TB table with an
+``array<float>`` embedding column, one pass produces a tiny ``ell x dim``
+sketch ``B`` whose Gram matrix approximates the data's:
+
+    0  <=  A^T A - B^T B  <=  shrink_total * I,   shrink_total <= |A|_F^2 / ell
+
+(PSD order; ``shrink_total`` is the exact sum of shrink deltas the sketch
+performed, carried in the state as a per-instance certificate). That is
+the covariance/PCA summary a training-data pipeline wants — embedding
+drift detection, dominant-direction extraction, whitening statistics —
+without ever materializing the n x n or even the full n x dim data on one
+machine.
+
+Why it fits this library's contract exactly:
+
+* **mergeable** — appending one sketch's rows into another and
+  re-shrinking preserves the SAME bound (the Frobenius-mass accounting
+  below is global: every unit of removed mass traces to input mass), so
+  the standard harness (per-partition partials -> associative merge,
+  ``operators/agg.py``) distributes it like any other family. Merge is
+  associative at the GUARANTEE level: unlike HLL (register-max) the
+  bytes depend on merge order, like t-digest; the certificate inequality
+  holds for every order.
+* **bounded state** — ``2*ell x dim`` float64 buffer, independent of row
+  count; the shuffle stays O(keys x partitions x ell x dim).
+* **self-certifying** — the state carries ``n``, ``frob2`` (exact input
+  mass) and ``shrink_total`` (exact accumulated deltas), so a gate query
+  can assert the THEOREMS (PSD order, error <= certificate, certificate
+  <= |A|_F^2/ell) against an exactly-computed Gram matrix at test scale
+  — booleans that hold under any partitioning / merge order, which is
+  what the hostile-environment replay requires.
+
+Algorithm (the buffered "Fast-FD" variant): keep up to ``2*ell`` rows;
+when full, SVD the buffer, set ``delta = sigma_{ell+1}^2``, shrink every
+squared singular value by ``delta`` (clipping at 0) and keep the
+surviving ``<= ell`` rows as ``diag(sigma') V^T``. Each shrink removes at
+least ``(ell+1) * delta`` of Frobenius mass (rows 1..ell+1 all lose a
+full ``delta``), so ``ell * sum(delta) <= |A|_F^2`` — the bound above —
+while each shrink perturbs the Gram matrix by at most ``delta * I``.
+
+No reference analog: google/zetasketch is HLL-only; FD implements the
+same Aggregator contract (``Aggregator.java:31-106``) through
+``SketchFamily`` so every execution fabric picks it up unchanged.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+
+from zetasketch_spark.sketches.base import SketchFamily, register_family
+
+_MAGIC = b"FDS2"  # trailing digit = layout generation (wire.py convention)
+_ENCODING_VERSION = 1
+
+
+class FrequentDirections:
+    __slots__ = ("ell", "dim", "buf", "n_buf", "n", "frob2",
+                 "shrink_total", "encoding_version")
+
+    def __init__(self, ell: int = 32, dim: int | None = None):
+        if ell < 1:
+            raise ValueError(f"ell must be >= 1, got {ell}")
+        self.ell = int(ell)
+        self.dim = int(dim) if dim is not None else None
+        # buffer allocated lazily: dim is usually pinned by the first batch
+        self.buf = (np.zeros((2 * self.ell, self.dim))
+                    if self.dim is not None else None)
+        self.n_buf = 0          # occupied buffer rows
+        self.n = 0              # input rows absorbed (exact)
+        self.frob2 = 0.0        # |A|_F^2, exact input mass
+        self.shrink_total = 0.0  # sum of shrink deltas: the certificate
+        self.encoding_version = _ENCODING_VERSION
+
+    # -- internals -----------------------------------------------------------
+
+    def _pin_dim(self, dim: int) -> None:
+        if self.dim is None:
+            self.dim = int(dim)
+            self.buf = np.zeros((2 * self.ell, self.dim))
+        elif self.dim != dim:
+            raise ValueError(
+                f"FrequentDirections was pinned to dim={self.dim} by its "
+                f"first batch; got a row of dim={dim} — ragged embedding "
+                f"columns cannot share one sketch")
+
+    def _shrink(self) -> None:
+        """SVD the full buffer, subtract ``sigma_{ell+1}^2`` from every
+        squared singular value (clip at 0), keep the surviving rows.
+        Afterwards ``n_buf <= ell`` (rank > ell implies delta > 0, which
+        zeroes rows ell+1.., and rank <= ell leaves at most ell)."""
+        m = self.buf[:self.n_buf]
+        # full_matrices=False: Vt is (min(rows, dim), dim)
+        _, s, vt = np.linalg.svd(m, full_matrices=False)
+        s2 = s * s
+        delta = float(s2[self.ell]) if len(s2) > self.ell else 0.0
+        if delta > 0.0:
+            self.shrink_total += delta
+        s2 = np.maximum(s2 - delta, 0.0)
+        keep = s2 > 0.0
+        kept = np.sqrt(s2[keep])[:, None] * vt[keep]
+        self.n_buf = kept.shape[0]
+        self.buf[:self.n_buf] = kept
+        self.buf[self.n_buf:] = 0.0
+
+    def _append_rows(self, x: np.ndarray, count_mass: bool) -> None:
+        """Append rows, shrinking whenever the buffer fills.
+
+        ``count_mass`` is True for raw input rows (they add to ``n`` /
+        ``frob2``) and False for another sketch's buffer rows during a
+        merge (their ORIGINAL input mass was already counted by that
+        sketch's own counters, which ``merge`` sums separately)."""
+        if x.size == 0:
+            return
+        if x.ndim != 2:
+            raise ValueError(f"expected a 2-D row batch, got shape {x.shape}")
+        self._pin_dim(x.shape[1])
+        if not np.isfinite(x).all():
+            raise ValueError(
+                "FrequentDirections cannot absorb non-finite rows (a NaN/"
+                "inf coordinate would corrupt the Gram-matrix guarantee)")
+        if count_mass:
+            self.n += x.shape[0]
+            self.frob2 += float(np.einsum("ij,ij->", x, x))
+        cap = self.buf.shape[0]
+        i = 0
+        while i < x.shape[0]:
+            free = cap - self.n_buf
+            if free == 0:
+                self._shrink()
+                free = cap - self.n_buf
+            take = min(free, x.shape[0] - i)
+            self.buf[self.n_buf:self.n_buf + take] = x[i:i + take]
+            self.n_buf += take
+            i += take
+
+    # -- contract --------------------------------------------------------
+
+    def add_matrix(self, x: np.ndarray) -> None:
+        """Absorb a float64 row batch of shape ``(rows, dim)``."""
+        self._append_rows(np.ascontiguousarray(x, dtype=np.float64),
+                          count_mass=True)
+
+    def merge(self, other: "FrequentDirections") -> None:
+        if self.ell != other.ell:
+            raise ValueError(
+                f"cannot merge FrequentDirections(ell={self.ell}) with "
+                f"FrequentDirections(ell={other.ell})")
+        if other.dim is None:
+            return  # empty sketch: nothing to fold in
+        self._pin_dim(other.dim)
+        self._append_rows(other.buf[:other.n_buf].astype(np.float64,
+                                                         copy=False),
+                          count_mass=False)
+        self.n += other.n
+        self.frob2 += other.frob2
+        self.shrink_total += other.shrink_total
+
+    def sketch_matrix(self) -> np.ndarray:
+        """The current ``(<= 2*ell) x dim`` sketch rows ``B`` (a copy)."""
+        if self.dim is None:
+            return np.zeros((0, 0))
+        return self.buf[:self.n_buf].copy()
+
+    def gram(self) -> np.ndarray:
+        """``B^T B`` — the sketched Gram/covariance summary satisfying
+        ``0 <= A^T A - B^T B <= shrink_total * I`` (PSD order)."""
+        if self.dim is None:
+            return np.zeros((0, 0))
+        b = self.buf[:self.n_buf]
+        return b.T @ b
+
+    def error_certificate(self) -> float:
+        """Per-instance upper bound on ``|A^T A - B^T B|_2``: the exact
+        sum of the deltas this state's shrinks performed. Always
+        ``<= error_bound()``, usually far smaller."""
+        return self.shrink_total
+
+    def error_bound(self) -> float:
+        """The paper's a-priori bound ``|A|_F^2 / ell``."""
+        return self.frob2 / self.ell if self.ell else float("inf")
+
+    def top_directions(self, k: int) -> tuple[np.ndarray, np.ndarray]:
+        """Top-``k`` (squared singular values, right singular vectors) of
+        the sketch — the approximate principal directions of the data.
+        Returns ``(s2[k], V[k, dim])``."""
+        if self.dim is None or self.n_buf == 0:
+            return np.zeros(0), np.zeros((0, self.dim or 0))
+        _, s, vt = np.linalg.svd(self.buf[:self.n_buf],
+                                 full_matrices=False)
+        k = min(k, len(s))
+        return (s[:k] * s[:k], vt[:k])
+
+    # -- serde -------------------------------------------------------------
+
+    def serialize(self) -> bytes:
+        from zetasketch_spark.sketches.wire import pack_header
+
+        dim = self.dim if self.dim is not None else -1
+        head = struct.pack("<iiqiqdd", self.ell, dim, self.n, self.n_buf,
+                           0, self.frob2, self.shrink_total)
+        rows = (self.buf[:self.n_buf].astype(np.float64).tobytes()
+                if self.dim is not None else b"")
+        return pack_header(_MAGIC, _ENCODING_VERSION) + head + rows
+
+    @classmethod
+    def deserialize(cls, data: bytes) -> "FrequentDirections":
+        from zetasketch_spark.sketches.wire import read_header
+
+        version, off = read_header(data, _MAGIC, "FrequentDirections")
+        ell, dim, n, n_buf, _pad, frob2, shrink_total = struct.unpack_from(
+            "<iiqiqdd", data, off)
+        off += struct.calcsize("<iiqiqdd")
+        sk = cls(ell=ell, dim=dim if dim >= 0 else None)
+        sk.encoding_version = version
+        sk.n = n
+        sk.frob2 = frob2
+        sk.shrink_total = shrink_total
+        if dim >= 0 and n_buf > 0:
+            rows = np.frombuffer(data, dtype=np.float64, count=n_buf * dim,
+                                 offset=off).reshape(n_buf, dim)
+            sk.buf[:n_buf] = rows
+            sk.n_buf = n_buf
+        return sk
+
+
+def _stack_rows(values: pd.Series) -> np.ndarray:
+    """A pandas Series of array-typed cells (numpy arrays / lists from an
+    Arrow ``list<float>`` column) -> one float64 matrix, nulls dropped
+    (SQL aggregate semantics)."""
+    vals = values.dropna()
+    if len(vals) == 0:
+        return np.zeros((0, 0))
+    return np.array(vals.to_list(), dtype=np.float64)
+
+
+class FreqDirsFamily(SketchFamily):
+    """Matrix sketching through the shared aggregation harness.
+
+    The value column is ``array<float|double>`` (one embedding per row).
+    ``result()`` reports the exact row count, the pinned dimension, and
+    the two error numbers (certificate + a-priori bound) — the
+    order-independent facts; per-direction output goes through
+    ``top_directions`` on a deserialized state (see
+    ``__spark_entry__.q_embedding_norms`` for the gate pattern)."""
+
+    name = "freqdirs"
+    result_fields = [("n", "bigint"), ("dim", "int"),
+                     ("err_certificate", "double"),
+                     ("err_bound", "double")]
+    supports_arrow = False  # value cells are arrays; generic pandas path
+
+    def __init__(self, ell: int = 32):
+        self.ell = int(ell)
+
+    def make(self):
+        return FrequentDirections(ell=self.ell)
+
+    def update(self, state, values):
+        rows = _stack_rows(values)
+        if rows.size:
+            state.add_matrix(rows)
+        return state
+
+    def merge(self, a, b):
+        a.merge(b)
+        return a
+
+    def serialize(self, state):
+        return state.serialize()
+
+    def deserialize(self, data):
+        return FrequentDirections.deserialize(bytes(data))
+
+    def result(self, state):
+        return (int(state.n), int(state.dim or 0),
+                float(state.error_certificate()),
+                float(state.error_bound()))
+
+
+register_family("freqdirs", FreqDirsFamily)
