@@ -14,7 +14,7 @@ import pytest
 
 from zetasketch_spark.sketches.freqdirs import (FreqDirsFamily,
                                                 FrequentDirections,
-                                                _stack_rows)
+                                                _stack_rows, gram_drift)
 
 
 def _theorems_hold(a: np.ndarray, fd: FrequentDirections) -> None:
@@ -152,6 +152,42 @@ def test_family_contract():
     # registry round-trip (the lazy-import list includes freqdirs)
     from zetasketch_spark.sketches.base import get_family
     assert isinstance(get_family("freqdirs", ell=6), FreqDirsFamily)
+
+
+def test_gram_drift_sound_interval():
+    """The drift estimate must bracket the EXACT normalized-Gram spectral
+    distance within the advertised bound, for both a genuinely drifted
+    pair and an identically-distributed pair (where the estimate itself
+    must stay inside the bound of zero ... small)."""
+    rng = np.random.default_rng(17)
+    d = 32
+    a = rng.normal(size=(4000, d)) * np.linspace(3.0, 0.1, d)
+    # drifted: one direction's variance tripled
+    scale = np.linspace(3.0, 0.1, d).copy()
+    scale[0] *= 3.0
+    b = rng.normal(size=(3500, d)) * scale
+    sa, sb = FrequentDirections(ell=16), FrequentDirections(ell=16)
+    sa.add_matrix(a)
+    sb.add_matrix(b)
+    est, bound = gram_drift(sa, sb)
+    exact = float(np.linalg.norm(a.T @ a / len(a) - b.T @ b / len(b), 2))
+    assert abs(est - exact) <= bound + 1e-9
+    assert est - bound > 0.0, "planted drift must be provable"
+    # same distribution, disjoint samples: exact is small; interval sound
+    c = rng.normal(size=(4000, d)) * np.linspace(3.0, 0.1, d)
+    sc = FrequentDirections(ell=16)
+    sc.add_matrix(c)
+    est2, bound2 = gram_drift(sa, sc)
+    exact2 = float(np.linalg.norm(a.T @ a / len(a) - c.T @ c / len(c), 2))
+    assert abs(est2 - exact2) <= bound2 + 1e-9
+    assert est2 < est, "null pair must score below the drifted pair"
+    # guards
+    with pytest.raises(ValueError, match="non-empty"):
+        gram_drift(sa, FrequentDirections(ell=16))
+    tiny = FrequentDirections(ell=4)
+    tiny.add_matrix(np.ones((2, 5)))
+    with pytest.raises(ValueError, match="dim"):
+        gram_drift(sa, tiny)
 
 
 def test_spark_harness_integration(spark):

@@ -233,6 +233,36 @@ class FrequentDirections:
         return sk
 
 
+def gram_drift(a: FrequentDirections,
+               b: FrequentDirections) -> tuple[float, float]:
+    """Embedding-drift score between two sketched datasets: the spectral
+    distance between their row-normalized Gram (second-moment) matrices,
+
+        D = | A^T A / n_a  -  B^T B / n_b |_2
+
+    estimated from the sketches alone, plus a per-call error bound. By
+    the triangle inequality and each state's own certificate,
+
+        | D_hat - D |  <=  cert_a / n_a  +  cert_b / n_b,
+
+    so the caller can decide "drifted / not drifted vs threshold t"
+    soundly: D_hat > t + bound proves drift, D_hat < t - bound proves
+    none, anything between is honestly inconclusive. This is the
+    monitoring primitive for a training-data pipeline: sketch each day's
+    embedding table (one pass, tiny state), store states in a
+    SketchTable, and compare any two days without touching the data
+    again. Returns ``(estimate, error_bound)``."""
+    if a.dim is None or b.dim is None or a.n == 0 or b.n == 0:
+        raise ValueError("gram_drift needs two non-empty sketches")
+    if a.dim != b.dim:
+        raise ValueError(
+            f"cannot compare embeddings of dim {a.dim} vs {b.dim}")
+    diff = a.gram() / a.n - b.gram() / b.n
+    est = float(np.linalg.norm(diff, 2))
+    bound = a.error_certificate() / a.n + b.error_certificate() / b.n
+    return est, bound
+
+
 def _stack_rows(values: pd.Series) -> np.ndarray:
     """A pandas Series of array-typed cells (numpy arrays / lists from an
     Arrow ``list<float>`` column) -> one float64 matrix, nulls dropped
