@@ -190,6 +190,55 @@ def test_gram_drift_sound_interval():
         gram_drift(sa, tiny)
 
 
+def test_sql_surface_init_merge_drift(spark):
+    """The SQL triple: fd_init_agg over an array<double> column grouped
+    by (day, shard), fd_merge_agg rollup to per-day states, then the
+    pairwise fd_drift / fd_drift_bound scalars between the two days —
+    the interval must bracket the exact normalized-Gram distance, and
+    fd_error_certificate must match the deserialized state's."""
+    from zetasketch_spark.functions.sketch_udfs import register_sql
+
+    register_sql(spark)
+    rng = np.random.default_rng(9)
+    scale_b = np.linspace(2.0, 0.1, 12).copy()
+    scale_b[0] *= 4.0
+    rows = (
+        [("d1", int(i % 4), (rng.normal(size=12)
+                             * np.linspace(2.0, 0.1, 12)).tolist())
+         for i in range(800)]
+        + [("d2", int(i % 4), (rng.normal(size=12) * scale_b).tolist())
+           for i in range(700)])
+    spark.createDataFrame(rows, "day string, shard int, emb array<double>") \
+         .createOrReplaceTempView("emb_days")
+    out = spark.sql("""
+        WITH part AS (
+            SELECT day, shard, fd_init_agg(emb, 8) AS sk
+            FROM emb_days GROUP BY day, shard
+        ), per_day AS (
+            SELECT day, fd_merge_agg(sk) AS sk FROM part GROUP BY day
+        )
+        SELECT a.sk AS sk_a, b.sk AS sk_b,
+               fd_error_certificate(a.sk) AS cert_a,
+               fd_drift(a.sk, b.sk) AS drift,
+               fd_drift_bound(a.sk, b.sk) AS bound
+        FROM per_day a JOIN per_day b ON a.day = 'd1' AND b.day = 'd2'
+    """).collect()
+    assert len(out) == 1
+    r = out[0]
+    sa = FrequentDirections.deserialize(bytes(r["sk_a"]))
+    sb = FrequentDirections.deserialize(bytes(r["sk_b"]))
+    assert sa.n == 800 and sb.n == 700
+    assert r["cert_a"] == pytest.approx(sa.error_certificate())
+    est, bound = gram_drift(sa, sb)
+    assert r["drift"] == pytest.approx(est)
+    assert r["bound"] == pytest.approx(bound)
+    a = np.array([e for d, _, e in rows if d == "d1"])
+    b = np.array([e for d, _, e in rows if d == "d2"])
+    exact = float(np.linalg.norm(a.T @ a / len(a) - b.T @ b / len(b), 2))
+    assert abs(r["drift"] - exact) <= r["bound"] + 1e-9
+    assert r["drift"] - r["bound"] > 0.0, "planted drift must be provable"
+
+
 def test_spark_harness_integration(spark):
     """The standard partial -> shuffle -> merge pipeline over a real
     array<double> column, grouped: exact counters per group and the

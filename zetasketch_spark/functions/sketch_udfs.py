@@ -19,7 +19,10 @@ states (same ``AggregatorStateProto`` wire format):
   Quantile families: ``kll_init_agg``/``kll_quantile``,
   ``tdigest_init_agg``/``tdigest_quantile`` and ``dd_init_agg(col,
   alpha)``/``dd_quantile`` (DDSketch — relative-error guarantee), each
-  with a ``*_merge_agg`` for partial→merge rollups.
+  with a ``*_merge_agg`` for partial→merge rollups. Matrix sketching:
+  ``fd_init_agg(embedding, ell)`` over an ``array<float|double>`` column,
+  ``fd_merge_agg``, ``fd_error_certificate``, and the pairwise
+  ``fd_drift(a, b)``/``fd_drift_bound(a, b)`` embedding-drift scalars.
 
 The grouped-agg form shuffles raw values per group (Catalyst's own
 aggregation path), which is the convenient-but-shuffle-heavy shape; for
@@ -519,6 +522,53 @@ def register_sql(spark) -> None:
     spark.udf.register("theta_a_not_b_estimate",
                        _theta_setop_udf("a_not_b", "long"))
     spark.udf.register("theta_jaccard", _theta_setop_udf("jaccard", "double"))
+
+    from zetasketch_spark.sketches.freqdirs import (FreqDirsFamily,
+                                                    FrequentDirections,
+                                                    gram_drift)
+
+    spark.udf.register("fd_merge_agg",
+                       _merge_agg_udf(FrequentDirections.deserialize))
+
+    @pandas_udf("binary")
+    def _fd_init(values: pd.Series, ell: pd.Series) -> bytes:
+        fam = FreqDirsFamily(ell=int(ell.iloc[0]) if len(ell) else 32)
+        st = fam.make()
+        fam.update(st, values)
+        return st.serialize()
+
+    # SQL usage: fd_init_agg(embedding, 16) over an array<float|double>
+    # column — the matrix-sketch INIT; states merge with fd_merge_agg
+    spark.udf.register("fd_init_agg", _fd_init)
+
+    @pandas_udf("double")
+    def _fd_err(states: pd.Series) -> pd.Series:
+        return pd.Series(
+            [float(FrequentDirections.deserialize(bytes(b))
+                   .error_certificate()) if b is not None else None
+             for b in states], dtype="float64")
+
+    spark.udf.register("fd_error_certificate", _fd_err)
+
+    def _fd_drift_udf(idx: int):
+        @pandas_udf("double")
+        def _f(a: pd.Series, b: pd.Series) -> pd.Series:
+            out = []
+            for x, y in zip(a, b):
+                if x is None or y is None:
+                    out.append(None)
+                    continue
+                pair = gram_drift(FrequentDirections.deserialize(bytes(x)),
+                                  FrequentDirections.deserialize(bytes(y)))
+                out.append(float(pair[idx]))
+            return pd.Series(out, dtype="float64")
+
+        return _f
+
+    # pairwise embedding-drift over two state columns: estimate + its
+    # sound error interval (sketches/freqdirs.py::gram_drift)
+    spark.udf.register("fd_drift", _fd_drift_udf(0))
+    spark.udf.register("fd_drift_bound", _fd_drift_udf(1))
 
 
 def tuple_distinct_col(*cols) -> "Column":
