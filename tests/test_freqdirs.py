@@ -190,6 +190,60 @@ def test_gram_drift_sound_interval():
         gram_drift(sa, tiny)
 
 
+def test_sketch_table_drift_monitoring(spark, tmp_path):
+    """The monitoring pipeline end-to-end: a SketchTable keyed by day
+    holds one FD state per day; each day's embeddings are folded in
+    once (incremental, never rescanned), and drift between any two days
+    is computed from the STORED states — interval-sound against the
+    exact per-day Grams, with the idempotent-replay contract intact."""
+    from zetasketch_spark.operators.agg import SKETCH_COL
+    from zetasketch_spark.operators.incremental import SketchTable
+
+    rng = np.random.default_rng(31)
+    scale = np.linspace(2.0, 0.2, 12)
+    drifted = scale.copy()
+    drifted[0] *= 4.0
+    days = {
+        "d1": rng.normal(size=(600, 12)) * scale,
+        "d2": rng.normal(size=(500, 12)) * scale,
+        "d3": rng.normal(size=(550, 12)) * drifted,
+    }
+    fam = FreqDirsFamily(ell=8)
+    table = SketchTable(str(tmp_path / "fd_by_day"), ["day"], "emb", fam)
+    for day, mat in days.items():
+        delta = spark.createDataFrame(
+            [(day, row.tolist()) for row in mat],
+            "day string, emb array<double>").repartition(4)
+        m = table.update(spark, delta, fingerprint=f"batch-{day}")
+        assert m["applied"]
+    # replay of an applied delta is a committed no-op
+    again = spark.createDataFrame(
+        [("d1", r.tolist()) for r in days["d1"]],
+        "day string, emb array<double>")
+    assert not table.update(spark, again, fingerprint="batch-d1")["applied"]
+
+    states = {r["day"]: FrequentDirections.deserialize(bytes(r[SKETCH_COL]))
+              for r in table.read(spark).collect()}
+    assert set(states) == set(days)
+    for day, mat in days.items():
+        _theorems_hold(mat, states[day])
+
+    def exact_drift(a, b):
+        return float(np.linalg.norm(a.T @ a / len(a) - b.T @ b / len(b), 2))
+
+    est_null, bound_null = gram_drift(states["d1"], states["d2"])
+    est_hit, bound_hit = gram_drift(states["d1"], states["d3"])
+    assert abs(est_null - exact_drift(days["d1"], days["d2"])) <= \
+        bound_null + 1e-9
+    assert abs(est_hit - exact_drift(days["d1"], days["d3"])) <= \
+        bound_hit + 1e-9
+    assert est_hit - bound_hit > est_null + bound_null, \
+        "the drifted day must separate provably from the null pair"
+    # time travel: version 1 held only d1
+    v1 = table.read(spark, version=1).collect()
+    assert [r["day"] for r in v1] == ["d1"]
+
+
 def test_sql_surface_init_merge_drift(spark):
     """The SQL triple: fd_init_agg over an array<double> column grouped
     by (day, shard), fd_merge_agg rollup to per-day states, then the
