@@ -331,7 +331,7 @@ def test_topk_provably_complete_flag(spark):
     assert all(not r["provably_complete"] for r in rows)
 
 
-@pytest.mark.parametrize("family", ["countmin", "kll", "tdigest", "bloom", "theta", "ddsketch"])
+@pytest.mark.parametrize("family", ["countmin", "kll", "tdigest", "bloom", "theta", "ddsketch", "freqdirs"])
 def test_wire_format_versioned_forward_compat(family):
     """Every non-HLL family carries an explicit encoding_version and, like
     the proto surface (reference StateTest unknown-field case), tolerates a
@@ -343,9 +343,12 @@ def test_wire_format_versioned_forward_compat(family):
 
     fam = get_family(family)
     a = fam.make()
-    vals = pd.Series([1.0, 2.0, 3.0, 4.0, 5.0] * 10) \
-        if family in ("kll", "tdigest", "ddsketch") \
-        else pd.Series(["a", "b", "c", "a"] * 10)
+    if family == "freqdirs":
+        vals = pd.Series([np.arange(6, dtype=float) + i for i in range(40)])
+    elif family in ("kll", "tdigest", "ddsketch"):
+        vals = pd.Series([1.0, 2.0, 3.0, 4.0, 5.0] * 10)
+    else:
+        vals = pd.Series(["a", "b", "c", "a"] * 10)
     fam.update(a, vals)
     blob = fam.serialize(a)
 
@@ -371,7 +374,7 @@ def test_wire_format_versioned_forward_compat(family):
         fam.deserialize(bytes(blob[:4]) + bytes([0]) + bytes(blob[5:]))
 
 
-@pytest.mark.parametrize("family", ["countmin", "kll", "tdigest", "bloom", "theta", "ddsketch"])
+@pytest.mark.parametrize("family", ["countmin", "kll", "tdigest", "bloom", "theta", "ddsketch", "freqdirs"])
 def test_truncated_blob_fails_loudly(family):
     """Every truncation of a serialized state must raise (ValueError /
     struct.error) — never return a silently-corrupt sketch. At 100 TB a
@@ -385,9 +388,13 @@ def test_truncated_blob_fails_loudly(family):
 
     fam = get_family(family)
     st = fam.make()
-    vals = pd.Series([float(i % 97) for i in range(500)]) \
-        if family in ("kll", "tdigest", "ddsketch") \
-        else pd.Series([f"k{i % 97}" for i in range(500)])
+    if family == "freqdirs":
+        vals = pd.Series([np.arange(8, dtype=float) * (i % 97)
+                          for i in range(500)])
+    elif family in ("kll", "tdigest", "ddsketch"):
+        vals = pd.Series([float(i % 97) for i in range(500)])
+    else:
+        vals = pd.Series([f"k{i % 97}" for i in range(500)])
     fam.update(st, vals)
     blob = fam.serialize(st)
     full = fam.serialize(fam.deserialize(blob))
@@ -704,7 +711,7 @@ def test_bloom_promoted_probe_batch_no_false_negatives():
 
 
 @pytest.mark.parametrize("family", ["countmin", "kll", "tdigest", "bloom",
-                                    "theta"])
+                                    "theta", "freqdirs"])
 def test_mutation_fuzz_never_hangs_or_crashes(family):
     """Beyond truncation: random single-byte mutations of a serialized
     state must either parse (possibly to a different valid state) or
@@ -716,8 +723,13 @@ def test_mutation_fuzz_never_hangs_or_crashes(family):
 
     fam = get_family(family)
     st = fam.make()
-    vals = pd.Series([float(i % 53) for i in range(400)]) \
-        if family in ("kll", "tdigest") else pd.Series([f"k{i % 53}" for i in range(400)])
+    if family == "freqdirs":
+        vals = pd.Series([np.arange(8, dtype=float) * (i % 53)
+                          for i in range(400)])
+    elif family in ("kll", "tdigest"):
+        vals = pd.Series([float(i % 53) for i in range(400)])
+    else:
+        vals = pd.Series([f"k{i % 53}" for i in range(400)])
     fam.update(st, vals)
     blob = bytearray(fam.serialize(st))
     rng = np.random.default_rng(1234)

@@ -220,6 +220,23 @@ class FrequentDirections:
         ell, dim, n, n_buf, _pad, frob2, shrink_total = struct.unpack_from(
             "<iiqiqdd", data, off)
         off += struct.calcsize("<iiqiqdd")
+        # validate the header BEFORE allocating anything from it: a torn
+        # write or bit-flip must raise, never trigger a huge zeros()
+        # allocation or a silently-corrupt state (the torn-write contract
+        # every family carries, tests/test_sketches.py fuzz suites)
+        if ell < 1:
+            raise ValueError(f"FrequentDirections blob claims ell={ell}")
+        if (dim < -1 or n_buf < 0 or (dim >= 0 and n_buf > 2 * ell)
+                or (dim < 0 and n_buf != 0)):
+            raise ValueError("inconsistent FrequentDirections blob header")
+        if dim >= 0 and 2 * ell * max(dim, 1) > (1 << 27):
+            raise ValueError(
+                "implausible FrequentDirections header (buffer would be "
+                f"{2 * ell} x {dim} floats)")
+        if dim >= 0 and len(data) < off + n_buf * dim * 8:
+            raise ValueError("truncated FrequentDirections blob")
+        if not (n >= 0 and frob2 >= 0.0 and shrink_total >= 0.0):
+            raise ValueError("corrupt FrequentDirections counters")
         sk = cls(ell=ell, dim=dim if dim >= 0 else None)
         sk.encoding_version = version
         sk.n = n
