@@ -308,3 +308,41 @@ def test_wire_int32_varint_roundtrip_law(v):
     _put_varint(out, (3 << 3) | 0)
     _put_varint(out, v)
     assert wire_int32(_parse_proto(bytes(out))[3]) == v
+
+
+@settings(max_examples=25, deadline=None)
+@given(n=st.integers(1, 120), dim=st.integers(1, 10),
+       ell=st.integers(1, 6), seed=st.integers(0, 2**31),
+       n_parts=st.integers(1, 7))
+def test_freqdirs_guarantee_under_random_splits_property(n, dim, ell,
+                                                         seed, n_parts):
+    """The FD Gram-matrix guarantee is a MERGE LAW, not a single-pass
+    fact: for any input, any partitioning, and any merge order the
+    merged state must satisfy 0 <= A^T A - B^T B <= certificate * I <=
+    (|A|_F^2/ell) * I with exact n/|A|_F^2 counters (that is what makes
+    the family safe on any Spark plan AQE might pick)."""
+    from zetasketch_spark.sketches.freqdirs import FrequentDirections
+
+    rng = np.random.default_rng(seed)
+    a = rng.normal(size=(n, dim)) * rng.uniform(0.0, 4.0, size=dim)
+    pieces = np.array_split(a[rng.permutation(n)], min(n_parts, n))
+    sketches = []
+    for p in pieces:
+        s = FrequentDirections(ell=ell)
+        if len(p):
+            s.add_matrix(p)
+        sketches.append(s)
+    rng.shuffle(sketches)
+    acc = FrequentDirections(ell=ell)
+    for s in sketches:
+        acc.merge(s)
+    frob2 = float((a * a).sum())
+    tol = 1e-8 * max(frob2, 1.0)
+    ev = np.linalg.eigvalsh(a.T @ a - acc.gram())
+    assert ev.min() >= -tol
+    assert float(ev.max()) <= acc.error_certificate() + tol
+    assert acc.error_certificate() <= frob2 / ell + tol
+    assert acc.n == n and abs(acc.frob2 - frob2) <= tol
+    # serde round-trip preserves the state byte-exactly mid-merge too
+    rt = FrequentDirections.deserialize(acc.serialize())
+    assert rt.serialize() == acc.serialize()
