@@ -190,6 +190,65 @@ def test_gram_drift_sound_interval():
         gram_drift(sa, tiny)
 
 
+def test_prepare_arrow_gather_matches_pandas_cells():
+    """The mapInArrow flat-buffer gather must select exactly the same
+    rows (nulls dropped, order preserved) as the pandas object-cell
+    path, including sliced index subsets — this is what makes the two
+    fabrics byte-equal."""
+    import pyarrow as pa
+
+    fam = FreqDirsFamily(ell=4)
+    cells = [[1.0, 2.0, 3.0], None, [4.0, 5.0, 6.0], [7.0, 8.0, 9.0],
+             None, [10.0, 11.0, 12.0]]
+    arr = pa.array(cells, type=pa.list_(pa.float32()))
+    prepared = fam.prepare_arrow(arr)
+    got = prepared[np.array([0, 1, 2, 5])]
+    assert np.array_equal(got, np.array([[1, 2, 3], [4, 5, 6],
+                                         [10, 11, 12]], dtype=np.float64))
+    assert prepared[np.array([1, 4])].shape == (0, 3)
+    # ragged non-null rows are rejected loudly
+    ragged = pa.array([[1.0, 2.0], [3.0]], type=pa.list_(pa.float64()))
+    with pytest.raises(ValueError, match="ragged"):
+        fam.prepare_arrow(ragged)
+    # all-null batch prepares to an empty matrix
+    empty = fam.prepare_arrow(pa.array([None, None],
+                                       type=pa.list_(pa.float64())))
+    assert empty[np.array([0, 1])].size == 0
+    # large_list covered too
+    ll = pa.array([[1.0, 2.0]], type=pa.large_list(pa.float64()))
+    assert np.array_equal(fam.prepare_arrow(ll)[np.array([0])],
+                          [[1.0, 2.0]])
+
+
+def test_arrow_fabric_state_equals_pandas_fabric(spark):
+    """sketch_partial's mapInArrow path (supports_arrow=True) must
+    produce byte-identical merged states to the generic mapInPandas path
+    on the same input/partitioning — absorption order is preserved, so
+    even this order-sensitive family agrees at the byte level."""
+    from zetasketch_spark.operators.agg import (SKETCH_COL, sketch_merge,
+                                                sketch_partial)
+
+    rng = np.random.default_rng(41)
+    rows = [(int(i % 3),
+             None if i % 17 == 0 else rng.normal(size=10).tolist())
+            for i in range(600)]
+    df = spark.createDataFrame(rows, "g int, emb array<float>") \
+              .repartition(5, "g")
+    fam_arrow = FreqDirsFamily(ell=6)
+    fam_pandas = FreqDirsFamily(ell=6)
+    fam_pandas.supports_arrow = False  # force the generic fabric
+    out = {}
+    for tag, fam in (("arrow", fam_arrow), ("pandas", fam_pandas)):
+        merged = sketch_merge(sketch_partial(df, ["g"], "emb", fam),
+                              ["g"], fam)
+        out[tag] = {r["g"]: bytes(r[SKETCH_COL]) for r in merged.collect()}
+    assert out["arrow"] == out["pandas"]
+    st = FrequentDirections.deserialize(out["arrow"][0])
+    expect = [e for g, e in rows if g == 0 and e is not None]
+    assert st.n == len(expect)
+    _theorems_hold(np.array(expect), st)
+
+
 def test_sketch_table_drift_monitoring(spark, tmp_path):
     """The monitoring pipeline end-to-end: a SketchTable keyed by day
     holds one FD state per day; each day's embeddings are folded in

@@ -290,6 +290,68 @@ def _stack_rows(values: pd.Series) -> np.ndarray:
     return np.array(vals.to_list(), dtype=np.float64)
 
 
+class _PandasRows:
+    """Fallback prepared form: positional slices of a pandas Series of
+    array cells (used only for Arrow types the flat-buffer path doesn't
+    cover)."""
+
+    __slots__ = ("series",)
+
+    def __init__(self, series: pd.Series):
+        self.series = series.reset_index(drop=True)
+
+    def __getitem__(self, idx):
+        return self.series.iloc[np.asarray(idx)]
+
+
+class _ArrowRows:
+    """Prepared form of an Arrow ``list<float>`` batch for the
+    ``mapInArrow`` fast fabric: the flat child-values buffer plus per-row
+    starts — row gathers are one fancy index, no per-cell Python objects
+    ever exist. ``[idx]`` returns the selected valid rows as a float64
+    matrix (nulls dropped, SQL aggregate semantics)."""
+
+    __slots__ = ("flat", "starts", "dim", "valid")
+
+    def __init__(self, flat, starts, dim, valid):
+        self.flat = flat
+        self.starts = starts
+        self.dim = dim
+        self.valid = valid
+
+    def __getitem__(self, idx):
+        if self.dim == 0:
+            return np.zeros((0, 0))
+        idx = np.asarray(idx)
+        sel = idx[self.valid[idx]]
+        if sel.size == 0:
+            return np.zeros((0, self.dim))
+        gather = self.starts[sel][:, None] + np.arange(self.dim)
+        return self.flat[gather]
+
+
+def _prepare_list_array(arr) -> _ArrowRows:
+    import pyarrow as pa
+
+    n = len(arr)
+    offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float64,
+                                                           copy=False)
+    if arr.null_count:
+        valid = arr.is_valid().to_numpy(zero_copy_only=False)
+    else:
+        valid = np.ones(n, dtype=bool)
+    lengths = np.diff(offsets)[valid] if n else np.zeros(0, dtype=np.int64)
+    if lengths.size == 0:
+        return _ArrowRows(flat, offsets[:-1], 0, valid)
+    dim = int(lengths[0])
+    if not (lengths == dim).all():
+        raise ValueError(
+            "ragged embedding column: FrequentDirections needs every "
+            "non-null row to share one dimension")
+    return _ArrowRows(flat, offsets[:-1], dim, valid)
+
+
 class FreqDirsFamily(SketchFamily):
     """Matrix sketching through the shared aggregation harness.
 
@@ -304,10 +366,27 @@ class FreqDirsFamily(SketchFamily):
     result_fields = [("n", "bigint"), ("dim", "int"),
                      ("err_certificate", "double"),
                      ("err_bound", "double")]
-    supports_arrow = False  # value cells are arrays; generic pandas path
+    supports_arrow = True  # list<float> consumed straight from buffers
 
     def __init__(self, ell: int = 32):
         self.ell = int(ell)
+
+    def prepare_arrow(self, val):
+        import pyarrow as pa
+
+        if isinstance(val, pa.ChunkedArray):
+            val = val.combine_chunks()
+        if pa.types.is_list(val.type) or pa.types.is_large_list(val.type):
+            return _prepare_list_array(val)
+        # anything else (e.g. fixed_size_list) takes the generic row path
+        return _PandasRows(val.to_pandas())
+
+    def update_prepared(self, state, rows):
+        if not isinstance(rows, np.ndarray):
+            rows = _stack_rows(rows)
+        if rows.size:
+            state.add_matrix(rows)
+        return state
 
     def make(self):
         return FrequentDirections(ell=self.ell)
