@@ -93,15 +93,35 @@ class FrequentDirections:
                 f"first batch; got a row of dim={dim} — ragged embedding "
                 f"columns cannot share one sketch")
 
-    def _shrink(self) -> None:
-        """SVD the full buffer, subtract ``sigma_{ell+1}^2`` from every
-        squared singular value (clip at 0), keep the surviving rows.
-        Afterwards ``n_buf <= ell`` (rank > ell implies delta > 0, which
-        zeroes rows ell+1.., and rank <= ell leaves at most ell)."""
-        m = self.buf[:self.n_buf]
-        # full_matrices=False: Vt is (min(rows, dim), dim)
-        _, s, vt = np.linalg.svd(m, full_matrices=False)
-        s2 = s * s
+    def _shrink_matrix(self, m: np.ndarray) -> None:
+        """One shrink step over ``m`` (the resident rows stacked with a
+        chunk of new rows): SVD once, subtract ``delta = sigma_{ell+1}^2``
+        from every squared singular value (clip at 0), keep the
+        survivors. ``m`` has more than ``ell`` rows by construction, so
+        afterwards ``n_buf <= ell`` (rank > ell implies delta > 0, which
+        zeroes rows ell+1..; rank <= ell leaves at most ell). The
+        guarantee is chunk-size-independent: every shrink removes at
+        least ``(ell+1)*delta`` Frobenius mass (the top ell+1 squared
+        singular values each lose a full delta) while perturbing the
+        Gram matrix by at most ``delta * I`` — so shrinking one TALL
+        stack instead of many buffer-sized slices keeps the identical
+        bound and trades many small LAPACK calls for one efficient one
+        (the partial-stage hot path: one shrink per ~chunk rows per
+        group, not one per ``ell`` rows).
+
+        The decomposition runs on the dim x dim Gram ``m^T m`` (one
+        DGEMM + one eigh) instead of an SVD of the tall stack: the
+        squared singular values ARE the Gram eigenvalues and the right
+        singular vectors its eigenvectors — exactly the quantities the
+        shrink uses — and rows x dim^2 DGEMM flops run ~5-10x faster
+        than the equivalent tall-SVD, which is the difference between
+        the sketch keeping up with a parquet scan and not. Rounding can
+        produce tiny negative eigenvalues; they clip to 0 like any
+        fully-shrunk direction."""
+        g = m.T @ m
+        w, v = np.linalg.eigh(g)            # ascending
+        s2 = np.maximum(w[::-1], 0.0)       # descending squared singulars
+        vt = v[:, ::-1].T                   # matching right singular vecs
         delta = float(s2[self.ell]) if len(s2) > self.ell else 0.0
         if delta > 0.0:
             self.shrink_total += delta
@@ -113,7 +133,9 @@ class FrequentDirections:
         self.buf[self.n_buf:] = 0.0
 
     def _append_rows(self, x: np.ndarray, count_mass: bool) -> None:
-        """Append rows, shrinking whenever the buffer fills.
+        """Append rows, shrinking whenever the resident buffer would
+        overflow — in chunks of up to ~2^22 elements so the temporary
+        stack stays cache/memory-friendly at any ``dim``.
 
         ``count_mass`` is True for raw input rows (they add to ``n`` /
         ``frob2``) and False for another sketch's buffer rows during a
@@ -132,16 +154,19 @@ class FrequentDirections:
             self.n += x.shape[0]
             self.frob2 += float(np.einsum("ij,ij->", x, x))
         cap = self.buf.shape[0]
+        chunk_cap = max(cap, (1 << 22) // max(self.dim, 1))
         i = 0
-        while i < x.shape[0]:
-            free = cap - self.n_buf
-            if free == 0:
-                self._shrink()
-                free = cap - self.n_buf
-            take = min(free, x.shape[0] - i)
-            self.buf[self.n_buf:self.n_buf + take] = x[i:i + take]
-            self.n_buf += take
+        n_rows = x.shape[0]
+        while i < n_rows:
+            if n_rows - i <= cap - self.n_buf:
+                # fits in the resident buffer: no shrink needed yet
+                self.buf[self.n_buf:self.n_buf + n_rows - i] = x[i:]
+                self.n_buf += n_rows - i
+                return
+            take = min(n_rows - i, chunk_cap - self.n_buf)
+            stacked = np.vstack([self.buf[:self.n_buf], x[i:i + take]])
             i += take
+            self._shrink_matrix(stacked)
 
     # -- contract --------------------------------------------------------
 
