@@ -93,10 +93,12 @@ def run_level(cpus: int, tdir: str, trials: int) -> dict:
 
 
 def main() -> None:
-    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 48_000_000
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 144_000_000
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     trials = int(sys.argv[3]) if len(sys.argv) > 3 else 2
-    tdir = os.path.join(REPO, "data", "scaling_emb")
+    # key the table dir by size: ensure_table only counts files, so a
+    # same-named dir from a smaller run would silently feed short input
+    tdir = os.path.join(REPO, "data", f"scaling_emb_{n_rows}")
     ensure_table(tdir, n_rows)
     t0 = time.time()
     lo = run_level(n, tdir, trials)

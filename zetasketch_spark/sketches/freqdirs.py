@@ -37,13 +37,19 @@ Why it fits this library's contract exactly:
   — booleans that hold under any partitioning / merge order, which is
   what the hostile-environment replay requires.
 
-Algorithm (the buffered "Fast-FD" variant): keep up to ``2*ell`` rows;
-when full, SVD the buffer, set ``delta = sigma_{ell+1}^2``, shrink every
-squared singular value by ``delta`` (clipping at 0) and keep the
-surviving ``<= ell`` rows as ``diag(sigma') V^T``. Each shrink removes at
-least ``(ell+1) * delta`` of Frobenius mass (rows 1..ell+1 all lose a
-full ``delta``), so ``ell * sum(delta) <= |A|_F^2`` — the bound above —
-while each shrink perturbs the Gram matrix by at most ``delta * I``.
+Algorithm (the buffered "Fast-FD" variant, batch-sized shrinks): keep a
+``2*ell``-row resident buffer; when an ingest call would overflow it,
+accumulate the call's ``dim x dim`` Gram matrix — ``buf^T buf`` plus one
+float64 DGEMM per cache-sized chunk of the new rows, float32 input cast
+per chunk — ``eigh`` it once (the squared singular values ARE its
+eigenvalues), set ``delta = sigma_{ell+1}^2``, shrink every squared
+singular value by ``delta`` (clipping at 0) and keep the surviving
+``<= ell`` rows as ``diag(sigma') V^T``. The guarantee is
+batch-size-independent: each shrink removes at least ``(ell+1) * delta``
+of Frobenius mass (directions 1..ell+1 all lose a full ``delta``), so
+``ell * sum(delta) <= |A|_F^2`` — the bound above — while each shrink
+perturbs the Gram matrix by at most ``delta * I``; fewer shrinks per
+call only make ``sum(delta)`` (the certificate) smaller.
 
 No reference analog: google/zetasketch is HLL-only; FD implements the
 same Aggregator contract (``Aggregator.java:31-106``) through
@@ -93,32 +99,30 @@ class FrequentDirections:
                 f"first batch; got a row of dim={dim} — ragged embedding "
                 f"columns cannot share one sketch")
 
-    def _shrink_matrix(self, m: np.ndarray) -> None:
-        """One shrink step over ``m`` (the resident rows stacked with a
-        chunk of new rows): SVD once, subtract ``delta = sigma_{ell+1}^2``
-        from every squared singular value (clip at 0), keep the
-        survivors. ``m`` has more than ``ell`` rows by construction, so
-        afterwards ``n_buf <= ell`` (rank > ell implies delta > 0, which
-        zeroes rows ell+1..; rank <= ell leaves at most ell). The
-        guarantee is chunk-size-independent: every shrink removes at
+    def _shrink_gram(self, g: np.ndarray) -> None:
+        """One shrink step given the dim x dim Gram matrix of the
+        resident rows stacked with ALL new rows of the call: eigh once,
+        subtract ``delta = sigma_{ell+1}^2`` from every squared singular
+        value (clip at 0), keep the survivors as ``diag(sigma') V^T``.
+        Afterwards ``n_buf <= ell`` (rank > ell implies delta > 0, which
+        zeroes directions ell+1..; rank <= ell leaves at most ell). The
+        guarantee is batch-size-independent: every shrink removes at
         least ``(ell+1)*delta`` Frobenius mass (the top ell+1 squared
         singular values each lose a full delta) while perturbing the
-        Gram matrix by at most ``delta * I`` — so shrinking one TALL
-        stack instead of many buffer-sized slices keeps the identical
-        bound and trades many small LAPACK calls for one efficient one
-        (the partial-stage hot path: one shrink per ~chunk rows per
-        group, not one per ``ell`` rows).
+        Gram matrix by at most ``delta * I`` — so one shrink over a
+        whole ingest call keeps the identical bound (with FEWER, hence
+        smaller-sum, deltas than per-buffer-fill shrinking) and needs
+        only the Gram, never the stacked rows.
 
-        The decomposition runs on the dim x dim Gram ``m^T m`` (one
-        DGEMM + one eigh) instead of an SVD of the tall stack: the
-        squared singular values ARE the Gram eigenvalues and the right
-        singular vectors its eigenvectors — exactly the quantities the
-        shrink uses — and rows x dim^2 DGEMM flops run ~5-10x faster
-        than the equivalent tall-SVD, which is the difference between
-        the sketch keeping up with a parquet scan and not. Rounding can
-        produce tiny negative eigenvalues; they clip to 0 like any
-        fully-shrunk direction."""
-        g = m.T @ m
+        The decomposition runs on the Gram (accumulated by the caller
+        as one DGEMM per cache-sized chunk) instead of an SVD of the
+        tall stack: the squared singular values ARE the Gram eigenvalues
+        and the right singular vectors its eigenvectors — exactly the
+        quantities the shrink uses — at a fraction of the LAPACK cost
+        and memory traffic, which is the difference between the sketch
+        keeping up with a parquet scan and not. Rounding can produce
+        tiny negative eigenvalues; they clip to 0 like any fully-shrunk
+        direction."""
         w, v = np.linalg.eigh(g)            # ascending
         s2 = np.maximum(w[::-1], 0.0)       # descending squared singulars
         vt = v[:, ::-1].T                   # matching right singular vecs
@@ -133,9 +137,11 @@ class FrequentDirections:
         self.buf[self.n_buf:] = 0.0
 
     def _append_rows(self, x: np.ndarray, count_mass: bool) -> None:
-        """Append rows, shrinking whenever the resident buffer would
-        overflow — in chunks of up to ~2^22 elements so the temporary
-        stack stays cache/memory-friendly at any ``dim``.
+        """Ingest a row batch. Rows that fit in the resident buffer are
+        stored verbatim; otherwise the call's Gram matrix is accumulated
+        (``buf^T buf`` plus one float64 DGEMM per ~8 MB chunk of ``x`` —
+        float32 input is cast per chunk, never wholesale, so the memory
+        traffic stays near the input's own footprint) and shrunk ONCE.
 
         ``count_mass`` is True for raw input rows (they add to ``n`` /
         ``frob2``) and False for another sketch's buffer rows during a
@@ -152,28 +158,41 @@ class FrequentDirections:
                 "inf coordinate would corrupt the Gram-matrix guarantee)")
         if count_mass:
             self.n += x.shape[0]
-            self.frob2 += float(np.einsum("ij,ij->", x, x))
+            # dtype pin: einsum on a float32 batch would otherwise
+            # accumulate |A|_F^2 in float32 and lose the 'exact mass'
+            # claim the certificate divides by
+            self.frob2 += float(np.einsum("ij,ij->", x, x,
+                                          dtype=np.float64))
         cap = self.buf.shape[0]
-        chunk_cap = max(cap, (1 << 22) // max(self.dim, 1))
-        i = 0
         n_rows = x.shape[0]
-        while i < n_rows:
-            if n_rows - i <= cap - self.n_buf:
-                # fits in the resident buffer: no shrink needed yet
-                self.buf[self.n_buf:self.n_buf + n_rows - i] = x[i:]
-                self.n_buf += n_rows - i
-                return
-            take = min(n_rows - i, chunk_cap - self.n_buf)
-            stacked = np.vstack([self.buf[:self.n_buf], x[i:i + take]])
-            i += take
-            self._shrink_matrix(stacked)
+        if n_rows <= cap - self.n_buf:
+            # fits in the resident buffer (upcast on assignment is fine)
+            self.buf[self.n_buf:self.n_buf + n_rows] = x
+            self.n_buf += n_rows
+            return
+        m = self.buf[:self.n_buf]
+        g = m.T @ m
+        chunk = max(1, (1 << 20) // max(self.dim, 1))
+        for i in range(0, n_rows, chunk):
+            c = x[i:i + chunk]
+            if c.dtype != np.float64:
+                c = c.astype(np.float64)
+            g += c.T @ c
+        self._shrink_gram(g)
 
     # -- contract --------------------------------------------------------
 
     def add_matrix(self, x: np.ndarray) -> None:
-        """Absorb a float64 row batch of shape ``(rows, dim)``."""
-        self._append_rows(np.ascontiguousarray(x, dtype=np.float64),
-                          count_mass=True)
+        """Absorb a float row batch of shape ``(rows, dim)``. float32
+        stays float32 until the per-chunk DGEMM cast in ``_append_rows``
+        — upcasting a whole Arrow batch here would double the hot
+        path's memory traffic for no precision gain (the Gram itself is
+        always accumulated in float64)."""
+        if x.dtype not in (np.float32, np.float64):
+            x = np.ascontiguousarray(x, dtype=np.float64)
+        else:
+            x = np.ascontiguousarray(x)
+        self._append_rows(x, count_mass=True)
 
     def merge(self, other: "FrequentDirections") -> None:
         if self.ell != other.ell:
@@ -360,8 +379,9 @@ def _prepare_list_array(arr) -> _ArrowRows:
 
     n = len(arr)
     offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-    flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float64,
-                                                           copy=False)
+    flat = arr.values.to_numpy(zero_copy_only=False)
+    if flat.dtype not in (np.float32, np.float64):
+        flat = flat.astype(np.float64)  # int/decimal child: one honest cast
     if arr.null_count:
         valid = arr.is_valid().to_numpy(zero_copy_only=False)
     else:
