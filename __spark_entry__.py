@@ -1567,23 +1567,30 @@ def q_docs_text_stats(spark, sf_dir):
 
 
 def q_docs_sampling_report(spark, sf_dir):
-    """All four deterministic samplers (hash-bucket, exact-k bottom-k,
-    stratified per-lang, weighted per-source mixture) summarized in one
-    membership-checksum report. Membership is a pure function of md5, so
-    DuckDB reproduces every arm exactly."""
+    """All five deterministic samplers (hash-bucket, exact-k bottom-k,
+    stratified per-lang, weighted per-source mixture, weighted exact-k
+    priority sampling with Horvitz-Thompson subset-sum estimates)
+    summarized in one membership-checksum report. Membership — and for
+    the priority arm the per-row estimates themselves — is a pure
+    function of md5, so DuckDB reproduces every arm exactly
+    (``ht_total_e4`` is the order-free integer rendering of the
+    priority arm's estimated total n_chars: sum of floor(est*1e4))."""
     from zetasketch_spark.operators.sampling import (
-        bottomk_sample, stratified_bottomk_sample, weighted_sample)
+        bottomk_sample, priority_sample, stratified_bottomk_sample,
+        weighted_sample)
 
     d = _t(spark, sf_dir, "documents")
 
-    def summarize(df, method):
+    def summarize(df, method, ht=None):
         return df.agg(
             F.count("*").alias("n_rows"),
             F.sum("doc_id").alias("sum_ids"),
             F.min("doc_id").alias("min_id"),
             F.max("doc_id").alias("max_id"),
+            F.coalesce(ht if ht is not None else F.sum(F.lit(0)),
+                       F.lit(0)).cast("long").alias("ht_total_e4"),
         ).select(F.lit(method).alias("method"),
-                 "n_rows", "sum_ids", "min_id", "max_id")
+                 "n_rows", "sum_ids", "min_id", "max_id", "ht_total_e4")
 
     bucket = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
                      16, 10).cast("long") % 100)
@@ -1595,6 +1602,9 @@ def q_docs_sampling_report(spark, sf_dir):
                   "stratified"),
         summarize(weighted_sample(d, MIXTURE_WEIGHTS, group_col="source",
                                   id_col="doc_id"), "weighted"),
+        summarize(priority_sample(d, k=200, weight_col="n_chars",
+                                  id_col="doc_id"), "priority",
+                  ht=F.sum(F.floor(F.col("est_weight") * 10000))),
     ]
     out = arms[0]
     for a in arms[1:]:
@@ -2254,19 +2264,45 @@ def oracle_sql() -> dict[str, str]:
               WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                          AS BIGINT) / 4294967296.0
                     < (CAST(substr(source, 4) AS BIGINT) % 4 + 1) / 4.0
+            ), pq AS (
+              -- priority sampling: q = w/u with u strictly in (0,1);
+              -- the +0.5 and the two divisions are the same exactly-
+              -- rounded IEEE double ops the Spark side performs
+              SELECT doc_id, n_chars,
+                     CAST(n_chars AS DOUBLE) /
+                     ((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                            1, 8)) AS BIGINT) + 0.5)
+                      / 4294967296.0) AS q
+              FROM documents WHERE n_chars > 0
+            ), pt AS (
+              SELECT doc_id, n_chars, q,
+                     row_number() OVER (ORDER BY q DESC, doc_id) AS rk
+              FROM pq ORDER BY q DESC, doc_id LIMIT 201
+            ), ps AS (
+              SELECT doc_id,
+                     greatest(CAST(n_chars AS DOUBLE),
+                              coalesce((SELECT max(q) FROM pt
+                                        WHERE rk = 201), 0.0)) AS est
+              FROM pt WHERE rk <= 200
             )
             SELECT 'hash_bucket' AS method, count(*) AS n_rows,
                    CAST(sum(doc_id) AS BIGINT) AS sum_ids,
-                   min(doc_id) AS min_id, max(doc_id) AS max_id FROM hb
+                   min(doc_id) AS min_id, max(doc_id) AS max_id,
+                   CAST(0 AS BIGINT) AS ht_total_e4 FROM hb
             UNION ALL
             SELECT 'bottomk', count(*), CAST(sum(doc_id) AS BIGINT),
-                   min(doc_id), max(doc_id) FROM bk
+                   min(doc_id), max(doc_id), CAST(0 AS BIGINT) FROM bk
             UNION ALL
             SELECT 'stratified', count(*), CAST(sum(doc_id) AS BIGINT),
-                   min(doc_id), max(doc_id) FROM st
+                   min(doc_id), max(doc_id), CAST(0 AS BIGINT) FROM st
             UNION ALL
             SELECT 'weighted', count(*), CAST(sum(doc_id) AS BIGINT),
-                   min(doc_id), max(doc_id) FROM wt
+                   min(doc_id), max(doc_id), CAST(0 AS BIGINT) FROM wt
+            UNION ALL
+            SELECT 'priority', count(*), CAST(sum(doc_id) AS BIGINT),
+                   min(doc_id), max(doc_id),
+                   CAST(sum(CAST(floor(est * 10000) AS BIGINT))
+                     AS BIGINT) FROM ps
             ORDER BY method
         """,
         "docs_repetition": """

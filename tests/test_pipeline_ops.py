@@ -1238,6 +1238,99 @@ def test_stratified_bottomk_sample(spark):
     assert base == again
 
 
+def _priority_mirror(ids, weights, k):
+    """Independent pure-Python mirror of priority sampling (hashlib md5 +
+    IEEE double math — no Spark, no numpy): returns (members, est) for
+    exact-equality comparison against the operator."""
+    import hashlib
+
+    rows = []
+    for i, w in zip(ids, weights):
+        if w is None or w <= 0:
+            continue
+        u = (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+             + 0.5) / 4294967296.0
+        rows.append((float(w) / u, i, float(w)))
+    rows.sort(key=lambda r: (-r[0], r[1]))
+    tau = rows[k][0] if len(rows) > k else 0.0
+    return {i: max(w, tau) for _, i, w in rows[:k]}
+
+
+def test_priority_sample_matches_independent_mirror(spark):
+    """Priority sampling (Duffield-Lund-Thorup): the operator's members
+    AND per-row subset-sum estimates equal an independent hashlib/pure-
+    Python mirror bit-for-bit, on any input partitioning — the same
+    determinism the DuckDB oracle arm of docs_sampling_report relies on."""
+    from zetasketch_spark.operators.sampling import priority_sample
+
+    ids = list(range(700))
+    weights = [i % 53 + 1 for i in ids]
+    expect = _priority_mirror(ids, weights, 80)
+    df = spark.createDataFrame(list(zip(ids, weights)), ["doc_id", "w"])
+    for parts in (1, 13):
+        got = {r["doc_id"]: r["est_weight"] for r in
+               priority_sample(df.repartition(parts), 80, "w").collect()}
+        assert got == expect  # members and estimates, exact doubles
+
+    # scale shape: the k+1 cut is per-partition top-k, never a global sort
+    plan = (priority_sample(df, 80, "w")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_priority_sample_edges_and_certain_heavy_rows(spark):
+    """n <= k degenerates to the exact table (estimates == weights);
+    non-positive/NULL weights are excluded; and the theorem's certainty
+    clause holds: no unsampled row outweighs any sampled estimate
+    (w > tau forces membership, est_weight >= tau always)."""
+    from zetasketch_spark.operators.sampling import priority_sample
+
+    df = spark.createDataFrame(
+        [(0, 5.0), (1, 0.0), (2, None), (3, 2.5)],
+        "doc_id long, w double")
+    got = {r["doc_id"]: r["est_weight"] for r in
+           priority_sample(df, 10, "w").collect()}
+    assert got == {0: 5.0, 3: 2.5}  # zero/NULL weights carry no mass
+
+    big = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 5, 10_000.0).otherwise(1.0).alias("w"))
+    rows = priority_sample(big, 25, "w").collect()
+    sampled = {r["doc_id"] for r in rows}
+    assert set(range(5)) <= sampled  # heavy rows are sampled w.p. 1 ...
+    ests = {r["doc_id"]: r["est_weight"] for r in rows}
+    assert all(ests[i] == 10_000.0 for i in range(5))  # ... at exact weight
+    min_est = min(ests.values())  # >= tau >= every unsampled weight
+    assert all(r["w"] <= min_est for r in big.collect()
+               if r["doc_id"] not in sampled)
+
+
+def test_priority_sample_subset_sum_unbiased(spark):
+    """Horvitz-Thompson unbiasedness, empirically: over 12 independent
+    samples (salted ids -> independent uniforms), the mean estimated
+    total and the mean estimated ODD-ID subset sum both land within a
+    few percent of the exact values (single-draw spread is ~15%)."""
+    from zetasketch_spark.operators.sampling import priority_sample
+
+    df = (spark.range(600)
+          .select(F.col("id").alias("doc_id"),
+                  (F.col("id") % 37 + 1).cast("double").alias("w"))
+          .cache())
+    exact_total = 600 / 37 * sum(range(1, 38))
+    exact_odd = sum(i % 37 + 1 for i in range(600) if i % 2 == 1)
+    tot, odd = [], []
+    for salt in range(12):
+        s = df.withColumn("sid", F.concat_ws(":", "doc_id", F.lit(salt)))
+        rows = priority_sample(s, 100, "w", id_col="sid").collect()
+        tot.append(sum(r["est_weight"] for r in rows))
+        odd.append(sum(r["est_weight"] for r in rows
+                       if r["doc_id"] % 2 == 1))
+    mean_tot = sum(tot) / len(tot)
+    mean_odd = sum(odd) / len(odd)
+    assert abs(mean_tot - exact_total) / exact_total < 0.06
+    assert abs(mean_odd - exact_odd) / exact_odd < 0.08
+
+
 def test_avi_mjpeg_roundtrip_and_decoder_registry():
     """MJPEG-in-AVI: real compressed-video frames through the in-repo
     JPEG codec; unknown fourccs route to the plugin seam."""

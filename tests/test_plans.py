@@ -169,7 +169,12 @@ def test_merged_gate_queries_match_their_originals(spark):
 
     rep = {r["method"]: r for r in
            entry.q_docs_sampling_report(spark, SF_DIR).collect()}
-    assert set(rep) == {"hash_bucket", "bottomk", "stratified", "weighted"}
+    assert set(rep) == {"hash_bucket", "bottomk", "stratified", "weighted",
+                        "priority"}
+    assert rep["priority"]["n_rows"] == 200
+    assert rep["priority"]["ht_total_e4"] > 0
+    for arm in ("hash_bucket", "bottomk", "stratified", "weighted"):
+        assert rep[arm]["ht_total_e4"] == 0
 
     uni = entry.q_docs_uniform_sample(spark, SF_DIR).collect()
     assert rep["bottomk"]["n_rows"] == len(uni)

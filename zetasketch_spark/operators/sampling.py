@@ -7,6 +7,10 @@ wherever the job runs, which is what makes train/val splits and
 mixture re-runs auditable. Pure Catalyst: one projection + filter, no
 shuffle; the md5-derived uniform is the same expression DuckDB
 evaluates, so membership is exactly verifiable.
+
+``priority_sample``: weighted exact-k with per-row unbiased subset-sum
+estimates (Duffield-Lund-Thorup priority sampling) — same determinism,
+same TakeOrderedAndProject scale shape, estimates verifiable exactly.
 """
 
 from __future__ import annotations
@@ -73,6 +77,69 @@ def stratified_bottomk_sample(df: DataFrame, k: int, group_col: str,
     return (df.withColumn("__rk", F.row_number().over(w))
             .filter(F.col("__rk") <= k)
             .drop("__rk"))
+
+
+def priority_sample(df: DataFrame, k: int, weight_col: str,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Weighted EXACT-k sample with unbiased subset-sum estimates —
+    priority sampling (Duffield, Lund, Thorup, "Priority sampling for
+    estimation of arbitrary subset sums", JACM 54(6), 2007).
+
+    Each row draws priority ``q = w / u`` where ``u`` is a deterministic
+    md5 uniform of its id, strictly inside (0, 1); the sample is the k
+    largest priorities and ``tau`` is the (k+1)-th. The returned rows
+    carry ``est_weight = max(w, tau)``, which is an UNBIASED estimator
+    of the row's contribution to ANY subset sum: for every subset S,
+    ``E[sum over sample∩S of est_weight] = sum over S of w`` (the
+    paper's Theorem 1 — conditioning on tau, a row with w < tau is
+    sampled with probability exactly w/tau and then reports tau). So one
+    k-row sample answers every later "total tokens in segment X?"
+    question unbiasedly, which is the auditable-subsample primitive a
+    training-data pipeline wants. Rows with NULL or non-positive weight
+    carry no mass and are excluded (q would be undefined).
+
+    Properties at 100 TB, shared with :func:`bottomk_sample`:
+
+    * mergeable: top-k of a union == top-k of per-partition top-ks, so
+      the cut executes as ``TakeOrderedAndProject`` — each executor
+      ships at most k+1 rows, no global sort, no full shuffle; the
+      tau/rank window afterwards touches only those k+1 survivors.
+    * deterministic: u has no RNG state, so membership AND estimates
+      are a pure function of the ids — identical on any cluster size,
+      any partitioning, and in any engine with md5 (the DuckDB oracle
+      reproduces both exactly; see ``docs_sampling_report``).
+    * certain coverage of heavy rows: w >= tau implies q = w/u > w >=
+      tau, so every row at least as heavy as the threshold is in the
+      sample with probability 1 (its estimate is its exact weight).
+    """
+    from pyspark.sql import Window
+
+    idc = F.col(id_col) if isinstance(id_col, str) else F.col(id_col)
+    w = F.col(weight_col).cast("double")
+    # +0.5 keeps u strictly positive (a 2^-32 fluke of all-zero leading
+    # md5 bits would otherwise divide by zero) and strictly below 1;
+    # the same two exactly-rounded IEEE ops render in the SQL twin
+    u = ((F.conv(F.substring(F.md5(idc.cast("string")), 1, 8), 16, 10)
+          .cast("double") + 0.5) / float(1 << 32))
+    top = (df.filter(w > 0)
+           .withColumn("__q", w / u)
+           .orderBy(F.desc("__q"), idc.asc())
+           .limit(k + 1))
+    # rank + threshold over the <= k+1 survivors only: the unpartitioned
+    # windows are a deliberate single-partition pass over a k-bounded set
+    rk = Window.orderBy(F.desc("__q"), idc.asc())
+    full = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = top.withColumn("__rk", F.row_number().over(rk))
+    tau = F.coalesce(
+        F.max(F.when(F.col("__rk") == k + 1, F.col("__q"))).over(full),
+        F.lit(0.0))
+    return (ranked.withColumn("__tau", tau)
+            .filter(F.col("__rk") <= k)
+            .withColumn("est_weight",
+                        F.greatest(F.col(weight_col).cast("double"),
+                                   F.col("__tau")))
+            .drop("__q", "__rk", "__tau"))
 
 
 def weighted_sample(df: DataFrame, weights: dict[str, float],
