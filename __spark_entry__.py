@@ -1567,17 +1567,18 @@ def q_docs_text_stats(spark, sf_dir):
 
 
 def q_docs_sampling_report(spark, sf_dir):
-    """All five deterministic samplers (hash-bucket, exact-k bottom-k,
-    stratified per-lang, weighted per-source mixture, weighted exact-k
-    priority sampling with Horvitz-Thompson subset-sum estimates)
-    summarized in one membership-checksum report. Membership — and for
-    the priority arm the per-row estimates themselves — is a pure
-    function of md5, so DuckDB reproduces every arm exactly
-    (``ht_total_e4`` is the order-free integer rendering of the
-    priority arm's estimated total n_chars: sum of floor(est*1e4))."""
+    """All six deterministic samplers (hash-bucket, exact-k bottom-k,
+    stratified per-lang, weighted per-source mixture, and weighted
+    exact-k priority sampling with Horvitz-Thompson subset-sum
+    estimates — global and per-group) summarized in one
+    membership-checksum report. Membership — and for the priority arms
+    the per-row estimates themselves — is a pure function of md5, so
+    DuckDB reproduces every arm exactly (``ht_total_e4`` is the
+    order-free integer rendering of a priority arm's estimated total
+    n_chars: sum of floor(est*1e4))."""
     from zetasketch_spark.operators.sampling import (
         bottomk_sample, priority_sample, stratified_bottomk_sample,
-        weighted_sample)
+        stratified_priority_sample, weighted_sample)
 
     d = _t(spark, sf_dir, "documents")
 
@@ -1605,6 +1606,10 @@ def q_docs_sampling_report(spark, sf_dir):
         summarize(priority_sample(d, k=200, weight_col="n_chars",
                                   id_col="doc_id"), "priority",
                   ht=F.sum(F.floor(F.col("est_weight") * 10000))),
+        summarize(stratified_priority_sample(
+            d, k=30, weight_col="n_chars", group_col="lang",
+            id_col="doc_id"), "priority_strat",
+            ht=F.sum(F.floor(F.col("est_weight") * 10000))),
     ]
     out = arms[0]
     for a in arms[1:]:
@@ -2268,7 +2273,7 @@ def oracle_sql() -> dict[str, str]:
               -- priority sampling: q = w/u with u strictly in (0,1);
               -- the +0.5 and the two divisions are the same exactly-
               -- rounded IEEE double ops the Spark side performs
-              SELECT doc_id, n_chars,
+              SELECT doc_id, n_chars, lang,
                      CAST(n_chars AS DOUBLE) /
                      ((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
                                             1, 8)) AS BIGINT) + 0.5)
@@ -2284,6 +2289,19 @@ def oracle_sql() -> dict[str, str]:
                               coalesce((SELECT max(q) FROM pt
                                         WHERE rk = 201), 0.0)) AS est
               FROM pt WHERE rk <= 200
+            ), sr AS (
+              SELECT doc_id, n_chars, lang, q,
+                     row_number() OVER (PARTITION BY lang
+                         ORDER BY q DESC, doc_id) AS rk
+              FROM pq
+            ), stau AS (
+              SELECT lang, coalesce(max(CASE WHEN rk = 31 THEN q END),
+                                    0.0) AS tau
+              FROM sr GROUP BY lang
+            ), ss AS (
+              SELECT sr.doc_id,
+                     greatest(CAST(sr.n_chars AS DOUBLE), stau.tau) AS est
+              FROM sr JOIN stau USING (lang) WHERE sr.rk <= 30
             )
             SELECT 'hash_bucket' AS method, count(*) AS n_rows,
                    CAST(sum(doc_id) AS BIGINT) AS sum_ids,
@@ -2303,6 +2321,11 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id), max(doc_id),
                    CAST(sum(CAST(floor(est * 10000) AS BIGINT))
                      AS BIGINT) FROM ps
+            UNION ALL
+            SELECT 'priority_strat', count(*), CAST(sum(doc_id) AS BIGINT),
+                   min(doc_id), max(doc_id),
+                   CAST(sum(CAST(floor(est * 10000) AS BIGINT))
+                     AS BIGINT) FROM ss
             ORDER BY method
         """,
         "docs_repetition": """

@@ -1305,6 +1305,42 @@ def test_priority_sample_edges_and_certain_heavy_rows(spark):
                if r["doc_id"] not in sampled)
 
 
+def test_stratified_priority_sample(spark):
+    """Per-group priority sampling: exact k per group with per-group
+    thresholds — each group's members and estimates independently equal
+    the single-group mirror; undersized groups keep all rows at exact
+    weight; one fused exchange (both windows ride one hash shuffle)."""
+    from zetasketch_spark.operators.sampling import (
+        stratified_priority_sample)
+
+    df = spark.createDataFrame(
+        [(i, float(i % 53 + 1), f"g{i % 3}" if i < 897 else "tiny")
+         for i in range(903)],
+        "doc_id long, w double, grp string")
+    out = stratified_priority_sample(df, 40, "w", "grp")
+    rows = out.collect()
+    by_grp = {}
+    for r in rows:
+        by_grp.setdefault(r["grp"], {})[r["doc_id"]] = r["est_weight"]
+    for g in ("g0", "g1", "g2"):
+        ids = [i for i in range(897) if i % 3 == int(g[1])]
+        expect = _priority_mirror(ids, [i % 53 + 1 for i in ids], 40)
+        assert by_grp[g] == expect  # same members, same exact estimates
+    assert by_grp["tiny"] == {i: float(i % 53 + 1)
+                              for i in range(897, 903)}  # whole group
+
+    again = stratified_priority_sample(df.repartition(17), 40, "w", "grp")
+    assert sorted((r["grp"], r["doc_id"], r["est_weight"])
+                  for r in again.collect()) == \
+        sorted((r["grp"], r["doc_id"], r["est_weight"]) for r in rows)
+
+    # after collect() the AQE string repeats the plan (Final + Initial
+    # sections) — count the fused exchange in the final section only
+    plan = (out._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0])
+    assert plan.count("Exchange hashpartitioning") == 1  # fused windows
+
+
 def test_priority_sample_subset_sum_unbiased(spark):
     """Horvitz-Thompson unbiasedness, empirically: over 12 independent
     samples (salted ids -> independent uniforms), the mean estimated

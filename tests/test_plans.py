@@ -170,9 +170,11 @@ def test_merged_gate_queries_match_their_originals(spark):
     rep = {r["method"]: r for r in
            entry.q_docs_sampling_report(spark, SF_DIR).collect()}
     assert set(rep) == {"hash_bucket", "bottomk", "stratified", "weighted",
-                        "priority"}
+                        "priority", "priority_strat"}
     assert rep["priority"]["n_rows"] == 200
     assert rep["priority"]["ht_total_e4"] > 0
+    assert rep["priority_strat"]["n_rows"] == rep["stratified"]["n_rows"]
+    assert rep["priority_strat"]["ht_total_e4"] > 0
     for arm in ("hash_bucket", "bottomk", "stratified", "weighted"):
         assert rep[arm]["ht_total_e4"] == 0
 

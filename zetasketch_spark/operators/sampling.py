@@ -142,6 +142,49 @@ def priority_sample(df: DataFrame, k: int, weight_col: str,
             .drop("__q", "__rk", "__tau"))
 
 
+def stratified_priority_sample(df: DataFrame, k: int, weight_col: str,
+                               group_col: str,
+                               id_col: str = "doc_id") -> DataFrame:
+    """Weighted EXACT-k-per-group priority sampling: within each group,
+    the k largest priorities ``q = w / u`` (same deterministic md5
+    uniform as :func:`priority_sample`), with per-group threshold
+    ``tau_g`` = the group's (k+1)-th priority and per-row unbiased
+    ``est_weight = max(w, tau_g)`` — so every group's subset sums are
+    estimable from its own k rows. This is the balanced-mixture builder
+    ("k docs per source, weighted by token count") with the audit
+    property: membership and estimates are pure functions of the ids.
+
+    Scale shape (same as :func:`stratified_bottomk_sample`): ONE
+    hash-partitioned shuffle on ``group_col``, then a rank window and a
+    full-frame window max over the SAME partitioning (Catalyst fuses
+    them onto the one exchange — the plan guard pins a single shuffle);
+    no global sort, no driver state, no self-join. Skewed group sizes
+    only widen their partition's sort.
+    """
+    from pyspark.sql import Window
+
+    idc = F.col(id_col) if isinstance(id_col, str) else F.col(id_col)
+    w = F.col(weight_col).cast("double")
+    u = ((F.conv(F.substring(F.md5(idc.cast("string")), 1, 8), 16, 10)
+          .cast("double") + 0.5) / float(1 << 32))
+    win = Window.partitionBy(group_col).orderBy(F.desc("__q"), idc.asc())
+    grp = Window.partitionBy(group_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    # every kept row reads the SAME tau_g: the group's (k+1)-th
+    # priority, or 0.0 when the group has <= k rows (sample == group)
+    return (df.filter(w > 0)
+            .withColumn("__q", w / u)
+            .withColumn("__rk", F.row_number().over(win))
+            .withColumn("__tau", F.coalesce(
+                F.max(F.when(F.col("__rk") == k + 1, F.col("__q")))
+                .over(grp), F.lit(0.0)))
+            .filter(F.col("__rk") <= k)
+            .withColumn("est_weight",
+                        F.greatest(F.col(weight_col).cast("double"),
+                                   F.col("__tau")))
+            .drop("__q", "__rk", "__tau"))
+
+
 def weighted_sample(df: DataFrame, weights: dict[str, float],
                     group_col: str = "source",
                     id_col: str = "doc_id",
