@@ -20,6 +20,7 @@ tiebreak, dates/times are formatted to strings.
 
 from __future__ import annotations
 
+import math
 import os
 import sys
 from collections.abc import Callable
@@ -1209,20 +1210,46 @@ def q_join_profile(spark, sf_dir):
     jse_within = (int(jse["est_join_size"])
                   <= exact_join + int(jse["eps_bound"]))
 
+    # CountSketch UNBIASED join-size arm (joinprofile.cs_join_size_
+    # estimate): the signed-counter twin of the CM arm above — each row's
+    # inner product is exactly unbiased (AMS), so the estimate carries no
+    # systematic overcount. DuckDB recomputes the exact second moments
+    # (F2 = sum of squared per-key counts); the boolean pins the
+    # Chebyshev band |est - exact| <= 4*sqrt(2*F2a*F2b/width).
+    # Deterministic: seed-0 CountSketch hashing is a pure function of the
+    # data — environment-stable.
+    from zetasketch_spark.operators.joinprofile import cs_join_size_estimate
+    cs = cs_join_size_estimate(li, "l_orderkey", o, "o_orderkey",
+                               width=8192, depth=5).collect()[0]
+    f2_li = int(li.groupBy("l_orderkey").count()
+                .agg(F.sum(F.col("count") * F.col("count"))).collect()[0][0])
+    f2_o = int(o.groupBy("o_orderkey").count()
+               .agg(F.sum(F.col("count") * F.col("count"))).collect()[0][0])
+    cs_band = 4.0 * math.sqrt(2.0 * f2_li * f2_o / 8192)
+    cs_within = abs(int(cs["cs_est_join_size"]) - exact_join) <= cs_band
+    cs_f2_ok = (abs(float(cs["f2_a_est"]) / f2_li - 1.0)
+                <= 4.0 * math.sqrt(2.0 / 8192)
+                and abs(float(cs["f2_b_est"]) / f2_o - 1.0)
+                <= 4.0 * math.sqrt(2.0 / 8192))
+
     return spark.createDataFrame(pd.DataFrame(
         [[exact_a, exact_b, exact_ov,
           bool(a_ok), bool(b_ok), bool(ca_ok and cb_ok),
           cert_plain[0], cert_plain[1],
           bool(join_identical), bool(prefilter_effective),
           int(exact_join),
-          bool(jse_never_under), bool(jse_within)]],
+          bool(jse_never_under), bool(jse_within),
+          int(f2_li), int(f2_o),
+          bool(cs_within), bool(cs_f2_ok)]],
         columns=["exact_distinct_lineitem", "exact_distinct_orders",
                  "exact_overlap", "distinct_a_within_envelope",
                  "distinct_b_within_envelope", "containment_within_bound",
                  "exact_urgent_join_rows", "exact_urgent_qty_sum",
                  "bloom_join_identical", "bloom_prefilter_effective",
                  "exact_join_rows",
-                 "jse_never_undercounts", "jse_within_bound"]))
+                 "jse_never_undercounts", "jse_within_bound",
+                 "exact_f2_lineitem", "exact_f2_orders",
+                 "cs_jse_within_band", "cs_f2_within_band"]))
 
 
 def q_events_analyze_pure(spark, sf_dir):
@@ -2598,7 +2625,17 @@ def oracle_sql() -> dict[str, str]:
                       JOIN orders o ON l.l_orderkey = o.o_orderkey)
                        AS exact_join_rows,
                    true AS jse_never_undercounts,
-                   true AS jse_within_bound
+                   true AS jse_within_bound,
+                   (SELECT CAST(sum(c * c) AS BIGINT) FROM
+                      (SELECT count(*) AS c FROM lineitem
+                       GROUP BY l_orderkey))
+                       AS exact_f2_lineitem,
+                   (SELECT CAST(sum(c * c) AS BIGINT) FROM
+                      (SELECT count(*) AS c FROM orders
+                       GROUP BY o_orderkey))
+                       AS exact_f2_orders,
+                   true AS cs_jse_within_band,
+                   true AS cs_f2_within_band
         """,
         "events_analyze": """
             SELECT c.col AS "column",

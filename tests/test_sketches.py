@@ -331,7 +331,7 @@ def test_topk_provably_complete_flag(spark):
     assert all(not r["provably_complete"] for r in rows)
 
 
-@pytest.mark.parametrize("family", ["countmin", "kll", "tdigest", "bloom", "theta", "ddsketch", "freqdirs"])
+@pytest.mark.parametrize("family", ["countmin", "kll", "tdigest", "bloom", "theta", "ddsketch", "freqdirs", "countsketch"])
 def test_wire_format_versioned_forward_compat(family):
     """Every non-HLL family carries an explicit encoding_version and, like
     the proto surface (reference StateTest unknown-field case), tolerates a
@@ -374,7 +374,7 @@ def test_wire_format_versioned_forward_compat(family):
         fam.deserialize(bytes(blob[:4]) + bytes([0]) + bytes(blob[5:]))
 
 
-@pytest.mark.parametrize("family", ["countmin", "kll", "tdigest", "bloom", "theta", "ddsketch", "freqdirs"])
+@pytest.mark.parametrize("family", ["countmin", "kll", "tdigest", "bloom", "theta", "ddsketch", "freqdirs", "countsketch"])
 def test_truncated_blob_fails_loudly(family):
     """Every truncation of a serialized state must raise (ValueError /
     struct.error) — never return a silently-corrupt sketch. At 100 TB a
@@ -711,7 +711,7 @@ def test_bloom_promoted_probe_batch_no_false_negatives():
 
 
 @pytest.mark.parametrize("family", ["countmin", "kll", "tdigest", "bloom",
-                                    "theta", "freqdirs"])
+                                    "theta", "freqdirs", "countsketch"])
 def test_mutation_fuzz_never_hangs_or_crashes(family):
     """Beyond truncation: random single-byte mutations of a serialized
     state must either parse (possibly to a different valid state) or

@@ -23,6 +23,10 @@ states (same ``AggregatorStateProto`` wire format):
   ``fd_init_agg(embedding, ell)`` over an ``array<float|double>`` column,
   ``fd_merge_agg``, ``fd_error_certificate``, and the pairwise
   ``fd_drift(a, b)``/``fd_drift_bound(a, b)`` embedding-drift scalars.
+  Signed counters: ``cs_init_agg(col, width, depth)``/``cs_merge_agg``
+  (CountSketch), with ``cs_point_est(state, key)`` (unbiased frequency),
+  ``cs_f2(state)`` (AMS second moment) and ``cs_inner_product(a, b)``
+  (unbiased join size with multiplicity).
 
 The grouped-agg form shuffles raw values per group (Catalyst's own
 aggregation path), which is the convenient-but-shuffle-heavy shape; for
@@ -569,6 +573,56 @@ def register_sql(spark) -> None:
     # sound error interval (sketches/freqdirs.py::gram_drift)
     spark.udf.register("fd_drift", _fd_drift_udf(0))
     spark.udf.register("fd_drift_bound", _fd_drift_udf(1))
+
+    from zetasketch_spark.sketches.countsketch import CountSketch
+
+    spark.udf.register("cs_merge_agg", _merge_agg_udf(CountSketch.deserialize))
+
+    @pandas_udf("binary")
+    def _cs_init(values: pd.Series, width: pd.Series,
+                 depth: pd.Series) -> bytes:
+        sk = CountSketch(width=int(width.iloc[0]) if len(width) else 2048,
+                         depth=int(depth.iloc[0]) if len(depth) else 5)
+        sk.add_series(values)
+        return sk.serialize()
+
+    # SQL usage: cs_init_agg(col, 2048, 5) — the signed-counter
+    # CountSketch INIT; states merge with cs_merge_agg
+    spark.udf.register("cs_init_agg", _cs_init)
+
+    @pandas_udf("long")
+    def _cs_point(states: pd.Series, keys: pd.Series) -> pd.Series:
+        return _extract_by_state(
+            states, keys, CountSketch.deserialize,
+            lambda sk, ks: [int(v) for v in sk.point_query_series(ks)],
+            None)
+
+    # unbiased median-of-rows frequency estimate of key within state
+    spark.udf.register("cs_point_est", _cs_point)
+
+    @pandas_udf("double")
+    def _cs_f2(states: pd.Series) -> pd.Series:
+        return pd.Series(
+            [float(CountSketch.deserialize(bytes(b)).f2_estimate())
+             if b is not None else None for b in states], dtype="float64")
+
+    # AMS second frequency moment (self-join size) of the sketched column
+    spark.udf.register("cs_f2", _cs_f2)
+
+    @pandas_udf("double")
+    def _cs_inner(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(a, b):
+            if x is None or y is None:
+                out.append(None)
+                continue
+            out.append(float(CountSketch.deserialize(bytes(x)).inner_product(
+                CountSketch.deserialize(bytes(y)))))
+        return pd.Series(out, dtype="float64")
+
+    # unbiased join-size-with-multiplicity estimate from two states
+    # built with the same (width, depth, seed)
+    spark.udf.register("cs_inner_product", _cs_inner)
 
 
 def tuple_distinct_col(*cols) -> "Column":

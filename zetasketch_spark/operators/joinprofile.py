@@ -79,6 +79,60 @@ def _global_cm(df: DataFrame, key: str, width: int, depth: int):
     return acc or CountMinSketch(width=width, depth=depth, max_candidates=8)
 
 
+def _global_sketch(df: DataFrame, key: str, fam):
+    """One shuffle-free scan -> per-partition partials -> driver merge
+    (the join_key_profile execution shape, family-generic)."""
+    from zetasketch_spark.operators.agg import SKETCH_COL, sketch_partial
+
+    acc = None
+    for row in sketch_partial(df, [], key, fam).collect():
+        if row[SKETCH_COL] is None:
+            continue
+        part = fam.deserialize(bytes(row[SKETCH_COL]))
+        acc = part if acc is None else fam.merge(acc, part)
+    return acc if acc is not None else fam.make()
+
+
+def cs_join_size_estimate(df_a: DataFrame, key_a: str, df_b: DataFrame,
+                          key_b: str, width: int = 8192,
+                          depth: int = 5) -> DataFrame:
+    """UNBIASED |A ⋈ B| (join cardinality WITH multiplicity) via the
+    CountSketch inner product — the signed-counter twin of
+    ``join_size_estimate``. Where the Count-Min estimate is
+    guaranteed-never-under but biased up by hash-collision mass, each
+    CountSketch row's dot product is exactly unbiased
+    (``E = Σ_x f_x·g_x``) with ``Var <= 2·F2(A)·F2(B)/width`` (Alon,
+    Matias, Szegedy 1996 / Charikar et al. 2002), and the median over
+    ``depth`` rows concentrates it. Same one-shuffle-free-scan-per-side
+    execution shape; both sides share hash functions by construction
+    (seed-0 CountSketch hashing is instance-independent).
+
+    Returns one row: ``cs_est_join_size, n_a, n_b, f2_a_est, f2_b_est,
+    std_bound`` where std_bound = ceil(sqrt(2·F2a·F2b/width)) — one
+    standard deviation of a single row estimator, estimated from the
+    sketches themselves.
+    """
+    import math
+
+    import pandas as pd
+
+    from zetasketch_spark.sketches.countsketch import CountSketchFamily
+
+    spark = df_a.sparkSession
+    fam = CountSketchFamily(width=width, depth=depth)
+    a = _global_sketch(df_a, key_a, fam)
+    b = _global_sketch(df_b, key_b, fam)
+    f2a, f2b = a.f2_estimate(), b.f2_estimate()
+    return spark.createDataFrame(pd.DataFrame([{
+        "cs_est_join_size": int(round(a.inner_product(b))),
+        "n_a": int(a.total),
+        "n_b": int(b.total),
+        "f2_a_est": float(f2a),
+        "f2_b_est": float(f2b),
+        "std_bound": int(math.ceil(math.sqrt(2.0 * f2a * f2b / width))),
+    }]))
+
+
 def join_size_estimate(df_a: DataFrame, key_a: str, df_b: DataFrame,
                        key_b: str, width: int = 8192,
                        depth: int = 5) -> DataFrame:
