@@ -348,10 +348,15 @@ def main():
     from zetasketch_spark.sketches.kll import KllFamily
     from zetasketch_spark.sketches.theta import ThetaFamily
 
+    from zetasketch_spark.sketches.countsketch import CountSketchFamily
+
     tdf = spark.read.parquet(tdir)
     for name, frame, col, fam in [
         ("transcripts_cm_tools", tdf, "tool",
          CountMinFamily(width=4096, depth=5, max_candidates=256)),
+        # the unbiased signed-counter twin on the same scan shape
+        ("transcripts_cs_tools", tdf, "tool",
+         CountSketchFamily(width=4096, depth=5)),
     ]:
         best = None
         for _ in range(N_HEADLINE_TRIALS):

@@ -517,3 +517,42 @@ def test_streaming_pii_scrub(spark, tmp_path):
         "select doc_id, has_pii, redacted from pii_stream").collect()))
     assert got == batch
     assert any(r[1] for r in got)  # planted PII present and detected
+
+
+def test_streaming_countsketch_matches_batch_exactly(spark, tmp_path):
+    """CountSketch through the streaming fabric: signed counters are pure
+    addition, so — like DDSketch — the state after the last micro-batch
+    is BYTE-identical to a batch build over the same rows, and the
+    (f2_est, n) outputs must be EXACTLY equal, not merely convergent."""
+    import pyspark.sql.functions as F
+
+    from zetasketch_spark.sketches.countsketch import CountSketchFamily
+    from zetasketch_spark.sources.transcripts import write_transcripts_parquet
+    from zetasketch_spark.streaming.agg import streaming_sketch_agg
+
+    path = str(tmp_path / "cs_src")
+    write_transcripts_parquet(path, n_turns=30_000, seed=17,
+                              rows_per_file=10_000)
+    schema = spark.read.parquet(path).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(path)
+              .select("role", "tool"))
+    fam = CountSketchFamily(width=1024, depth=5)
+    out = streaming_sketch_agg(stream, ["role"], "tool", fam)
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName("cs_stream").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["role"]: (r["f2_est"], r["n"]) for r in
+           spark.sql("""
+             select role, f2_est, n from (
+               select role, f2_est, n, rows_seen,
+                      row_number() over (partition by role
+                                         order by rows_seen desc) rk
+               from cs_stream) where rk = 1
+           """).collect()}
+
+    batch = spark.read.parquet(path).select("role", "tool").toPandas()
+    for role, grp in batch.groupby("role"):
+        sk = fam.make()
+        fam.update(sk, grp["tool"])
+        assert got[role] == fam.result(sk), role
