@@ -432,12 +432,29 @@ def q_hll_users_by_type_day_pure(spark, sf_dir):
 
 def q_cm_heavy_hitter_users(spark, sf_dir):
     """Count-Min top-10: exact top-10 keys with the CM overcount bound
-    (exact ≤ estimate ≤ exact + ⌈εN⌉) and candidate-set membership."""
+    (exact ≤ estimate ≤ exact + ⌈εN⌉) and candidate-set membership —
+    plus the TRENDING arm (operators/trending.py): exact top-10 by
+    exponentially-decayed score (calendrical dyadic-integer weights
+    2^(40 - age_halflives), half-life 7 days — TZ-free and
+    engine-portable by construction), verified by a WEIGHTED Count-Min
+    built in one shuffle-free scan. Both ranked lists join on rank;
+    DuckDB recomputes both exactly."""
+    from zetasketch_spark.operators.trending import decayed_topk_verified
     from zetasketch_spark.operators.verify import cm_topk_verified
 
     e = _t(spark, sf_dir, "events")
-    return cm_topk_verified(e, "user_id", k=10, width=4096, depth=5,
-                            max_candidates=256).withColumnRenamed("key", "user_id")
+    base = cm_topk_verified(e, "user_id", k=10, width=4096, depth=5,
+                            max_candidates=256) \
+        .withColumnRenamed("key", "user_id")
+    trend = decayed_topk_verified(e, "user_id", "ts", k=10,
+                                  half_life_days=7, cap=40, width=4096,
+                                  depth=5, max_candidates=256) \
+        .withColumnRenamed("key", "trend_user_id") \
+        .withColumnRenamed("decayed_weight", "trend_weight")
+    return base.join(trend, on="rank").select(
+        "user_id", "exact_count", "rank", "est_ok", "in_candidates",
+        "trend_user_id", "trend_weight", "trend_est_ok",
+        "trend_in_candidates")
 
 
 def q_cm_heavy_hitter_users_pure(spark, sf_dir):
@@ -2121,10 +2138,31 @@ def oracle_sql() -> dict[str, str]:
               SELECT user_id, exact_count,
                      row_number() OVER (ORDER BY exact_count DESC, user_id) AS rank
               FROM c
+            ), anchor AS (
+              SELECT CAST(max(ts) AS DATE) AS d FROM events
+            ), dec AS (
+              SELECT CAST(user_id AS VARCHAR) AS user_id,
+                     CAST(sum(CASE WHEN age BETWEEN 0 AND 40
+                              THEN CAST(pow(2, 40 - age) AS BIGINT)
+                              ELSE 0 END) AS BIGINT) AS trend_weight
+              FROM (SELECT user_id,
+                           CAST(floor(datediff('day', CAST(ts AS DATE),
+                                               (SELECT d FROM anchor))
+                                      / 7.0) AS BIGINT) AS age
+                    FROM events)
+              GROUP BY 1
+            ), dr AS (
+              SELECT user_id AS trend_user_id, trend_weight,
+                     row_number() OVER (ORDER BY trend_weight DESC,
+                                        user_id) AS rank
+              FROM dec WHERE trend_weight > 0
             )
-            SELECT user_id, exact_count, rank,
-                   true AS est_ok, true AS in_candidates
-            FROM r WHERE rank <= 10
+            SELECT r.user_id, r.exact_count, r.rank,
+                   true AS est_ok, true AS in_candidates,
+                   dr.trend_user_id, dr.trend_weight,
+                   true AS trend_est_ok, true AS trend_in_candidates
+            FROM r JOIN dr ON r.rank = dr.rank
+            WHERE r.rank <= 10
         """,
         "quantile_sketches": """
             SELECT 'kll' AS family, event_type, count(*) AS n_rows,

@@ -88,6 +88,37 @@ class CountMinSketch:
         self.candidates = {str(k): int(v) for k, v in
                            self._mg_prune_series(merged).items()}
 
+    def add_weighted_series(self, keys: pd.Series, weights: pd.Series) -> None:
+        """Weighted update: key k contributes weight w instead of 1 —
+        the CM guarantees hold verbatim with N = total weight (Cormode &
+        Muthukrishnan 2005 treat updates as (key, count) pairs), and the
+        Misra-Gries candidate prune stays mergeable for any positive
+        integer weights (Agarwal et al., 'Mergeable Summaries', cover
+        weighted MG). Rows with null key/weight or weight <= 0 are
+        dropped. Unlike add_series, keys feed the counters in sorted
+        canonical order (groupby), so this path is deterministic but not
+        byte-interchangeable with an unweighted build's candidate
+        ordering."""
+        from zetasketch_spark.hashing import canon_key_series
+
+        keys = pd.Series(keys)
+        weights = pd.Series(weights)
+        mask = keys.notna() & weights.notna() & (weights > 0)
+        keys, weights = keys[mask], weights[mask].astype("int64")
+        if len(keys) == 0:
+            return
+        ws = weights.groupby(keys.to_numpy()).sum()
+        ws.index = canon_key_series(pd.Series(ws.index.to_numpy())).to_numpy()
+        if not ws.index.is_unique:
+            ws = ws.groupby(level=0).sum()
+        counts = ws.to_numpy(dtype=np.int64)
+        self._add_hashed(fingerprint_str_series(ws.index.to_series()), counts)
+        self.total += int(counts.sum())
+        cur = pd.Series(self.candidates, dtype="int64")
+        merged = ws.add(cur, fill_value=0).astype("int64") if len(cur) else ws
+        self.candidates = {str(k): int(v) for k, v in
+                           self._mg_prune_series(merged).items()}
+
     def _add_hashed(self, hashes: np.ndarray, counts: np.ndarray) -> None:
         h1 = hashes & np.uint64(0xFFFFFFFF)
         h2 = (hashes >> np.uint64(32)) | np.uint64(1)  # odd
