@@ -30,11 +30,12 @@ def main(argv=None):
     ap.add_argument("--sparse-precision", type=int, default=None)
     ap.add_argument("--family", default="hll",
                     choices=["hll", "theta", "kll", "tdigest", "ddsketch",
-                             "countmin", "bloom"],
+                             "countmin", "bloom", "countsketch"],
                     help="sketch family; hll takes --precision/"
                          "--sparse-precision, theta takes --k, the rest "
                          "use their defaults (kll/tdigest/ddsketch need a "
-                         "numeric --col)")
+                         "numeric --col; countsketch surfaces the group's "
+                         "AMS F2 second moment)")
     ap.add_argument("--k", type=int, default=4096, help="theta nominal size")
     ap.add_argument("--alpha", type=float, default=0.01,
                     help="ddsketch relative-error bound")
@@ -49,6 +50,20 @@ def main(argv=None):
                          "the one scan maintains a persistent table per "
                          "spec under DIR/<name>; incompatible with "
                          "--checkpoint-dir")
+    ap.add_argument("--trending", action="store_true",
+                    help="time-decayed top keys instead of a sketch "
+                         "aggregation (operators/trending.py): ranks "
+                         "--col by the exact dyadic decayed score "
+                         "2^(--cap - age_halflives) of each row's ts, "
+                         "certified by a weighted Count-Min; ignores "
+                         "--keys/--family")
+    ap.add_argument("--half-life", type=int, default=7, metavar="DAYS",
+                    help="with --trending: decay half-life in days")
+    ap.add_argument("--cap", type=int, default=40,
+                    help="with --trending: max age in half-lives (rows "
+                         "older contribute 0; keep cap + log2(rows) < 63)")
+    ap.add_argument("--top", type=int, default=10,
+                    help="with --trending: number of keys to report")
     ap.add_argument("--output", default=None)
     ap.add_argument("--tree-levels", type=int, default=1)
     # the two persistence modes are exclusive: --checkpoint-dir resumes a
@@ -77,6 +92,11 @@ def main(argv=None):
                  "(partition-resume checkpoints are single-family); "
                  "use --multi with --sketch-table for persistent "
                  "multi-family maintenance")
+    if args.trending and (args.multi or args.sketch_table
+                          or args.checkpoint_dir):
+        ap.error("--trending is a one-shot ranked report; it cannot be "
+                 "combined with --multi / --sketch-table / "
+                 "--checkpoint-dir")
 
     from pyspark.sql import SparkSession
 
@@ -98,6 +118,23 @@ def main(argv=None):
         return get_family(name, **extra)
 
     keys = [k.strip() for k in args.keys.split(",") if k.strip()]
+
+    if args.trending:
+        from zetasketch_spark.operators.trending import decayed_topk_verified
+        from zetasketch_spark.sources.transcripts import load_transcripts
+
+        result = decayed_topk_verified(
+            load_transcripts(spark, args.input), args.col, "ts",
+            k=args.top, half_life_days=args.half_life, cap=args.cap)
+        if args.output:
+            result.write.mode("overwrite").parquet(args.output)
+            print(f"WROTE {args.output}")
+        else:
+            for row in result.orderBy("rank").collect():
+                print("ROW " + json.dumps(
+                    {k: str(row[k]) for k in row.asDict()}))
+        spark.stop()
+        return
 
     if args.multi:
         specs = {}

@@ -273,3 +273,17 @@ def test_cs_join_size_operator_vs_exact(spark):
         width=4096, depth=5).collect()
     assert row["n_a"] == len(a) and row["n_b"] == len(b)
     assert abs(row["cs_est_join_size"] - exact) <= 4 * row["std_bound"]
+
+
+def test_weighted_add_byte_equals_repetition():
+    """add_weighted_series(k, w) serializes BYTE-identically to adding k
+    w times — signed counters have no candidate-ordering caveat, so the
+    weighted path inherits every determinism guarantee; null/zero/
+    negative-weight rows drop."""
+    a = CountSketch(width=256, depth=5)
+    a.add_weighted_series(pd.Series(["x", "y", None, "z", "x"]),
+                          pd.Series([3, 5, 9, 0, 4], dtype="object"))
+    b = CountSketch(width=256, depth=5)
+    b.add_series(pd.Series(["x"] * 7 + ["y"] * 5))
+    assert a.serialize() == b.serialize()
+    assert a.total == 12

@@ -166,6 +166,30 @@ def test_spark_submit_multi_one_scan(tmp_path):
         assert r["rows_seen"] == n
         assert abs(r["lens_q50"] - med) <= 0.02 * med + 1.0, (role, r, med)
 
+    # --trending over the same input/zip: exact dyadic decayed top tools
+    # certified by the weighted CM (operators/trending.py), through the
+    # same spark-submit surface
+    tout = str(tmp_path / "trend_out")
+    _run_job(zip_path, ["--input", inp, "--trending", "--col", "tool",
+                        "--top", "5", "--output", tout])
+    trows = sorted(pq.read_table(tout).to_pylist(), key=lambda r: r["rank"])
+    assert [r["rank"] for r in trows] == [1, 2, 3, 4, 5]
+    assert all(r["trend_est_ok"] and r["trend_in_candidates"]
+               for r in trows)
+    # the synthetic transcripts span few days, so age 0 dominates and the
+    # decayed ranking's top key must be the raw-frequency top tool among
+    # anchor-week rows — recompute the exact dyadic score in DuckDB
+    (top_tool, top_w), = con.execute(
+        "WITH a AS (SELECT CAST(max(ts) AS DATE) AS d FROM "
+        f"read_parquet('{inp}/*.parquet')) "
+        "SELECT tool, CAST(sum(CAST(pow(2, 40 - CAST(floor(datediff('day',"
+        " CAST(ts AS DATE), (SELECT d FROM a)) / 7.0) AS BIGINT)) AS "
+        "BIGINT)) AS BIGINT) AS w FROM "
+        f"read_parquet('{inp}/*.parquet') WHERE tool IS NOT NULL "
+        "GROUP BY tool ORDER BY w DESC, tool LIMIT 1").fetchall()
+    assert trows[0]["key"] == top_tool
+    assert trows[0]["decayed_weight"] == top_w
+
 
 @pytest.mark.skipif(spark_submit is None, reason="spark-submit not on PATH")
 def test_spark_submit_multi_sketch_table(tmp_path):

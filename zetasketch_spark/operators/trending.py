@@ -83,9 +83,13 @@ def decayed_topk_verified(df: DataFrame, key_col: str, ts_col: str,
     if anchor is None:
         return spark.createDataFrame([], out_schema)
 
+    # null keys carry no identity to rank (a null tool is "no tool") —
+    # drop them on BOTH the exact and sketch paths, matching
+    # add_weighted_series's null semantics
     wdf = df.select(
         F.col(key_col).cast("string").alias("key"),
-        decayed_weight_col(ts_col, anchor, half_life_days, cap).alias("w"))
+        decayed_weight_col(ts_col, anchor, half_life_days, cap).alias("w")) \
+        .filter(F.col("key").isNotNull())
 
     def partial_fn(batches):
         cm = CountMinSketch(width=width, depth=depth,

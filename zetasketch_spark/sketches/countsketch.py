@@ -131,6 +131,29 @@ class CountSketch:
         self._add_hashed(fingerprint_str_series(vc.index.to_series()),
                          vc.to_numpy(dtype=np.int64))
 
+    def add_weighted_series(self, keys: pd.Series, weights: pd.Series) -> None:
+        """Weighted update: key k contributes weight w instead of 1 — the
+        estimators stay unbiased with f_x = the key's total weight (AMS
+        treat updates as (key, delta) pairs), and, unlike Count-Min's
+        weighted path, the state remains BYTE-identical to adding k
+        w times (signed counters, no candidate ordering). Rows with null
+        key/weight or weight <= 0 are dropped."""
+        from zetasketch_spark.hashing import (canon_key_series,
+                                              fingerprint_str_series)
+
+        keys = pd.Series(keys)
+        weights = pd.Series(weights)
+        mask = keys.notna() & weights.notna() & (weights > 0)
+        keys, weights = keys[mask], weights[mask].astype("int64")
+        if len(keys) == 0:
+            return
+        ws = weights.groupby(keys.to_numpy()).sum()
+        ws.index = canon_key_series(pd.Series(ws.index.to_numpy())).to_numpy()
+        if not ws.index.is_unique:
+            ws = ws.groupby(level=0).sum()
+        self._add_hashed(fingerprint_str_series(ws.index.to_series()),
+                         ws.to_numpy(dtype=np.int64))
+
     def _add_hashed(self, hashes: np.ndarray, counts: np.ndarray) -> None:
         h1, h2, signbits = self._derive(hashes)
         for i in range(self.depth):
