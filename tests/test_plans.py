@@ -275,3 +275,22 @@ def test_bloom_prefilter_ships_key_column_only(spark):
     # the join node in the tree rendering
     join_pos = plan.find("Join")
     assert join_pos != -1 and plan.find("ArrowEvalPython") > join_pos, plan
+
+
+def test_exact_topk_ranking_is_take_ordered_not_global_window(spark):
+    """The exact ranked-list shape used by cm_topk_verified and
+    decayed_topk_verified — groupBy-agg -> orderBy desc -> limit k —
+    must compile to TakeOrderedAndProject (per-partition heaps), never a
+    global sort or a single-partition row_number window: the distinct
+    key set is unbounded at 10^12 rows."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(pd.DataFrame(
+        {"key": [f"k{i % 50}" for i in range(2000)],
+         "w": [1] * 2000}))
+    plan = (df.groupBy("key").agg(F.sum("w").alias("s"))
+            .orderBy(F.col("s").desc(), "key").limit(10)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan

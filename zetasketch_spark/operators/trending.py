@@ -40,7 +40,7 @@ import math
 
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 
 
 def decayed_weight_col(ts_col: str, anchor_date, half_life_days: int = 7,
@@ -112,20 +112,21 @@ def decayed_topk_verified(df: DataFrame, key_col: str, ts_col: str,
     if acc is None or acc.total == 0:
         return spark.createDataFrame([], out_schema)
 
-    win = Window.orderBy(F.col("decayed_weight").desc(), F.col("key"))
+    # orderBy + limit -> TakeOrderedAndProject (per-partition heaps, no
+    # global sort or single-partition rank window over the unbounded key
+    # set); ranks come from the already-sorted driver list
     top = (wdf.groupBy("key").agg(F.sum("w").alias("decayed_weight"))
            .filter(F.col("decayed_weight") > 0)
-           .withColumn("rank", F.row_number().over(win))
-           .filter(F.col("rank") <= k)
-           .collect())
+           .orderBy(F.col("decayed_weight").desc(), F.col("key"))
+           .limit(k).collect())
     est = acc.point_query_series(pd.Series([r["key"] for r in top]))
     # same slack convention as cm_topk_verified: doubling the published
     # eps*N drives the per-key gate failure probability to ~e^-2depth
     slack = math.ceil(2 * math.e / width * acc.total)
-    rows = [[r["key"], r["decayed_weight"], r["rank"],
+    rows = [[r["key"], r["decayed_weight"], i + 1,
              bool(r["decayed_weight"] <= e <= r["decayed_weight"] + slack),
              r["key"] in acc.candidates]
-            for r, e in zip(top, est)]
+            for i, (r, e) in enumerate(zip(top, est))]
     return spark.createDataFrame(
         pd.DataFrame(rows, columns=out_cols).astype(
             {"key": str, "decayed_weight": "int64", "rank": "int64"}),

@@ -225,22 +225,23 @@ def cm_topk_verified(df: DataFrame, key_col: str, k: int,
     [row] = merged.collect()
     cm = fam.deserialize(bytes(row["sketch"]))
 
-    w = Window.orderBy(F.col("exact_count").desc(), F.col("key"))
-    exact = (
-        keyed.groupBy("key").agg(F.count("*").alias("exact_count"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
-    top = exact.collect()
+    # orderBy + limit compiles to TakeOrderedAndProject (per-partition
+    # heaps, no global sort): the key set after the groupBy is unbounded
+    # at 10^12 rows, so a global row_number window (one partition holding
+    # EVERY distinct key) is the wrong plan; ranks are assigned from the
+    # already-sorted driver list instead
+    top = (keyed.groupBy("key").agg(F.count("*").alias("exact_count"))
+           .orderBy(F.col("exact_count").desc(), F.col("key"))
+           .limit(k).collect())
     est = cm.point_query_series(pd.Series([r["key"] for r in top]))
     # the published bound is P(over > eN) <= e^-depth per key; doubling
     # the slack drives the per-key gate failure probability to ~e^-2depth
     slack = math.ceil(2 * math.e / width * cm.total)
     rows = [
-        [r["key"], r["exact_count"], r["rank"],
+        [r["key"], r["exact_count"], i + 1,
          bool(r["exact_count"] <= e <= r["exact_count"] + slack),
          r["key"] in cm.candidates]
-        for r, e in zip(top, est)
+        for i, (r, e) in enumerate(zip(top, est))
     ]
     spark = df.sparkSession
     return spark.createDataFrame(
