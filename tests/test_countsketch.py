@@ -287,3 +287,25 @@ def test_weighted_add_byte_equals_repetition():
     b.add_series(pd.Series(["x"] * 7 + ["y"] * 5))
     assert a.serialize() == b.serialize()
     assert a.total == 12
+
+
+def test_cs_join_size_partitioning_invariant_with_tree_fold(spark):
+    """_global_sketch's bounded fan-in: 100-partition inputs (past
+    fan_in=64, taking the salted executor-side tree) produce the same
+    estimate as 4-partition inputs — CountSketch states are pure
+    addition, so the global state is partitioning-invariant."""
+    from zetasketch_spark.operators.joinprofile import cs_join_size_estimate
+
+    a = pd.DataFrame({"ka": np.repeat(np.arange(200), 3)})
+    b = pd.DataFrame({"kb": np.repeat(np.arange(100, 300), 2)})
+    few = cs_join_size_estimate(
+        spark.createDataFrame(a).repartition(4), "ka",
+        spark.createDataFrame(b).repartition(4), "kb",
+        width=1024, depth=5).collect()[0]
+    many = cs_join_size_estimate(
+        spark.createDataFrame(a).repartition(100), "ka",
+        spark.createDataFrame(b).repartition(100), "kb",
+        width=1024, depth=5).collect()[0]
+    assert tuple(few) == tuple(many)
+    exact = 100 * 3 * 2
+    assert abs(few["cs_est_join_size"] - exact) <= 4 * few["std_bound"]

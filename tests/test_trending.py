@@ -149,3 +149,22 @@ def test_decayed_topk_tz_invariance(spark):
     finally:
         spark.conf.set("spark.sql.session.timeZone", prior)
     assert a == b
+
+
+def test_decayed_topk_partitioning_invariant_with_tree_fold(spark):
+    """4-partition and 100-partition builds (the latter crossing the
+    fan_in=64 threshold into the executor-side fold stage) produce the
+    identical ranked report — CM counter addition and the weighted
+    Misra-Gries candidate union are order-free."""
+    from zetasketch_spark.operators.trending import decayed_topk_verified
+
+    pdf = pd.DataFrame({
+        "k": [f"u{i % 30}" for i in range(3000)],
+        "ts": pd.to_datetime("2024-04-01") + pd.to_timedelta(
+            np.arange(3000) * 131 % (30 * 86400), unit="s"),
+    })
+    few = spark.createDataFrame(pdf).repartition(4)
+    many = spark.createDataFrame(pdf).repartition(100)
+    a = [tuple(r) for r in decayed_topk_verified(few, "k", "ts", k=8).collect()]
+    b = [tuple(r) for r in decayed_topk_verified(many, "k", "ts", k=8).collect()]
+    assert a == b and len(a) == 8

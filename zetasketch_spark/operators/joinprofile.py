@@ -66,26 +66,29 @@ def join_key_profile(df_a: DataFrame, key_a: str, df_b: DataFrame,
 
 
 def _global_cm(df: DataFrame, key: str, width: int, depth: int):
-    from zetasketch_spark.operators.agg import SKETCH_COL, sketch_partial
-    from zetasketch_spark.sketches.countmin import CountMinFamily, CountMinSketch
+    from zetasketch_spark.sketches.countmin import CountMinFamily
 
-    fam = CountMinFamily(width=width, depth=depth, max_candidates=8)
-    acc: CountMinSketch | None = None
-    for row in sketch_partial(df, [], key, fam).collect():
-        if row[SKETCH_COL] is None:
-            continue
-        part = CountMinSketch.deserialize(bytes(row[SKETCH_COL]))
-        acc = part if acc is None else fam.merge(acc, part)
-    return acc or CountMinSketch(width=width, depth=depth, max_candidates=8)
+    return _global_sketch(
+        df, key, CountMinFamily(width=width, depth=depth, max_candidates=8))
 
 
-def _global_sketch(df: DataFrame, key: str, fam):
-    """One shuffle-free scan -> per-partition partials -> driver merge
-    (the join_key_profile execution shape, family-generic)."""
-    from zetasketch_spark.operators.agg import SKETCH_COL, sketch_partial
+def _global_sketch(df: DataFrame, key: str, fam, fan_in: int = 64):
+    """One shuffle-free scan -> per-partition partials -> global state
+    (the join_key_profile execution shape, family-generic). Up to
+    ``fan_in`` input partitions the driver merges the partial blobs
+    directly; beyond that the salted executor-side tree
+    (``agg.sketch_merge`` tree_levels=2) folds them first, so the driver
+    never holds O(partitions) states — at 10^5+ partitions a direct
+    collect of ~100KB-per-partition counter blocks is gigabytes."""
+    from zetasketch_spark.operators.agg import (SKETCH_COL, sketch_merge,
+                                                sketch_partial)
 
+    partials = sketch_partial(df, [], key, fam)
+    if df.rdd.getNumPartitions() > fan_in:
+        partials = sketch_merge(partials, [], fam, tree_levels=2,
+                                fan_in=fan_in)
     acc = None
-    for row in sketch_partial(df, [], key, fam).collect():
+    for row in partials.collect():
         if row[SKETCH_COL] is None:
             continue
         part = fam.deserialize(bytes(row[SKETCH_COL]))

@@ -102,8 +102,29 @@ def decayed_topk_verified(df: DataFrame, key_col: str, ts_col: str,
         if seen:
             yield pd.DataFrame({"sketch": [cm.serialize()]})
 
+    parts = wdf.mapInPandas(partial_fn, "sketch binary")
+    fan_in = 64
+    if wdf.rdd.getNumPartitions() > fan_in:
+        # bound the driver's fan-in: fold the O(partitions) partial blobs
+        # executor-side first (CM merge is commutative addition and the
+        # weighted Misra-Gries candidate union is order-free, so the
+        # folded state is partitioning-independent)
+        def fold_fn(batches):
+            acc = None
+            for pdf in batches:
+                for b in pdf["sketch"]:
+                    part = CountMinSketch.deserialize(bytes(b))
+                    if acc is None:
+                        acc = part
+                    else:
+                        acc.merge(part)
+            if acc is not None:
+                yield pd.DataFrame({"sketch": [acc.serialize()]})
+
+        parts = parts.repartition(fan_in).mapInPandas(fold_fn,
+                                                      "sketch binary")
     acc = None
-    for row in wdf.mapInPandas(partial_fn, "sketch binary").collect():
+    for row in parts.collect():
         part = CountMinSketch.deserialize(bytes(row["sketch"]))
         if acc is None:
             acc = part
