@@ -381,12 +381,23 @@ def q_ann_cosine_topk(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def q_hll_users_by_type(spark, sf_dir):
-    """HLL++ p=14 approx COUNT DISTINCT per type, checked against the exact
-    distinct within the published 1.04/√2^p envelope."""
+    """HLL++ approx COUNT DISTINCT at BOTH grains in one report (the
+    round-5 registry merge of the former hll_users_by_type /
+    hll_users_by_type_day near-twins): per type at p=14 (day='(all)')
+    unioned with per (type, day) at p=12 through the salted two-level
+    tree merge — each row envelope-checked against the exact distinct
+    within the published 1.04/√2^p."""
     from zetasketch_spark.operators.verify import hll_verified
 
     e = _t(spark, sf_dir, "events")
-    return hll_verified(e, ["event_type"], "user_id", precision=14)
+    coarse = hll_verified(e, ["event_type"], "user_id", precision=14) \
+        .withColumn("day", F.lit("(all)"))
+    fine = hll_verified(
+        e.withColumn("day", F.date_format("ts", "yyyy-MM-dd")),
+        ["event_type", "day"], "user_id", precision=12, tree_levels=2)
+    cols = ["event_type", "day", "n_rows", "exact_distinct",
+            "within_envelope"]
+    return coarse.select(*cols).unionByName(fine.select(*cols))
 
 
 def q_hll_users_by_type_pure(spark, sf_dir):
@@ -473,6 +484,66 @@ def q_cm_heavy_hitter_users_pure(spark, sf_dir):
     return spark.createDataFrame(
         pd.DataFrame(top, columns=["user_id", "est_count"]).astype(
             {"user_id": str, "est_count": "int64"}))
+
+
+def q_events_retention(spark, sf_dir):
+    """Day-over-day retention/churn (operators/retention.py): daily
+    theta sketches from ONE scan answer |prev ∩ cur| / |cur ∖ prev| /
+    |prev ∖ cur| per calendar-consecutive day pair. DuckDB recomputes
+    the exact set algebra; booleans pin the KMV envelopes (actives
+    within 4/√(k−1) relative; retained/new/churned within
+    4·rse·max(|prev|,|cur|) + 2 absolute of exact, rse = the
+    intersection sample's own error estimate) and that the sketch
+    report emits exactly the calendar-consecutive pairs."""
+    import datetime
+
+    from zetasketch_spark.operators.retention import retention_report
+
+    e = _t(spark, sf_dir, "events")
+    k = 4096
+    rep = {(r["day_prev"], r["day"]): r
+           for r in retention_report(e, "user_id", "ts", k=k).collect()}
+
+    d = e.select(F.date_format("ts", "yyyy-MM-dd").alias("day"),
+                 "user_id").distinct()
+    act = {r["day"]: r["active"] for r in
+           d.groupBy("day").agg(F.count("*").alias("active")).collect()}
+    shifted = d.select(
+        F.date_format(F.date_add(F.to_date("day"), 1),
+                      "yyyy-MM-dd").alias("day"), "user_id")
+    ret = {r["day"]: r["retained"] for r in
+           shifted.join(d, ["day", "user_id"]).groupBy("day")
+           .agg(F.count("*").alias("retained")).collect()}
+
+    tol_day = 4.0 / math.sqrt(k - 1)
+    days = sorted(act)
+    rows = []
+    for prev, cur in zip(days, days[1:]):
+        if (datetime.date.fromisoformat(cur)
+                - datetime.date.fromisoformat(prev)).days != 1:
+            continue
+        ap, ac = int(act[prev]), int(act[cur])
+        rt = int(ret.get(cur, 0))
+        est = rep.get((prev, cur))
+        ok_act = (est is not None
+                  and abs(est["active_prev"] / ap - 1.0) <= tol_day
+                  and abs(est["active"] / ac - 1.0) <= tol_day)
+        slack = (4.0 * est["rse"] * max(ap, ac) + 2 if est is not None
+                 else 0.0)
+        ok_parts = (est is not None
+                    and abs(est["retained"] - rt) <= slack
+                    and abs(est["new_users"] - (ac - rt)) <= slack
+                    and abs(est["churned"] - (ap - rt)) <= slack)
+        rows.append([prev, cur, ap, ac, rt, ac - rt, ap - rt,
+                     bool(ok_act), bool(ok_parts)])
+    pairs_match = set(rep) == {(r[0], r[1]) for r in rows}
+    return spark.createDataFrame(
+        [[*r, bool(pairs_match)] for r in rows],
+        schema="day_prev string, day string, exact_active_prev bigint, "
+               "exact_active bigint, exact_retained bigint, "
+               "exact_new bigint, exact_churned bigint, "
+               "actives_within_envelope boolean, "
+               "parts_within_envelope boolean, pairs_match boolean")
 
 
 def q_kll_value_quantiles(spark, sf_dir):
@@ -1697,7 +1768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # guarantee booleans; see module docstring)
         "hll_users_by_type": q_hll_users_by_type,
         "hll_pair_distinct": q_hll_pair_distinct,
-        "hll_users_by_type_day": q_hll_users_by_type_day,
+        "events_retention": q_events_retention,
         "hll_sql_surface": q_hll_sql_surface,
         "incremental_sketch_table": q_incremental_sketch_table,
         "theta_set_ops": q_theta_set_ops,
@@ -2106,10 +2177,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         # --- self-verifying sketch queries: exact columns + literal true ---
         "hll_users_by_type": """
-            SELECT event_type, count(*) AS n_rows,
+            SELECT event_type, '(all)' AS day, count(*) AS n_rows,
                    count(DISTINCT user_id) AS exact_distinct,
                    true AS within_envelope
             FROM events GROUP BY event_type
+            UNION ALL
+            SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                   count(*) AS n_rows,
+                   count(DISTINCT user_id) AS exact_distinct,
+                   true AS within_envelope
+            FROM events GROUP BY 1, 2
         """,
         "hll_pair_distinct": """
             SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_rows,
@@ -2118,12 +2195,37 @@ def oracle_sql() -> dict[str, str]:
                    true AS within_envelope
             FROM events GROUP BY day
         """,
-        "hll_users_by_type_day": """
-            SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
-                   count(*) AS n_rows,
-                   count(DISTINCT user_id) AS exact_distinct,
-                   true AS within_envelope
-            FROM events GROUP BY 1, 2
+        "events_retention": """
+            WITH d AS (
+              SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day, user_id
+              FROM events
+            ), act AS (
+              SELECT day, count(*) AS active FROM d GROUP BY day
+            ), ret AS (
+              SELECT b.day AS day, count(*) AS retained
+              FROM d a JOIN d b ON b.user_id = a.user_id
+                AND CAST(b.day AS DATE) = CAST(a.day AS DATE)
+                    + INTERVAL 1 DAY
+              GROUP BY b.day
+            ), pairs AS (
+              SELECT p.day AS day_prev, c.day AS day,
+                     p.active AS ap, c.active AS ac
+              FROM act p JOIN act c
+                ON CAST(c.day AS DATE) = CAST(p.day AS DATE)
+                   + INTERVAL 1 DAY
+            )
+            SELECT day_prev, pairs.day AS day,
+                   CAST(ap AS BIGINT) AS exact_active_prev,
+                   CAST(ac AS BIGINT) AS exact_active,
+                   CAST(coalesce(r.retained, 0) AS BIGINT)
+                       AS exact_retained,
+                   CAST(ac - coalesce(r.retained, 0) AS BIGINT) AS exact_new,
+                   CAST(ap - coalesce(r.retained, 0) AS BIGINT)
+                       AS exact_churned,
+                   true AS actives_within_envelope,
+                   true AS parts_within_envelope,
+                   true AS pairs_match
+            FROM pairs LEFT JOIN ret r ON r.day = pairs.day
         """,
         "hll_sql_surface": """
             SELECT event_type, count(DISTINCT user_id) AS exact_users,

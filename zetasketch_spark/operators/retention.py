@@ -1,0 +1,80 @@
+"""Day-over-day retention / churn from daily theta sketches.
+
+The product-analytics question behind the north-star's "distinct
+conv_id/user per role and time bucket": *of the users active on day d,
+how many came back on day d+1, how many churned, how many on d+1 are
+new?* Exactly (COUNT DISTINCT self-joins per day pair) this is
+O(days²·users) and re-scans the table per pair; with theta (KMV)
+sketches it is ONE scan — per-day partials, ≤ fan_in merge — and every
+set operation happens driver-side on k-sized samples, because theta
+sketches (unlike HLL) support DIRECT intersection / difference with
+per-op error estimates (`sketches/theta.py:132,143`).
+
+Estimates carry the KMV relative standard error of the FINAL sample
+(`rse = sqrt(1/(kept-1))` on the intersection's own retained-hash
+count), so each row is self-describing: retained/churned/new are
+point estimates, `rse` bounds them.
+
+Scale shape: the per-day sketch table is bounded (days × k hashes);
+the scan itself is the same salted partial→merge tree every family
+uses (no shuffle of raw keys; hot days absorb into partials)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+_SCHEMA = ("day_prev string, day string, active_prev bigint, "
+           "active bigint, retained bigint, new_users bigint, "
+           "churned bigint, retention_rate double, rse double")
+
+
+def retention_report(df: DataFrame, key_col: str, ts_col: str,
+                     k: int = 4096) -> DataFrame:
+    """One row per consecutive calendar-day pair present in the data:
+    ``active_prev/active`` (per-day distinct estimates), ``retained``
+    (|prev ∩ cur|), ``new_users`` (|cur ∖ prev|), ``churned``
+    (|prev ∖ cur|), ``retention_rate`` = retained / active_prev, and the
+    intersection sample's rse. Only CALENDAR-consecutive pairs are
+    emitted (day-over-day means day+1; a gap in the data is not a
+    retention pair); inputs spanning < 2 consecutive days return an
+    empty frame."""
+    from zetasketch_spark.operators.agg import (SKETCH_COL, sketch_merge,
+                                                sketch_partial)
+    from zetasketch_spark.sketches.theta import ThetaFamily
+
+    spark = df.sparkSession
+    fam = ThetaFamily(k=k)
+    keyed = df.select(
+        F.date_format(F.col(ts_col), "yyyy-MM-dd").alias("day"),
+        F.col(key_col)).filter(F.col("day").isNotNull())
+    merged = sketch_merge(
+        sketch_partial(keyed, ["day"], key_col, fam), ["day"], fam,
+        tree_levels=2)
+    # one sketch per calendar day — bounded (365/decade-scale), so the
+    # pairwise set ops run driver-side on k-sized hash samples
+    sketches = {r["day"]: fam.deserialize(bytes(r[SKETCH_COL]))
+                for r in merged.collect() if r[SKETCH_COL] is not None}
+    import datetime
+
+    days = sorted(sketches)
+    rows = []
+    for prev, cur in zip(days, days[1:]):
+        if (datetime.date.fromisoformat(cur)
+                - datetime.date.fromisoformat(prev)).days != 1:
+            continue
+        a, b = sketches[prev], sketches[cur]
+        inter = a.intersect(b)
+        retained = inter.estimate()
+        active_prev = a.estimate()
+        rows.append([
+            prev, cur, active_prev, b.estimate(), retained,
+            b.a_not_b(a).estimate(), a.a_not_b(b).estimate(),
+            float(retained / active_prev) if active_prev else 0.0,
+            float(inter.rse()),
+        ])
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=[c.split()[0] for c in
+                                    _SCHEMA.split(", ")])
+        if rows else [], schema=_SCHEMA)
