@@ -546,6 +546,25 @@ def q_events_retention(spark, sf_dir):
                "parts_within_envelope boolean, pairs_match boolean")
 
 
+def q_events_retention_pure(spark, sf_dir):
+    """Bench twin: the one-scan sketch retention report itself (the gate
+    version's exact set-algebra companions would dominate the timing)."""
+    from zetasketch_spark.operators.retention import retention_report
+
+    return retention_report(_t(spark, sf_dir, "events"), "user_id", "ts",
+                            k=4096)
+
+
+def q_events_trending_bench(spark, sf_dir):
+    """Bench row: the decayed top-10 users report (exact dyadic ranking
+    + weighted-CM certificate — the certificate IS the operator here,
+    not an oracle)."""
+    from zetasketch_spark.operators.trending import decayed_topk_verified
+
+    return decayed_topk_verified(_t(spark, sf_dir, "events"), "user_id",
+                                 "ts", k=10)
+
+
 def q_kll_value_quantiles(spark, sf_dir):
     """KLL quantiles rank-bracket-checked against the raw data (±ε rank),
     with the exact interpolated median as the oracle-hashable companion."""
@@ -1823,6 +1842,8 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cm_heavy_hitter_users": q_cm_heavy_hitter_users_pure,
         "kll_value_quantiles": q_kll_value_quantiles_pure,
         "tdigest_value_quantiles": q_tdigest_value_quantiles_pure,
+        "events_retention": q_events_retention_pure,
+        "events_trending": q_events_trending_bench,
         "multi_stats_by_type": q_multi_stats_by_type_pure,
         "bloom_membership": q_bloom_membership_pure,
         "simhash_near_dups": q_simhash_near_dups_pure,

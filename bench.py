@@ -337,7 +337,8 @@ def main():
              "docs_pii_scrub", "events_sessions", "docs_lm_quality",
              "docs_weighted_sample", "docs_pack_sequences", "docs_filter_report",
              "theta_set_ops", "docs_uniform_sample", "events_analyze",
-             "join_profile", "events_skew_report", "docs_stratified_sample"]
+             "join_profile", "events_skew_report", "docs_stratified_sample",
+             "events_retention", "events_trending"]
     extra_timings: dict[str, float] = {}
 
     # the remaining north-star query shapes on the SAME transcripts table:

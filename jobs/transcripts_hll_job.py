@@ -64,6 +64,15 @@ def main(argv=None):
                          "older contribute 0; keep cap + log2(rows) < 63)")
     ap.add_argument("--top", type=int, default=10,
                     help="with --trending: number of keys to report")
+    ap.add_argument("--retention", action="store_true",
+                    help="day-over-day retention/churn report instead of "
+                         "a sketch aggregation (operators/retention.py): "
+                         "per-day theta sketches of --col from one scan; "
+                         "ignores --keys/--family; --horizons picks the "
+                         "cohort offsets")
+    ap.add_argument("--horizons", default="1",
+                    help="with --retention: comma-separated day offsets, "
+                         "e.g. '1,7,30' for the cohort curve")
     ap.add_argument("--output", default=None)
     ap.add_argument("--tree-levels", type=int, default=1)
     # the two persistence modes are exclusive: --checkpoint-dir resumes a
@@ -97,6 +106,11 @@ def main(argv=None):
         ap.error("--trending is a one-shot ranked report; it cannot be "
                  "combined with --multi / --sketch-table / "
                  "--checkpoint-dir")
+    if args.retention and (args.trending or args.multi or args.sketch_table
+                           or args.checkpoint_dir):
+        ap.error("--retention is a one-shot report; it cannot be combined "
+                 "with --trending / --multi / --sketch-table / "
+                 "--checkpoint-dir")
 
     from pyspark.sql import SparkSession
 
@@ -118,6 +132,24 @@ def main(argv=None):
         return get_family(name, **extra)
 
     keys = [k.strip() for k in args.keys.split(",") if k.strip()]
+
+    if args.retention:
+        from zetasketch_spark.operators.retention import retention_report
+        from zetasketch_spark.sources.transcripts import load_transcripts
+
+        horizons = tuple(int(h) for h in args.horizons.split(","))
+        result = retention_report(load_transcripts(spark, args.input),
+                                  args.col, "ts", k=args.k,
+                                  horizons=horizons)
+        if args.output:
+            result.write.mode("overwrite").parquet(args.output)
+            print(f"WROTE {args.output}")
+        else:
+            for row in result.orderBy("horizon", "day_prev").collect():
+                print("ROW " + json.dumps(
+                    {k: str(row[k]) for k in row.asDict()}))
+        spark.stop()
+        return
 
     if args.trending:
         from zetasketch_spark.operators.trending import decayed_topk_verified

@@ -95,3 +95,32 @@ def test_retention_report_sampling_regime(spark):
     assert abs(r["retained"] / 3000 - 1) <= tol
     assert abs(r["new_users"] / 2000 - 1) <= tol
     assert abs(r["churned"] / 2000 - 1) <= tol
+
+
+def test_retention_report_cohort_horizons(spark):
+    """horizons=(1, 3): all horizons reuse the same daily sketches; the
+    3-day pair skips the missing intermediate days and matches its own
+    exact overlap; horizon < 1 is rejected."""
+    import pytest
+
+    from zetasketch_spark.operators.retention import retention_report
+
+    df = spark.createDataFrame(_panel({
+        "2024-05-01": range(0, 800),
+        "2024-05-02": range(600, 1200),   # h=1: 200 retained
+        "2024-05-04": range(700, 1500),   # h=3 from 05-01: 100 retained
+    }))
+    rows = {(r["horizon"], r["day_prev"], r["day"]): r
+            for r in retention_report(df, "user", "ts", k=2048,
+                                      horizons=(1, 3)).collect()}
+    assert set(rows) == {
+        (1, "2024-05-01", "2024-05-02"),
+        (3, "2024-05-01", "2024-05-04"),
+    }  # 05-02 -> 05-04 is h=2: not requested; 05-02 h=3 day absent
+    r1 = rows[(1, "2024-05-01", "2024-05-02")]
+    r3 = rows[(3, "2024-05-01", "2024-05-04")]
+    assert abs(r1["retained"] / 200 - 1) <= 4 * max(r1["rse"], 0.05)
+    assert abs(r3["retained"] / 100 - 1) <= 4 * max(r3["rse"], 0.08)
+
+    with pytest.raises(ValueError):
+        retention_report(df, "user", "ts", horizons=(0,)).collect()

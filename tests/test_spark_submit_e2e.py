@@ -190,6 +190,24 @@ def test_spark_submit_multi_one_scan(tmp_path):
     assert trows[0]["key"] == top_tool
     assert trows[0]["decayed_weight"] == top_w
 
+    # --retention over the same input/zip: day-over-day conv_id overlap
+    # estimates within the KMV envelope of DuckDB's exact set algebra
+    rout = str(tmp_path / "ret_out")
+    _run_job(zip_path, ["--input", inp, "--retention", "--col", "conv_id",
+                        "--output", rout])
+    rrows = {(r["day_prev"], r["day"]): r
+             for r in pq.read_table(rout).to_pylist()}
+    exact_pairs = dict(con.execute(
+        "WITH d AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day, "
+        f"conv_id FROM read_parquet('{inp}/*.parquet')) "
+        "SELECT a.day, count(*) FROM d a JOIN d b ON b.conv_id = a.conv_id "
+        "AND CAST(b.day AS DATE) = CAST(a.day AS DATE) + INTERVAL 1 DAY "
+        "GROUP BY a.day").fetchall())
+    assert rrows, "no consecutive-day pairs in the synthetic input"
+    for (prev, _cur), r in rrows.items():
+        want = exact_pairs.get(prev, 0)
+        assert abs(r["retained"] - want) <= 4 * r["rse"] * max(want, 50) + 2
+
 
 @pytest.mark.skipif(spark_submit is None, reason="spark-submit not on PATH")
 def test_spark_submit_multi_sketch_table(tmp_path):

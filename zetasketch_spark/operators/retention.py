@@ -25,20 +25,23 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-_SCHEMA = ("day_prev string, day string, active_prev bigint, "
+_SCHEMA = ("horizon int, day_prev string, day string, active_prev bigint, "
            "active bigint, retained bigint, new_users bigint, "
            "churned bigint, retention_rate double, rse double")
 
 
 def retention_report(df: DataFrame, key_col: str, ts_col: str,
-                     k: int = 4096) -> DataFrame:
-    """One row per consecutive calendar-day pair present in the data:
-    ``active_prev/active`` (per-day distinct estimates), ``retained``
-    (|prev ∩ cur|), ``new_users`` (|cur ∖ prev|), ``churned``
-    (|prev ∖ cur|), ``retention_rate`` = retained / active_prev, and the
-    intersection sample's rse. Only CALENDAR-consecutive pairs are
-    emitted (day-over-day means day+1; a gap in the data is not a
-    retention pair); inputs spanning < 2 consecutive days return an
+                     k: int = 4096, horizons=(1,)) -> DataFrame:
+    """One row per (horizon h, calendar day pair d -> d+h) present in
+    the data: ``active_prev/active`` (per-day distinct estimates),
+    ``retained`` (|prev ∩ cur|), ``new_users`` (|cur ∖ prev|),
+    ``churned`` (|prev ∖ cur|), ``retention_rate`` = retained /
+    active_prev, and the intersection sample's rse. The default
+    ``horizons=(1,)`` is day-over-day; ``(1, 7, 30)`` yields the
+    classic cohort retention curve — all horizons reuse the SAME
+    one-scan daily sketches, so extra horizons cost only driver-side
+    set ops on k-sized samples. Pairs whose d+h day is absent from the
+    data emit nothing; inputs without any matching pair return an
     empty frame."""
     from zetasketch_spark.operators.agg import (SKETCH_COL, sketch_merge,
                                                 sketch_partial)
@@ -60,20 +63,24 @@ def retention_report(df: DataFrame, key_col: str, ts_col: str,
 
     days = sorted(sketches)
     rows = []
-    for prev, cur in zip(days, days[1:]):
-        if (datetime.date.fromisoformat(cur)
-                - datetime.date.fromisoformat(prev)).days != 1:
-            continue
-        a, b = sketches[prev], sketches[cur]
-        inter = a.intersect(b)
-        retained = inter.estimate()
-        active_prev = a.estimate()
-        rows.append([
-            prev, cur, active_prev, b.estimate(), retained,
-            b.a_not_b(a).estimate(), a.a_not_b(b).estimate(),
-            float(retained / active_prev) if active_prev else 0.0,
-            float(inter.rse()),
-        ])
+    for h in sorted({int(h) for h in horizons}):
+        if h < 1:
+            raise ValueError(f"horizons must be >= 1 day, got {h}")
+        for prev in days:
+            cur = (datetime.date.fromisoformat(prev)
+                   + datetime.timedelta(days=h)).isoformat()
+            if cur not in sketches:
+                continue
+            a, b = sketches[prev], sketches[cur]
+            inter = a.intersect(b)
+            retained = inter.estimate()
+            active_prev = a.estimate()
+            rows.append([
+                h, prev, cur, active_prev, b.estimate(), retained,
+                b.a_not_b(a).estimate(), a.a_not_b(b).estimate(),
+                float(retained / active_prev) if active_prev else 0.0,
+                float(inter.rse()),
+            ])
     return spark.createDataFrame(
         pd.DataFrame(rows, columns=[c.split()[0] for c in
                                     _SCHEMA.split(", ")])
