@@ -124,3 +124,35 @@ def test_retention_report_cohort_horizons(spark):
 
     with pytest.raises(ValueError):
         retention_report(df, "user", "ts", horizons=(0,)).collect()
+
+
+def test_retention_report_per_group_curves(spark):
+    """group_keys=['role']: independent curves per group from the same
+    one-scan build — planted overlaps differ per role and each group's
+    estimates match ITS exact algebra; null group renders '(null)'."""
+    from zetasketch_spark.operators.retention import retention_report
+
+    frames = []
+    for role, (d1, d2) in {
+        "user": (range(0, 600), range(300, 900)),       # 300 retained
+        "assistant": (range(0, 400), range(380, 780)),  # 20 retained
+        None: (range(0, 100), range(0, 100)),           # 100 retained
+    }.items():
+        for day, users in (("2024-05-01", d1), ("2024-05-02", d2)):
+            frames.append(pd.DataFrame({
+                "role": role,
+                "user": [f"u{u}" for u in users],
+                "ts": pd.Timestamp(f"{day} 09:00:00"),
+            }))
+    df = spark.createDataFrame(
+        pd.concat(frames, ignore_index=True)).repartition(8)
+    rows = {r["role"]: r for r in retention_report(
+        df, "user", "ts", k=2048, group_keys=["role"]).collect()}
+    assert set(rows) == {"user", "assistant", "(null)"}
+    for role, want_ret, want_prev in (("user", 300, 600),
+                                      ("assistant", 20, 400),
+                                      ("(null)", 100, 100)):
+        r = rows[role]
+        tol = 4 * max(r["rse"], 0.05)
+        assert abs(r["active_prev"] / want_prev - 1) <= tol, (role, r)
+        assert abs(r["retained"] - want_ret) <= tol * want_prev + 2, (role, r)

@@ -31,7 +31,8 @@ _SCHEMA = ("horizon int, day_prev string, day string, active_prev bigint, "
 
 
 def retention_report(df: DataFrame, key_col: str, ts_col: str,
-                     k: int = 4096, horizons=(1,)) -> DataFrame:
+                     k: int = 4096, horizons=(1,),
+                     group_keys=()) -> DataFrame:
     """One row per (horizon h, calendar day pair d -> d+h) present in
     the data: ``active_prev/active`` (per-day distinct estimates),
     ``retained`` (|prev ∩ cur|), ``new_users`` (|cur ∖ prev|),
@@ -42,46 +43,65 @@ def retention_report(df: DataFrame, key_col: str, ts_col: str,
     one-scan daily sketches, so extra horizons cost only driver-side
     set ops on k-sized samples. Pairs whose d+h day is absent from the
     data emit nothing; inputs without any matching pair return an
-    empty frame."""
+    empty frame.
+
+    ``group_keys`` (e.g. ``["role"]``) computes an independent curve per
+    group — the north-star "per role and time bucket" shape: daily
+    sketches are built per (group, day) in the same one scan, and the
+    pairwise set ops stay driver-side because groups × days × k hashes
+    is bounded by the schema and the calendar, not the data. Group
+    values are rendered as strings in the report (nulls as '(null)')."""
+    import datetime
+
     from zetasketch_spark.operators.agg import (SKETCH_COL, sketch_merge,
                                                 sketch_partial)
     from zetasketch_spark.sketches.theta import ThetaFamily
 
     spark = df.sparkSession
     fam = ThetaFamily(k=k)
+    gcols = list(group_keys)
     keyed = df.select(
+        *[F.coalesce(F.col(g).cast("string"), F.lit("(null)")).alias(g)
+          for g in gcols],
         F.date_format(F.col(ts_col), "yyyy-MM-dd").alias("day"),
         F.col(key_col)).filter(F.col("day").isNotNull())
     merged = sketch_merge(
-        sketch_partial(keyed, ["day"], key_col, fam), ["day"], fam,
-        tree_levels=2)
-    # one sketch per calendar day — bounded (365/decade-scale), so the
-    # pairwise set ops run driver-side on k-sized hash samples
-    sketches = {r["day"]: fam.deserialize(bytes(r[SKETCH_COL]))
-                for r in merged.collect() if r[SKETCH_COL] is not None}
-    import datetime
+        sketch_partial(keyed, [*gcols, "day"], key_col, fam),
+        [*gcols, "day"], fam, tree_levels=2)
+    # bounded driver state: (groups x days) sketches of k hashes each,
+    # so the pairwise set ops run driver-side on k-sized hash samples
+    sketches: dict[tuple, dict[str, object]] = {}
+    for r in merged.collect():
+        if r[SKETCH_COL] is None:
+            continue
+        g = tuple(r[c] for c in gcols)
+        sketches.setdefault(g, {})[r["day"]] = fam.deserialize(
+            bytes(r[SKETCH_COL]))
 
-    days = sorted(sketches)
     rows = []
     for h in sorted({int(h) for h in horizons}):
         if h < 1:
             raise ValueError(f"horizons must be >= 1 day, got {h}")
-        for prev in days:
-            cur = (datetime.date.fromisoformat(prev)
-                   + datetime.timedelta(days=h)).isoformat()
-            if cur not in sketches:
-                continue
-            a, b = sketches[prev], sketches[cur]
-            inter = a.intersect(b)
-            retained = inter.estimate()
-            active_prev = a.estimate()
-            rows.append([
-                h, prev, cur, active_prev, b.estimate(), retained,
-                b.a_not_b(a).estimate(), a.a_not_b(b).estimate(),
-                float(retained / active_prev) if active_prev else 0.0,
-                float(inter.rse()),
-            ])
+        for g in sorted(sketches):
+            by_day = sketches[g]
+            for prev in sorted(by_day):
+                cur = (datetime.date.fromisoformat(prev)
+                       + datetime.timedelta(days=h)).isoformat()
+                if cur not in by_day:
+                    continue
+                a, b = by_day[prev], by_day[cur]
+                inter = a.intersect(b)
+                retained = inter.estimate()
+                active_prev = a.estimate()
+                rows.append([
+                    *g, h, prev, cur, active_prev, b.estimate(), retained,
+                    b.a_not_b(a).estimate(), a.a_not_b(b).estimate(),
+                    float(retained / active_prev) if active_prev else 0.0,
+                    float(inter.rse()),
+                ])
+    schema = ", ".join([f"`{g}` string" for g in gcols] + [_SCHEMA])
     return spark.createDataFrame(
-        pd.DataFrame(rows, columns=[c.split()[0] for c in
-                                    _SCHEMA.split(", ")])
-        if rows else [], schema=_SCHEMA)
+        pd.DataFrame(rows, columns=[*gcols,
+                                    *[c.split()[0] for c in
+                                      _SCHEMA.split(", ")]])
+        if rows else [], schema=schema)
