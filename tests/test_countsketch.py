@@ -309,3 +309,22 @@ def test_cs_join_size_partitioning_invariant_with_tree_fold(spark):
     assert tuple(few) == tuple(many)
     exact = 100 * 3 * 2
     assert abs(few["cs_est_join_size"] - exact) <= 4 * few["std_bound"]
+
+
+def test_join_key_profile_partitioning_invariant_past_fan_in(spark):
+    """join_key_profile's theta collects take the same bounded-fan-in
+    route: 100-partition inputs produce the identical profile as
+    4-partition inputs (theta merge keeps the k smallest hashes — a
+    pure function of the input set, any merge shape)."""
+    from zetasketch_spark.operators.joinprofile import join_key_profile
+
+    a = pd.DataFrame({"ka": np.arange(3000) % 800})
+    b = pd.DataFrame({"kb": (np.arange(2000) % 600) + 400})
+    few = join_key_profile(
+        spark.createDataFrame(a).repartition(4), "ka",
+        spark.createDataFrame(b).repartition(4), "kb", k=1024).collect()[0]
+    many = join_key_profile(
+        spark.createDataFrame(a).repartition(100), "ka",
+        spark.createDataFrame(b).repartition(100), "kb", k=1024).collect()[0]
+    assert tuple(few) == tuple(many)
+    assert abs(few["overlap"] / 400 - 1) <= 4 * few["rse"] + 0.05

@@ -1,5 +1,7 @@
 """Pre-join key-overlap profiling: approximate join diagnostics in two
-table scans and O(partitions · k) driver state.
+table scans with driver state bounded by ``fan_in`` partial sketches
+(past 64 input partitions the salted executor-side tree folds them
+first — see ``_global_sketch``).
 
 Before running (or even planning) a 100 TB join, the questions that
 matter are: how many distinct keys does each side have, how many are
@@ -30,15 +32,9 @@ from pyspark.sql import DataFrame
 
 
 def _global_theta(df: DataFrame, key: str, k: int):
-    from zetasketch_spark.operators.agg import SKETCH_COL, sketch_partial
-    from zetasketch_spark.sketches.theta import ThetaFamily, ThetaSketch
+    from zetasketch_spark.sketches.theta import ThetaFamily
 
-    fam = ThetaFamily(k=k)
-    acc = ThetaSketch(k=k)
-    for row in sketch_partial(df, [], key, fam).collect():
-        if row[SKETCH_COL] is not None:
-            acc.merge(ThetaSketch.deserialize(bytes(row[SKETCH_COL])))
-    return acc
+    return _global_sketch(df, key, ThetaFamily(k=k))
 
 
 def join_key_profile(df_a: DataFrame, key_a: str, df_b: DataFrame,
