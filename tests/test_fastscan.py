@@ -312,3 +312,31 @@ def test_derived_length_on_dictionary_encoded_text(spark, tmp_path):
             keep_sketch=True).collect()}
     assert got["dict"] == got["plain"]
     assert set(got["dict"]) == {"user", "assistant"}
+
+
+def test_multi_sketch_agg_rdd_countsketch_spec(spark, transcripts_path):
+    """CountSketch rides the one-scan multi fabric through the generic
+    prepare_arrow fallback: its F2 result per group equals the direct
+    pandas build exactly (signed counters are merge-order-independent
+    AND byte-deterministic), alongside an HLL spec in the same scan."""
+    import pandas as pd
+
+    from zetasketch_spark.operators.fastscan import multi_sketch_agg_rdd
+    from zetasketch_spark.sketches.base import HllFamily
+    from zetasketch_spark.sketches.countsketch import CountSketchFamily
+
+    cs = CountSketchFamily(width=1024, depth=5)
+    out = {r["role"]: r for r in multi_sketch_agg_rdd(
+        spark, transcripts_path, ["role"],
+        {"convs": ("conv_id", HllFamily(precision=13)),
+         "toolsq": ("tool", cs)}).collect()}
+    assert len(out) >= 2
+
+    pdf = spark.read.parquet(transcripts_path).select("role", "tool") \
+        .toPandas()
+    for role, grp in pdf.groupby("role"):
+        direct = cs.make()
+        cs.update(direct, grp["tool"])
+        want_f2, want_n = cs.result(direct)
+        assert out[role]["toolsq_f2_est"] == want_f2, role
+        assert out[role]["toolsq_n"] == want_n, role
