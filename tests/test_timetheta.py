@@ -1,0 +1,252 @@
+"""Temporal theta sketch (sketches/timetheta.py) + the sliding-window
+activity operator (operators/window_distinct.py): exact-mode equality,
+estimation-mode envelopes, merge laws, serde, Spark fabric invariance."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from zetasketch_spark.sketches.timetheta import (
+    TimeThetaFamily,
+    TimeThetaSketch,
+)
+
+_FULL = 1 << 64
+
+
+def _brute(last_day: dict[str, int], lo: int) -> int:
+    return sum(1 for d in last_day.values() if d >= lo)
+
+
+def test_exact_mode_totals_and_windows():
+    """Under k distinct the sketch is exact: theta never drops, every
+    (key, max-day) pair is retained verbatim."""
+    rng = np.random.default_rng(7)
+    keys = [f"u{i}" for i in range(500)]
+    last_day: dict[str, int] = {}
+    sk = TimeThetaSketch(k=4096)
+    for _ in range(4):  # multiple occurrences per key, random days
+        days = rng.integers(0, 60, size=len(keys))
+        sk.add_series(pd.Series(keys), pd.Series(days))
+        for k_, d in zip(keys, days):
+            last_day[k_] = max(last_day.get(k_, -1), int(d))
+    assert sk.theta == _FULL
+    assert sk.estimate() == 500
+    for lo in (0, 10, 30, 55, 59, 60):
+        assert sk.estimate_since(lo) == _brute(last_day, lo)
+    # recency buckets partition the total
+    counts = sk.recency_counts([10, 30, 55])
+    assert sum(counts) == 500
+    assert counts[3] == _brute(last_day, 55)
+    assert counts[0] == 500 - _brute(last_day, 10)
+
+
+def test_max_timestamp_law_exact():
+    sk = TimeThetaSketch(k=256)
+    sk.add_series(pd.Series(["a", "b", "a"]), pd.Series([5, 9, 3]))
+    sk.add_series(pd.Series(["a"]), pd.Series([7]))
+    by_hash = dict(zip(sk.retained.tolist(), sk.last_ts.tolist()))
+    assert sorted(by_hash.values()) == [7, 9]  # a -> max(5,3,7), b -> 9
+    assert sk.num_values == 4
+
+
+def test_null_rows_skipped():
+    sk = TimeThetaSketch(k=64)
+    sk.add_series(pd.Series(["a", None, "c", "d"]),
+                  pd.Series([1, 2, None, 4], dtype="Int64"))
+    assert sk.estimate() == 2  # only (a,1) and (d,4) count
+    assert sk.num_values == 2
+    sk.add_series(pd.Series([], dtype=object), pd.Series([], dtype="Int64"))
+    assert sk.estimate() == 2
+
+
+def test_estimation_mode_envelopes():
+    """60k keys, planted last-day distribution: window estimates land
+    within 5 sd of truth, total within 5 rse."""
+    rng = np.random.default_rng(42)
+    n = 60_000
+    keys = pd.Series([f"user-{i}" for i in range(n)])
+    # last day skewed toward recent (zipf-ish over 0..89)
+    last = (89 - np.minimum(rng.geometric(0.05, size=n) - 1, 89)).astype(
+        np.int64)
+    sk = TimeThetaSketch(k=4096)
+    # feed in shuffled chunks with some earlier-day duplicates that must
+    # not displace the max
+    order = rng.permutation(n)
+    for chunk in np.array_split(order, 7):
+        sk.add_series(keys.iloc[chunk], pd.Series(last[chunk]))
+        dup = chunk[: len(chunk) // 3]
+        sk.add_series(keys.iloc[dup],
+                      pd.Series(np.maximum(last[dup] - 5, 0)))
+    assert sk.theta < _FULL  # genuinely estimating
+    assert abs(sk.estimate() - n) <= 5 * sk.rse() * n
+    for lo in (89, 83, 60, 30):
+        true = int((last >= lo).sum())
+        est = sk.estimate_since(lo)
+        assert abs(est - true) <= 5 * sk.estimate_sd_since(lo) + 1, (
+            lo, est, true)
+
+
+def test_merge_equals_single_build_byte_exact():
+    """Merge of split builds == one-shot build, any split/merge order:
+    the state is a pure function of the (key, max-day) set."""
+    rng = np.random.default_rng(3)
+    n = 30_000
+    keys = pd.Series([f"k{i}" for i in rng.integers(0, 12_000, size=n)])
+    days = pd.Series(rng.integers(0, 50, size=n).astype(np.int64))
+    solo = TimeThetaSketch(k=1024)
+    solo.add_series(keys, days)
+    for n_parts, order in ((3, None), (8, "rev")):
+        parts = []
+        for idx in np.array_split(np.arange(n), n_parts):
+            p = TimeThetaSketch(k=1024)
+            p.add_series(keys.iloc[idx], days.iloc[idx])
+            parts.append(p)
+        if order == "rev":
+            parts = parts[::-1]
+        acc = parts[0]
+        for p in parts[1:]:
+            acc.merge(p)
+        assert acc.serialize() == solo.serialize()
+
+
+def test_merge_mixed_k_and_null_noop():
+    a = TimeThetaSketch(k=64)
+    a.add_series(pd.Series([f"a{i}" for i in range(500)]),
+                 pd.Series(np.arange(500) % 9))
+    b = TimeThetaSketch(k=256)
+    b.add_series(pd.Series([f"b{i}" for i in range(500)]),
+                 pd.Series(np.arange(500) % 9))
+    before = a.serialize()
+    a.merge(None)
+    assert a.serialize() == before
+    a.merge(b)
+    assert a.k == 64 and len(a.retained) <= 64
+    assert abs(a.estimate() - 1000) <= 5 * a.rse() * 1000
+    # retained rows stay hash-sorted and parallel
+    assert np.all(np.diff(a.retained.astype(np.uint64)) > 0)
+    assert len(a.last_ts) == len(a.retained)
+
+
+def test_serde_roundtrip_and_guards():
+    sk = TimeThetaSketch(k=128)
+    sk.add_series(pd.Series([f"x{i}" for i in range(1000)]),
+                  pd.Series(np.arange(1000, dtype=np.int64) % 31))
+    blob = sk.serialize()
+    back = TimeThetaSketch.deserialize(blob)
+    assert back.serialize() == blob
+    assert back.estimate_since(20) == sk.estimate_since(20)
+    # forward compat: trailing bytes ignored
+    ext = TimeThetaSketch.deserialize(blob + b"\x00future")
+    assert ext.serialize() == blob
+    # corrupt retained count must not read past the buffer
+    import struct
+    bad = bytearray(blob)
+    struct.pack_into("<i", bad, 5 + struct.calcsize("<iqQ"), 10_000)
+    with pytest.raises(ValueError, match="corrupt time-theta"):
+        TimeThetaSketch.deserialize(bytes(bad))
+    with pytest.raises(ValueError, match="not a time-theta"):
+        TimeThetaSketch.deserialize(b"XXXX" + blob[4:])
+
+
+def test_family_contract():
+    fam = TimeThetaFamily(k=64)
+    st = fam.make()
+    with pytest.raises(TypeError, match="update_pair"):
+        fam.update(st, pd.Series(["a"]))
+    fam.update_pair(st, pd.Series(["a", "b"]), pd.Series([1, 2]))
+    blob = fam.merge_serialized([fam.serialize(st), None, b""])
+    assert fam.result(fam.deserialize(blob)) == (2,)
+    from zetasketch_spark.sketches.base import get_family
+    assert isinstance(get_family("timetheta", k=32), TimeThetaFamily)
+
+
+# -- Spark fabric -------------------------------------------------------------
+
+
+def _planted_events(spark, n_keys=800, n_days=40, seed=11, parts=4):
+    rng = np.random.default_rng(seed)
+    last = rng.integers(0, n_days, size=n_keys)
+    pdf = pd.DataFrame({"user": [f"u{i}" for i in range(n_keys)],
+                        "day_num": last.astype(np.int64)})
+    # add earlier-day repeat visits that must not affect last-seen
+    rep = pdf.sample(frac=0.5, random_state=1).copy()
+    rep["day_num"] = np.maximum(rep["day_num"] - 3, 0)
+    both = pd.concat([pdf, rep], ignore_index=True)
+    both["ts"] = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        both["day_num"], unit="D")
+    df = spark.createDataFrame(both[["user", "ts"]]).repartition(parts)
+    return df, dict(zip(pdf["user"], pdf["day_num"].astype(int)))
+
+
+def test_window_activity_report_exact_regime(spark):
+    from zetasketch_spark.operators.window_distinct import (
+        window_activity_report,
+    )
+
+    df, last = _planted_events(spark)
+    out = window_activity_report(df, "user", "ts", k=8192,
+                                 windows=(1, 7, 30),
+                                 as_of="2024-02-09").collect()  # day 39
+    assert [r["window_days"] for r in out] == [1, 7, 30]
+    for r in out:
+        lo = 39 - r["window_days"] + 1
+        assert r["active"] == sum(1 for d in last.values() if d >= lo)
+        assert r["total_distinct"] == len(last)
+        assert r["as_of_day"] == "2024-02-09"
+
+
+def test_window_activity_partitioning_invariant(spark):
+    from zetasketch_spark.operators.window_distinct import (
+        window_activity_report,
+    )
+
+    df4, _ = _planted_events(spark, parts=4)
+    df97, _ = _planted_events(spark, parts=97)
+    a = [tuple(r) for r in window_activity_report(
+        df4, "user", "ts", k=256, windows=(7, 30),
+        as_of="2024-02-09").collect()]
+    b = [tuple(r) for r in window_activity_report(
+        df97, "user", "ts", k=256, windows=(7, 30),
+        as_of="2024-02-09").collect()]
+    assert a == b  # pure function of the (key, max-day) set
+
+
+def test_window_activity_groups_and_default_asof(spark):
+    from zetasketch_spark.operators.window_distinct import (
+        window_activity_report,
+    )
+
+    pdf = pd.DataFrame({
+        "user": [f"u{i}" for i in range(300)] * 2,
+        "role": ["assistant" if i % 3 else "user" for i in range(300)] * 2,
+        "ts": pd.to_datetime("2024-03-01")
+        + pd.to_timedelta(np.r_[np.arange(300) % 10,
+                                np.arange(300) % 10 + 2], unit="D"),
+    })
+    df = spark.createDataFrame(pdf)
+    out = window_activity_report(df, "user", "ts", k=4096, windows=(3,),
+                                 group_keys=["role"]).collect()
+    # default as_of = max day present (2024-03-12); groups independent
+    by_role = {r["role"]: r for r in out}
+    assert set(by_role) == {"assistant", "user"}
+    exact = pdf.assign(day=pdf.ts.dt.normalize()) \
+        .groupby("user").agg(last=("day", "max"),
+                             role=("role", "first"))
+    cutoff = pd.Timestamp("2024-03-10")
+    for role, r in by_role.items():
+        true = int(((exact["last"] >= cutoff)
+                    & (exact["role"] == role)).sum())
+        assert r["active"] == true
+        assert r["as_of_day"] == "2024-03-12"
+
+
+def test_window_activity_empty_input(spark):
+    from zetasketch_spark.operators.window_distinct import (
+        window_activity_report,
+    )
+
+    df = spark.createDataFrame([], "user string, ts timestamp")
+    assert window_activity_report(df, "user", "ts").collect() == []

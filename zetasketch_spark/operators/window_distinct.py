@@ -1,0 +1,178 @@
+"""Sliding-window distinct activity from ONE temporal theta sketch per
+group — "how many distinct users were active in the last 1/7/30 days?"
+without a sketch per day bucket or a re-scan per window.
+
+How it scales (the 100 TB shape): stage 1 is the same
+one-pass-per-partition partial build every family uses
+(`operators/agg.py` — shuffle volume O(groups × partitions ×
+state_size), never raw keys), except the update consumes (key, time)
+PAIRS so each retained hash carries its exact last-seen time
+(`sketches/timetheta.py`). Merge reuses `sketch_merge` unchanged
+(blob-level, salted tree for hot groups). Every window answer is then a
+driver-side predicate count over k-sized samples — adding a window
+costs nothing at scan time, which is the operational win over
+`operators/retention.py`'s per-day sketch table when the question is
+"activity over trailing windows as-of now" rather than day-pair
+retention matrices.
+
+Time units are calendrical DAY NUMBERS (`unix_date(to_date(ts))`),
+the repo-wide timezone/DST-immune rule for wall-clock NTZ data (cf.
+`operators/trending.py`); pass ``time_expr`` to use any other monotone
+int64 clock (e.g. epoch micros on TZ-aware tables).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark import TaskContext
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from zetasketch_spark.operators.agg import (
+    PARTITION_COL,
+    ROWS_COL,
+    SKETCH_COL,
+    _key_fields,
+    sketch_merge,
+)
+from zetasketch_spark.sketches.timetheta import TimeThetaFamily
+
+_TIME_COL = "_tt_time"
+
+
+def timetheta_partial(df: DataFrame, keys: list[str], key_col: str,
+                      time_col: str, family: TimeThetaFamily) -> DataFrame:
+    """Stage 1 for (key, time) pairs: per-(partition, group) temporal
+    theta partials, vectorized per pandas batch. Output schema matches
+    `operators.agg.sketch_partial` so `sketch_merge`/`sketch_result`
+    compose unchanged."""
+    out_schema = StructType(
+        _key_fields(df, keys)
+        + [StructField(SKETCH_COL, BinaryType()),
+           StructField(ROWS_COL, LongType()),
+           StructField(PARTITION_COL, IntegerType())]
+    )
+    keys_t = tuple(keys)
+
+    def partial_fn(batches):
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else -1
+        acc: dict = {}
+        rows: dict = {}
+        for pdf in batches:
+            if len(keys_t) == 0:
+                grouped = [((), pdf)]
+            else:
+                grouped = pdf.groupby(list(keys_t), sort=False, dropna=False)
+            for key, grp in grouped:
+                if not isinstance(key, tuple):
+                    key = (key,)
+                state = acc.get(key)
+                if state is None:
+                    state = family.make()
+                    acc[key] = state
+                    rows[key] = 0
+                family.update_pair(state, grp[key_col], grp[time_col])
+                rows[key] += len(grp)
+        if acc:
+            yield pd.DataFrame(
+                [[*k, family.serialize(s), rows[k], pid]
+                 for k, s in acc.items()],
+                columns=[*keys_t, SKETCH_COL, ROWS_COL, PARTITION_COL],
+            )
+
+    return df.select(*keys, key_col, time_col).mapInPandas(
+        partial_fn, out_schema)
+
+
+def timetheta_agg(df: DataFrame, keys: list[str], key_col: str,
+                  time_col: str, k: int = 4096,
+                  tree_levels: int = 2) -> DataFrame:
+    """partial → salted-tree merge; returns (keys..., sketch, rows_seen)
+    with one serialized `TimeThetaSketch` per group."""
+    fam = TimeThetaFamily(k=k)
+    partials = timetheta_partial(df, keys, key_col, time_col, fam)
+    return sketch_merge(partials, keys, fam, tree_levels=tree_levels)
+
+
+_SCHEMA = ("window_days int, as_of_day string, active bigint, sd double, "
+           "total_distinct bigint, rse double")
+
+
+def window_activity_report(df: DataFrame, key_col: str, ts_col: str,
+                           k: int = 4096, windows=(1, 7, 30),
+                           as_of: str | None = None,
+                           group_keys=(),
+                           time_expr: Column | None = None) -> DataFrame:
+    """One row per (group, trailing window W): ``active`` = estimated
+    distinct keys last seen within the W days ending at ``as_of``
+    (inclusive; a key counts for W=1 iff last seen ON the as_of day),
+    with its binomial-thinning ``sd``; ``total_distinct``/``rse`` are
+    the plain KMV estimate of the group's all-time distinct count.
+
+    ``as_of`` is an ISO date string; default = the data's max day (one
+    column-pruned scan). All windows reuse the SAME one-scan sketches —
+    the marginal window is a driver-side count over ≤k samples.
+
+    ``group_keys`` (e.g. ``["role"]``) builds an independent sketch per
+    group in the same scan; group values render as strings with nulls
+    as '(null)', the `retention_report` convention."""
+    import datetime
+
+    spark = df.sparkSession
+    gcols = list(group_keys)
+    day = (time_expr if time_expr is not None
+           else F.unix_date(F.to_date(F.col(ts_col))))
+    keyed = df.select(
+        *[F.coalesce(F.col(g).cast("string"), F.lit("(null)")).alias(g)
+          for g in gcols],
+        F.col(key_col),
+        day.cast("bigint").alias(_TIME_COL),
+    ).filter(F.col(_TIME_COL).isNotNull())
+
+    if as_of is None:
+        row = keyed.agg(F.max(_TIME_COL).alias("m")).collect()[0]
+        if row["m"] is None:
+            return spark.createDataFrame(
+                [], schema=", ".join([f"`{g}` string" for g in gcols]
+                                     + [_SCHEMA]))
+        as_of_day = int(row["m"])
+    else:
+        as_of_day = (datetime.date.fromisoformat(as_of)
+                     - datetime.date(1970, 1, 1)).days
+
+    fam = TimeThetaFamily(k=k)
+    merged = sketch_merge(
+        timetheta_partial(keyed, gcols, key_col, _TIME_COL, fam),
+        gcols, fam, tree_levels=2)
+
+    # bounded driver state: one k-row sketch per group (groups are a
+    # schema/domain-bounded dimension, not data-scale)
+    sketches: dict[tuple, object] = {}
+    for r in merged.collect():
+        if r[SKETCH_COL] is not None:
+            sketches[tuple(r[c] for c in gcols)] = fam.deserialize(
+                bytes(r[SKETCH_COL]))
+
+    as_of_iso = (datetime.date(1970, 1, 1)
+                 + datetime.timedelta(days=as_of_day)).isoformat()
+    rows = []
+    for g in sorted(sketches):
+        sk = sketches[g]
+        for w in sorted({int(w) for w in windows}):
+            if w < 1:
+                raise ValueError(f"windows must be >= 1 day, got {w}")
+            lo = as_of_day - w + 1
+            rows.append([*g, w, as_of_iso, sk.estimate_since(lo),
+                         float(sk.estimate_sd_since(lo)), sk.estimate(),
+                         float(sk.rse())])
+    schema = ", ".join([f"`{g}` string" for g in gcols] + [_SCHEMA])
+    cols = [*gcols, *[c.split()[0] for c in _SCHEMA.split(", ")]]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=cols) if rows else [], schema=schema)

@@ -278,7 +278,7 @@ def get_family(name: str, **cfg) -> SketchFamily:
         import importlib
 
         for mod in ("countmin", "kll", "tdigest", "bloom", "theta",
-                    "ddsketch", "freqdirs", "countsketch"):
+                    "ddsketch", "freqdirs", "countsketch", "timetheta"):
             importlib.import_module(f"zetasketch_spark.sketches.{mod}")
     if name not in _REGISTRY:
         raise KeyError(f"unknown sketch family {name!r}; known: {sorted(_REGISTRY)}")
