@@ -494,15 +494,45 @@ def q_events_retention(spark, sf_dir):
     within 4/√(k−1) relative; retained/new/churned within
     4·rse·max(|prev|,|cur|) + 2 absolute of exact, rse = the
     intersection sample's own error estimate) and that the sketch
-    report emits exactly the calendar-consecutive pairs."""
+    report emits exactly the calendar-consecutive pairs.
+
+    Window-activity arms (r5): the temporal theta sketch
+    (`operators/window_distinct.py` — ONE state per table answering
+    every trailing window) re-answers 'active in last 7/30 days as-of
+    the max day'; exact companions come from the per-user last-seen-day
+    table, `windows_within_envelope` pins each window estimate within
+    4·sd (binomial thinning) + 2 and the all-time distinct within
+    4·rse + 2."""
     import datetime
 
     from zetasketch_spark.operators.retention import retention_report
+    from zetasketch_spark.operators.window_distinct import (
+        window_activity_report,
+    )
 
     e = _t(spark, sf_dir, "events")
     k = 4096
     rep = {(r["day_prev"], r["day"]): r
            for r in retention_report(e, "user_id", "ts", k=k).collect()}
+
+    last = (e.select("user_id", F.to_date("ts").alias("d"))
+            .groupBy("user_id").agg(F.max("d").alias("last")))
+    m = last.agg(F.max("last")).collect()[0][0]
+    ex = last.agg(
+        F.count("*").alias("total"),
+        F.sum((F.col("last") >= F.lit(m - datetime.timedelta(days=6)))
+              .cast("long")).alias("a7"),
+        F.sum((F.col("last") >= F.lit(m - datetime.timedelta(days=29)))
+              .cast("long")).alias("a30"),
+    ).collect()[0]
+    wrep = {r["window_days"]: r for r in window_activity_report(
+        e, "user_id", "ts", k=k, windows=(7, 30),
+        as_of=m.isoformat()).collect()}
+    windows_ok = all(
+        abs(wrep[w]["active"] - int(ex["a" + str(w)]))
+        <= 4.0 * wrep[w]["sd"] + 2 for w in (7, 30)
+    ) and abs(wrep[7]["total_distinct"] - int(ex["total"])) \
+        <= 4.0 * wrep[7]["rse"] * int(ex["total"]) + 2
 
     d = e.select(F.date_format("ts", "yyyy-MM-dd").alias("day"),
                  "user_id").distinct()
@@ -538,12 +568,15 @@ def q_events_retention(spark, sf_dir):
                      bool(ok_act), bool(ok_parts)])
     pairs_match = set(rep) == {(r[0], r[1]) for r in rows}
     return spark.createDataFrame(
-        [[*r, bool(pairs_match)] for r in rows],
+        [[*r, bool(pairs_match), int(ex["a7"]), int(ex["a30"]),
+          bool(windows_ok)] for r in rows],
         schema="day_prev string, day string, exact_active_prev bigint, "
                "exact_active bigint, exact_retained bigint, "
                "exact_new bigint, exact_churned bigint, "
                "actives_within_envelope boolean, "
-               "parts_within_envelope boolean, pairs_match boolean")
+               "parts_within_envelope boolean, pairs_match boolean, "
+               "exact_active_7d bigint, exact_active_30d bigint, "
+               "windows_within_envelope boolean")
 
 
 def q_events_retention_pure(spark, sf_dir):
@@ -553,6 +586,19 @@ def q_events_retention_pure(spark, sf_dir):
 
     return retention_report(_t(spark, sf_dir, "events"), "user_id", "ts",
                             k=4096)
+
+
+def q_events_window_activity_pure(spark, sf_dir):
+    """Bench twin: trailing-window activity (1/7/30/90 days) from ONE
+    temporal theta sketch per event type — the marginal window is a
+    driver-side count over k samples, so four windows cost one scan."""
+    from zetasketch_spark.operators.window_distinct import (
+        window_activity_report,
+    )
+
+    return window_activity_report(
+        _t(spark, sf_dir, "events"), "user_id", "ts", k=4096,
+        windows=(1, 7, 30, 90), group_keys=["event_type"])
 
 
 def q_events_trending_bench(spark, sf_dir):
@@ -1843,6 +1889,7 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_value_quantiles": q_kll_value_quantiles_pure,
         "tdigest_value_quantiles": q_tdigest_value_quantiles_pure,
         "events_retention": q_events_retention_pure,
+        "events_window_activity": q_events_window_activity_pure,
         "events_trending": q_events_trending_bench,
         "multi_stats_by_type": q_multi_stats_by_type_pure,
         "bloom_membership": q_bloom_membership_pure,
@@ -2234,6 +2281,18 @@ def oracle_sql() -> dict[str, str]:
               FROM act p JOIN act c
                 ON CAST(c.day AS DATE) = CAST(p.day AS DATE)
                    + INTERVAL 1 DAY
+            ), lastd AS (
+              SELECT user_id, max(CAST(ts AS DATE)) AS last
+              FROM events GROUP BY 1
+            ), wins AS (
+              SELECT
+                CAST(count(*) FILTER (WHERE last >=
+                  (SELECT max(last) FROM lastd) - INTERVAL 6 DAY)
+                  AS BIGINT) AS a7,
+                CAST(count(*) FILTER (WHERE last >=
+                  (SELECT max(last) FROM lastd) - INTERVAL 29 DAY)
+                  AS BIGINT) AS a30
+              FROM lastd
             )
             SELECT day_prev, pairs.day AS day,
                    CAST(ap AS BIGINT) AS exact_active_prev,
@@ -2245,7 +2304,10 @@ def oracle_sql() -> dict[str, str]:
                        AS exact_churned,
                    true AS actives_within_envelope,
                    true AS parts_within_envelope,
-                   true AS pairs_match
+                   true AS pairs_match,
+                   (SELECT a7 FROM wins) AS exact_active_7d,
+                   (SELECT a30 FROM wins) AS exact_active_30d,
+                   true AS windows_within_envelope
             FROM pairs LEFT JOIN ret r ON r.day = pairs.day
         """,
         "hll_sql_surface": """
