@@ -338,7 +338,8 @@ def main():
              "docs_weighted_sample", "docs_pack_sequences", "docs_filter_report",
              "theta_set_ops", "docs_uniform_sample", "events_analyze",
              "join_profile", "events_skew_report", "docs_stratified_sample",
-             "events_retention", "events_trending"]
+             "events_retention", "events_trending",
+             "events_window_activity"]
     extra_timings: dict[str, float] = {}
 
     # the remaining north-star query shapes on the SAME transcripts table:

@@ -70,6 +70,17 @@ def main(argv=None):
                          "per-day theta sketches of --col from one scan; "
                          "ignores --keys/--family; --horizons picks the "
                          "cohort offsets")
+    ap.add_argument("--window-activity", action="store_true",
+                    help="trailing-window distinct-activity report from "
+                         "ONE temporal theta sketch per --keys group "
+                         "(operators/window_distinct.py): distinct --col "
+                         "values last seen within each --windows span "
+                         "ending at --as-of (default: the data's max day)")
+    ap.add_argument("--windows", default="1,7,30",
+                    help="with --window-activity: comma-separated trailing "
+                         "window lengths in days")
+    ap.add_argument("--as-of", default=None, metavar="YYYY-MM-DD",
+                    help="with --window-activity: report anchor day")
     ap.add_argument("--horizons", default="1",
                     help="with --retention: comma-separated day offsets, "
                          "e.g. '1,7,30' for the cohort curve")
@@ -111,6 +122,12 @@ def main(argv=None):
         ap.error("--retention is a one-shot report; it cannot be combined "
                  "with --trending / --multi / --sketch-table / "
                  "--checkpoint-dir")
+    if args.window_activity and (args.retention or args.trending
+                                 or args.multi or args.sketch_table
+                                 or args.checkpoint_dir):
+        ap.error("--window-activity is a one-shot report; it cannot be "
+                 "combined with --retention / --trending / --multi / "
+                 "--sketch-table / --checkpoint-dir")
 
     from pyspark.sql import SparkSession
 
@@ -132,6 +149,25 @@ def main(argv=None):
         return get_family(name, **extra)
 
     keys = [k.strip() for k in args.keys.split(",") if k.strip()]
+
+    if args.window_activity:
+        from zetasketch_spark.operators.window_distinct import (
+            window_activity_report,
+        )
+
+        windows = tuple(int(w) for w in args.windows.split(","))
+        result = window_activity_report(
+            load_transcripts(spark, args.input), args.col, "ts",
+            k=args.k, windows=windows, as_of=args.as_of, group_keys=keys)
+        if args.output:
+            result.write.mode("overwrite").parquet(args.output)
+            print(f"WROTE {args.output}")
+        else:
+            for row in result.orderBy(*keys, "window_days").collect():
+                print("ROW " + json.dumps(
+                    {k: str(row[k]) for k in row.asDict()}))
+        spark.stop()
+        return
 
     if args.retention:
         from zetasketch_spark.operators.retention import retention_report

@@ -208,6 +208,27 @@ def test_spark_submit_multi_one_scan(tmp_path):
         want = exact_pairs.get(prev, 0)
         assert abs(r["retained"] - want) <= 4 * r["rse"] * max(want, 50) + 2
 
+    # --window-activity over the same input/zip: per-role trailing-window
+    # distinct conv_ids from one temporal theta sketch vs DuckDB's exact
+    # last-seen-day recompute
+    wout = str(tmp_path / "win_out")
+    _run_job(zip_path, ["--input", inp, "--window-activity",
+                        "--col", "conv_id", "--keys", "role",
+                        "--windows", "2,7", "--output", wout])
+    wrows = {(r["role"], r["window_days"]): r
+             for r in pq.read_table(wout).to_pylist()}
+    assert wrows and all(w in (2, 7) for _, w in wrows)
+    exact_w = {(role, w): n for role, w, n in con.execute(
+        "WITH lastd AS (SELECT role, conv_id, max(CAST(ts AS DATE)) AS l "
+        f"FROM read_parquet('{inp}/*.parquet') GROUP BY 1, 2), "
+        "mx AS (SELECT max(l) AS m FROM lastd) "
+        "SELECT role, w, count(*) FROM lastd, mx, (VALUES (2), (7)) v(w) "
+        "WHERE l >= m - (w - 1) * INTERVAL 1 DAY "
+        "GROUP BY role, w").fetchall()}
+    for key, r in wrows.items():
+        want = exact_w.get(key, 0)
+        assert abs(r["active"] - want) <= 4 * r["sd"] + 2, (key, r, want)
+
 
 @pytest.mark.skipif(spark_submit is None, reason="spark-submit not on PATH")
 def test_spark_submit_multi_sketch_table(tmp_path):

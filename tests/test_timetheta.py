@@ -243,6 +243,40 @@ def test_window_activity_groups_and_default_asof(spark):
         assert r["as_of_day"] == "2024-03-12"
 
 
+def test_timetheta_sql_surface(spark):
+    """tt_init_agg / tt_merge_agg / tt_estimate / tt_active_since through
+    spark.sql: partial->merge rollup equals the exact recompute in the
+    exact regime, sd column present and zero there."""
+    from zetasketch_spark.functions.sketch_udfs import register_sql
+
+    register_sql(spark)
+    rng = np.random.default_rng(5)
+    pdf = pd.DataFrame({
+        "user": [f"u{i}" for i in rng.integers(0, 400, size=2000)],
+        "role": rng.choice(["user", "assistant"], size=2000),
+        "day_num": rng.integers(0, 40, size=2000).astype(np.int64),
+    })
+    spark.createDataFrame(pdf).createOrReplaceTempView("tt_t")
+    rows = spark.sql("""
+        WITH part AS (
+          SELECT role, tt_init_agg(user, day_num, 4096) AS sk
+          FROM tt_t GROUP BY role, pmod(hash(user), 4)
+        ), m AS (
+          SELECT role, tt_merge_agg(sk) AS sk FROM part GROUP BY role
+        )
+        SELECT role, tt_estimate(sk) AS total,
+               tt_active_since(sk, 30) AS recent,
+               tt_active_sd_since(sk, 30) AS sd
+        FROM m
+    """).collect()
+    exact = pdf.groupby(["role", "user"])["day_num"].max().reset_index()
+    for r in rows:
+        sub = exact[exact["role"] == r["role"]]
+        assert r["total"] == sub["user"].nunique()
+        assert r["recent"] == int((sub["day_num"] >= 30).sum())
+        assert r["sd"] == 0.0  # exact regime: theta never dropped
+
+
 def test_window_activity_empty_input(spark):
     from zetasketch_spark.operators.window_distinct import (
         window_activity_report,

@@ -624,6 +624,49 @@ def register_sql(spark) -> None:
     # built with the same (width, depth, seed)
     spark.udf.register("cs_inner_product", _cs_inner)
 
+    from zetasketch_spark.sketches.timetheta import TimeThetaSketch
+
+    spark.udf.register("tt_merge_agg",
+                       _merge_agg_udf(TimeThetaSketch.deserialize))
+
+    @pandas_udf("binary")
+    def _tt_init(keys: pd.Series, times: pd.Series, k: pd.Series) -> bytes:
+        sk = TimeThetaSketch(k=int(k.iloc[0]) if len(k) else 4096)
+        sk.add_series(keys, times)
+        return sk.serialize()
+
+    # SQL usage: tt_init_agg(key, unix_date(to_date(ts)), 4096) — the
+    # temporal theta INIT (key + int64 time units, calendrical days for
+    # TZ/DST immunity); states merge with tt_merge_agg
+    spark.udf.register("tt_init_agg", _tt_init)
+
+    @pandas_udf("long")
+    def _tt_estimate(states: pd.Series) -> pd.Series:
+        return pd.Series(
+            [TimeThetaSketch.deserialize(bytes(b)).estimate()
+             if b is not None else 0 for b in states], dtype="int64")
+
+    spark.udf.register("tt_estimate", _tt_estimate)
+
+    @pandas_udf("long")
+    def _tt_active(states: pd.Series, since: pd.Series) -> pd.Series:
+        return _extract_by_state(
+            states, since, TimeThetaSketch.deserialize,
+            lambda sk, ts: [int(sk.estimate_since(int(t))) for t in ts],
+            None)
+
+    # distinct keys last seen at time unit >= since (suffix window)
+    spark.udf.register("tt_active_since", _tt_active)
+
+    @pandas_udf("double")
+    def _tt_active_sd(states: pd.Series, since: pd.Series) -> pd.Series:
+        return _extract_by_state(
+            states, since, TimeThetaSketch.deserialize,
+            lambda sk, ts: [float(sk.estimate_sd_since(int(t))) for t in ts],
+            None)
+
+    spark.udf.register("tt_active_sd_since", _tt_active_sd)
+
 
 def tuple_distinct_col(*cols) -> "Column":
     """Serialize a column tuple into ONE string column for multi-column
