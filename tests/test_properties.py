@@ -254,6 +254,56 @@ def test_theta_partitioning_invariance_and_serde_fixpoint(vals, k, cuts):
     assert rt.serialize() == acc.serialize()
 
 
+_tt_pairs = st.lists(
+    st.tuples(st.integers(0, 40), st.integers(-10**9, 10**9)), max_size=250)
+
+
+def _timetheta(pairs, k=32):
+    from zetasketch_spark.sketches.timetheta import TimeThetaSketch
+
+    sk = TimeThetaSketch(k=k)
+    if len(pairs):
+        sk.add_series(pd.Series([f"key{a}" for a, _ in pairs]),
+                      pd.Series([b for _, b in pairs]))
+    return sk
+
+
+@settings(max_examples=30, deadline=None)
+@given(pairs=_tt_pairs, k=st.sampled_from([16, 64]),
+       cuts=st.lists(st.integers(0, 250), max_size=4))
+def test_timetheta_split_merge_byte_equal_and_max_ts(pairs, k, cuts):
+    """The temporal theta state is a pure function of the key→max-time
+    map: any split of the (key, time) stream merges to the BYTE-identical
+    state (QuickSelect converges to the same bottom-k and theta; merge
+    takes max time per surviving hash), and in the exact regime the
+    stored times are exactly the per-key maxima."""
+    from zetasketch_spark.sketches.timetheta import TimeThetaSketch
+
+    direct = _timetheta(pairs, k)
+    bounds = sorted({min(c, len(pairs)) for c in cuts} | {0, len(pairs)})
+    acc = TimeThetaSketch(k=k)
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        acc.merge(_timetheta(pairs[lo:hi], k))
+    assert acc.serialize() == direct.serialize()
+    rt = TimeThetaSketch.deserialize(acc.serialize())
+    assert rt.serialize() == acc.serialize()
+    if direct.theta == 1 << 64 and pairs:  # exact regime: check maxima
+        want: dict[int, int] = {}
+        for a, b in pairs:
+            want[a] = max(want.get(a, -2**63), b)
+        assert sorted(direct.last_ts.tolist()) == sorted(want.values())
+
+
+@settings(max_examples=30, deadline=None)
+@given(a=_tt_pairs, b=_tt_pairs, k=st.sampled_from([16, 64]))
+def test_timetheta_merge_commutes_at_state_level(a, b, k):
+    ab = _timetheta(a, k)
+    ab.merge(_timetheta(b, k))
+    ba = _timetheta(b, k)
+    ba.merge(_timetheta(a, k))
+    assert ab.serialize() == ba.serialize()
+
+
 @settings(max_examples=30, deadline=None)
 @given(vals=st.lists(st.integers(-10**6, 10**6), max_size=120),
        nullpos=st.lists(st.integers(0, 120), max_size=6),

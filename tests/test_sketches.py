@@ -331,7 +331,17 @@ def test_topk_provably_complete_flag(spark):
     assert all(not r["provably_complete"] for r in rows)
 
 
-@pytest.mark.parametrize("family", ["countmin", "kll", "tdigest", "bloom", "theta", "ddsketch", "freqdirs", "countsketch"])
+
+def _fuzz_feed(fam, family, st, vals):
+    """Families whose update needs (key, time) pairs get synthetic times;
+    everything else takes the plain Series."""
+    if family == "timetheta":
+        fam.update_pair(st, vals,
+                        pd.Series(np.arange(len(vals), dtype=np.int64)))
+    else:
+        fam.update(st, vals)
+
+@pytest.mark.parametrize("family", ["countmin", "kll", "tdigest", "bloom", "theta", "ddsketch", "freqdirs", "countsketch", "timetheta"])
 def test_wire_format_versioned_forward_compat(family):
     """Every non-HLL family carries an explicit encoding_version and, like
     the proto surface (reference StateTest unknown-field case), tolerates a
@@ -349,7 +359,7 @@ def test_wire_format_versioned_forward_compat(family):
         vals = pd.Series([1.0, 2.0, 3.0, 4.0, 5.0] * 10)
     else:
         vals = pd.Series(["a", "b", "c", "a"] * 10)
-    fam.update(a, vals)
+    _fuzz_feed(fam, family, a, vals)
     blob = fam.serialize(a)
 
     # v1 roundtrip exposes the version
@@ -374,7 +384,7 @@ def test_wire_format_versioned_forward_compat(family):
         fam.deserialize(bytes(blob[:4]) + bytes([0]) + bytes(blob[5:]))
 
 
-@pytest.mark.parametrize("family", ["countmin", "kll", "tdigest", "bloom", "theta", "ddsketch", "freqdirs", "countsketch"])
+@pytest.mark.parametrize("family", ["countmin", "kll", "tdigest", "bloom", "theta", "ddsketch", "freqdirs", "countsketch", "timetheta"])
 def test_truncated_blob_fails_loudly(family):
     """Every truncation of a serialized state must raise (ValueError /
     struct.error) — never return a silently-corrupt sketch. At 100 TB a
@@ -395,7 +405,7 @@ def test_truncated_blob_fails_loudly(family):
         vals = pd.Series([float(i % 97) for i in range(500)])
     else:
         vals = pd.Series([f"k{i % 97}" for i in range(500)])
-    fam.update(st, vals)
+    _fuzz_feed(fam, family, st, vals)
     blob = fam.serialize(st)
     full = fam.serialize(fam.deserialize(blob))
     step = max(1, len(blob) // 53)
@@ -711,7 +721,8 @@ def test_bloom_promoted_probe_batch_no_false_negatives():
 
 
 @pytest.mark.parametrize("family", ["countmin", "kll", "tdigest", "bloom",
-                                    "theta", "freqdirs", "countsketch"])
+                                    "theta", "freqdirs", "countsketch",
+                                    "timetheta"])
 def test_mutation_fuzz_never_hangs_or_crashes(family):
     """Beyond truncation: random single-byte mutations of a serialized
     state must either parse (possibly to a different valid state) or
@@ -730,7 +741,7 @@ def test_mutation_fuzz_never_hangs_or_crashes(family):
         vals = pd.Series([float(i % 53) for i in range(400)])
     else:
         vals = pd.Series([f"k{i % 53}" for i in range(400)])
-    fam.update(st, vals)
+    _fuzz_feed(fam, family, st, vals)
     blob = bytearray(fam.serialize(st))
     rng = np.random.default_rng(1234)
     for _ in range(300):
