@@ -277,6 +277,52 @@ def test_timetheta_sql_surface(spark):
         assert r["sd"] == 0.0  # exact regime: theta never dropped
 
 
+def test_streaming_window_activity_matches_batch(spark, tmp_path):
+    """The live window-activity stream converges to the batch report:
+    after the last micro-batch every group's state is byte-equal to a
+    batch build, so active_{W}d / total_distinct match
+    window_activity_report at the same as_of anchor exactly."""
+    from zetasketch_spark.operators.window_distinct import (
+        window_activity_report,
+    )
+    from zetasketch_spark.sources.transcripts import (
+        write_transcripts_parquet,
+    )
+    from zetasketch_spark.streaming.agg import streaming_window_activity
+
+    path = str(tmp_path / "wa_src")
+    write_transcripts_parquet(path, n_turns=30_000, seed=13,
+                              rows_per_file=10_000)
+    schema = spark.read.parquet(path).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(path)
+              .select("role", "conv_id", "ts"))
+    out = streaming_window_activity(stream, ["role"], "conv_id",
+                                    ts_col="ts", k=512, windows=(1, 7))
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName("wa_stream").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["role"]: r for r in spark.sql("""
+        select * from (
+          select *, row_number() over (partition by role
+                                       order by rows_seen desc) rk
+          from wa_stream) where rk = 1
+    """).collect()}
+
+    batch = spark.read.parquet(path)
+    as_of = got[next(iter(got))]["as_of_day"]
+    want = {(r["role"], r["window_days"]): r for r in
+            window_activity_report(batch, "conv_id", "ts", k=512,
+                                   windows=(1, 7), as_of=as_of,
+                                   group_keys=["role"]).collect()}
+    assert {r for r, _ in want} == set(got)
+    for role, r in got.items():
+        assert r["as_of_day"] == as_of  # same max day in every group
+        assert r["active_1d"] == want[(role, 1)]["active"]
+        assert r["active_7d"] == want[(role, 7)]["active"]
+        assert r["total_distinct"] == want[(role, 7)]["total_distinct"]
+
+
 def test_window_activity_empty_input(spark):
     from zetasketch_spark.operators.window_distinct import (
         window_activity_report,

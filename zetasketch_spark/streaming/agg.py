@@ -140,6 +140,98 @@ def streaming_windowed_sketch_agg(
         timeout_minutes=state_timeout_minutes)
 
 
+def streaming_window_activity(
+    df: DataFrame,
+    keys: list[str],
+    key_col: str,
+    ts_col: str = "ts",
+    k: int = 4096,
+    windows=(1, 7, 30),
+    timeout_minutes: float | None = None,
+) -> DataFrame:
+    """Continuously maintained trailing-window distinct activity per
+    group: one temporal theta state (`sketches/timetheta.py`) per group
+    absorbs (key, event-day) pairs; every trigger emits the current
+    ``active_{W}d`` estimate for each window plus the all-time
+    ``total_distinct`` — the live version of
+    ``operators.window_distinct.window_activity_report``.
+
+    ``as_of_day`` is the EXACT max event day seen by the group so far
+    (tracked as a scalar in the state tuple, not read from the sketch's
+    sampled rows), so window anchors never drift with sampling. Late
+    rows fold in exactly (max-timestamp merge is associative and
+    value-idempotent); state per group is one k-row sketch + two
+    scalars."""
+    import datetime
+
+    import pyspark.sql.functions as F
+
+    from zetasketch_spark.sketches.timetheta import TimeThetaFamily
+
+    wins = tuple(sorted({int(w) for w in windows}))
+    if not wins or wins[0] < 1:
+        raise ValueError(f"windows must be >= 1 day, got {windows}")
+    fam = TimeThetaFamily(k=k)
+
+    key_fields = [f for f in df.schema.fields if f.name in keys]
+    out_schema = StructType(
+        key_fields
+        + [StructField("rows_seen", LongType()),
+           StructField("as_of_day", _sql_type("string")),
+           StructField("total_distinct", LongType()),
+           StructField("rse", _sql_type("double"))]
+        + [StructField(f"active_{w}d", LongType()) for w in wins]
+    )
+    state_schema = StructType([
+        StructField("blob", BinaryType()),
+        StructField("rows", LongType()),
+        StructField("max_day", LongType()),
+    ])
+
+    day = F.unix_date(F.to_date(F.col(ts_col))).cast("bigint").alias("_day")
+    src = df.select(*keys, F.col(key_col), day)
+
+    def update_fn(key: Tuple, batches: Iterator[pd.DataFrame],
+                  state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        _NO_DAY = -(2 ** 62)  # "no timed row yet" sentinel (days can
+        # legitimately be negative for pre-1970 event times)
+        if state.exists:
+            blob, rows, max_day = state.get
+            sk = fam.deserialize(bytes(blob))
+        else:
+            sk, rows, max_day = fam.make(), 0, _NO_DAY
+        for pdf in batches:
+            fam.update_pair(sk, pdf[key_col], pdf["_day"])
+            rows += len(pdf)
+            bmax = pdf["_day"].max()
+            if pd.notna(bmax):
+                max_day = max(max_day, int(bmax))
+        state.update((fam.serialize(sk), rows, max_day))
+        if timeout_minutes:
+            state.setTimeoutDuration(int(timeout_minutes * 60 * 1000))
+        if max_day == _NO_DAY:
+            return  # no timed rows yet: no window anchor to report
+        iso = (datetime.date(1970, 1, 1)
+               + datetime.timedelta(days=max_day)).isoformat()
+        actives = [sk.estimate_since(max_day - w + 1) for w in wins]
+        yield pd.DataFrame(
+            [[*key, rows, iso, sk.estimate(), float(sk.rse()), *actives]],
+            columns=[*keys, "rows_seen", "as_of_day", "total_distinct",
+                     "rse", *[f"active_{w}d" for w in wins]],
+        )
+
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout
+               if timeout_minutes else GroupStateTimeout.NoTimeout)
+    return (
+        src.groupBy(*keys)
+        .applyInPandasWithState(update_fn, out_schema, state_schema,
+                                "update", timeout)
+    )
+
+
 def streaming_bloom_dedup(
     df: DataFrame,
     key_col: str,
