@@ -323,6 +323,71 @@ def test_streaming_window_activity_matches_batch(spark, tmp_path):
         assert r["total_distinct"] == want[(role, 7)]["total_distinct"]
 
 
+def test_timetheta_through_sketch_table(spark, tmp_path):
+    """Incremental maintenance of a live activity table: daily deltas
+    fold into a per-role timetheta SketchTable via the
+    ``delta_is_partials`` seam (`operators/incremental.py` — the
+    two-input family can't ride the single-column scan stage, so the
+    dedicated partial builder produces the stage-1 frame). The folded
+    state is BYTE-equal to a one-shot build over all deltas (pure
+    function of the key→max-day set), replay is a no-op, and time
+    travel reads the day-1 anchor."""
+    import pandas as pd
+
+    from zetasketch_spark.operators.agg import SKETCH_COL
+    from zetasketch_spark.operators.incremental import SketchTable
+    from zetasketch_spark.operators.window_distinct import timetheta_partial
+    from zetasketch_spark.sketches.timetheta import TimeThetaFamily
+
+    fam = TimeThetaFamily(k=256)
+    table = SketchTable(str(tmp_path / "activity"), ["role"], "user", fam)
+
+    def delta(day_lo, day_hi, seed):
+        rng = np.random.default_rng(seed)
+        n = 3000
+        pdf = pd.DataFrame({
+            "role": rng.choice(["user", "assistant"], size=n),
+            "user": [f"u{i}" for i in rng.integers(0, 900, size=n)],
+            "day": rng.integers(day_lo, day_hi, size=n).astype(np.int64),
+        })
+        return pdf
+
+    d1, d2 = delta(0, 10, 1), delta(8, 20, 2)
+    for i, pdf in enumerate((d1, d2), 1):
+        partials = timetheta_partial(
+            spark.createDataFrame(pdf).repartition(4),
+            ["role"], "user", "day", fam)
+        m = table.update(spark, partials, fingerprint=f"delta{i}",
+                         delta_is_partials=True)
+        assert m["applied"] and m["version"] == i
+    # idempotent replay
+    assert table.update(spark, partials, fingerprint="delta2",
+                        delta_is_partials=True)["applied"] is False
+
+    both = pd.concat([d1, d2], ignore_index=True)
+    snap = {r["role"]: fam.deserialize(bytes(r[SKETCH_COL]))
+            for r in table.read(spark).collect()}
+    for role, sk in snap.items():
+        direct = fam.make()
+        sub = both[both["role"] == role]
+        fam.update_pair(direct, sub["user"], sub["day"])
+        assert sk.serialize() == direct.serialize()
+        # the folded state answers windows inside the envelope (k=256 and
+        # ~900 users per role => genuinely estimating)
+        lastmap = sub.groupby("user")["day"].max()
+        true_recent = int((lastmap >= 15).sum())
+        assert abs(sk.estimate_since(15) - true_recent) \
+            <= 5 * sk.estimate_sd_since(15) + 1
+    # v1 time travel: states built from delta1 alone
+    v1 = {r["role"]: fam.deserialize(bytes(r[SKETCH_COL]))
+          for r in table.read(spark, version=1).collect()}
+    for role, sk in v1.items():
+        direct = fam.make()
+        sub = d1[d1["role"] == role]
+        fam.update_pair(direct, sub["user"], sub["day"])
+        assert sk.serialize() == direct.serialize()
+
+
 def test_window_activity_empty_input(spark):
     from zetasketch_spark.operators.window_distinct import (
         window_activity_report,
