@@ -499,10 +499,11 @@ def q_events_retention(spark, sf_dir):
     Window-activity arms (r5): the temporal theta sketch
     (`operators/window_distinct.py` — ONE state per table answering
     every trailing window) re-answers 'active in last 7/30 days as-of
-    the max day'; exact companions come from the per-user last-seen-day
-    table, `windows_within_envelope` pins each window estimate within
-    4·sd (binomial thinning) + 2 and the all-time distinct within
-    4·rse + 2."""
+    the max day' AND its acquisition twin 'FIRST seen in last 7/30
+    days' (the min-timestamp summary); exact companions come from the
+    per-user last-/first-seen-day table, `windows_within_envelope` pins
+    every window estimate (active and new) within 4·sd (binomial
+    thinning) + 2 and the all-time distinct within 4·rse + 2."""
     import datetime
 
     from zetasketch_spark.operators.retention import retention_report
@@ -516,21 +517,26 @@ def q_events_retention(spark, sf_dir):
            for r in retention_report(e, "user_id", "ts", k=k).collect()}
 
     last = (e.select("user_id", F.to_date("ts").alias("d"))
-            .groupBy("user_id").agg(F.max("d").alias("last")))
+            .groupBy("user_id").agg(F.max("d").alias("last"),
+                                    F.min("d").alias("first")))
     m = last.agg(F.max("last")).collect()[0][0]
+    cut7 = F.lit(m - datetime.timedelta(days=6))
+    cut30 = F.lit(m - datetime.timedelta(days=29))
     ex = last.agg(
         F.count("*").alias("total"),
-        F.sum((F.col("last") >= F.lit(m - datetime.timedelta(days=6)))
-              .cast("long")).alias("a7"),
-        F.sum((F.col("last") >= F.lit(m - datetime.timedelta(days=29)))
-              .cast("long")).alias("a30"),
+        F.sum((F.col("last") >= cut7).cast("long")).alias("a7"),
+        F.sum((F.col("last") >= cut30).cast("long")).alias("a30"),
+        F.sum((F.col("first") >= cut7).cast("long")).alias("n7"),
+        F.sum((F.col("first") >= cut30).cast("long")).alias("n30"),
     ).collect()[0]
     wrep = {r["window_days"]: r for r in window_activity_report(
         e, "user_id", "ts", k=k, windows=(7, 30),
         as_of=m.isoformat()).collect()}
     windows_ok = all(
-        abs(wrep[w]["active"] - int(ex["a" + str(w)]))
-        <= 4.0 * wrep[w]["sd"] + 2 for w in (7, 30)
+        abs(wrep[w]["active"] - int(ex[f"a{w}"]))
+        <= 4.0 * wrep[w]["sd"] + 2
+        and abs(wrep[w]["new_keys"] - int(ex[f"n{w}"]))
+        <= 4.0 * wrep[w]["sd_new"] + 2 for w in (7, 30)
     ) and abs(wrep[7]["total_distinct"] - int(ex["total"])) \
         <= 4.0 * wrep[7]["rse"] * int(ex["total"]) + 2
 
@@ -569,13 +575,14 @@ def q_events_retention(spark, sf_dir):
     pairs_match = set(rep) == {(r[0], r[1]) for r in rows}
     return spark.createDataFrame(
         [[*r, bool(pairs_match), int(ex["a7"]), int(ex["a30"]),
-          bool(windows_ok)] for r in rows],
+          int(ex["n7"]), int(ex["n30"]), bool(windows_ok)] for r in rows],
         schema="day_prev string, day string, exact_active_prev bigint, "
                "exact_active bigint, exact_retained bigint, "
                "exact_new bigint, exact_churned bigint, "
                "actives_within_envelope boolean, "
                "parts_within_envelope boolean, pairs_match boolean, "
                "exact_active_7d bigint, exact_active_30d bigint, "
+               "exact_new_7d bigint, exact_new_30d bigint, "
                "windows_within_envelope boolean")
 
 
@@ -2282,7 +2289,8 @@ def oracle_sql() -> dict[str, str]:
                 ON CAST(c.day AS DATE) = CAST(p.day AS DATE)
                    + INTERVAL 1 DAY
             ), lastd AS (
-              SELECT user_id, max(CAST(ts AS DATE)) AS last
+              SELECT user_id, max(CAST(ts AS DATE)) AS last,
+                     min(CAST(ts AS DATE)) AS first
               FROM events GROUP BY 1
             ), wins AS (
               SELECT
@@ -2291,7 +2299,13 @@ def oracle_sql() -> dict[str, str]:
                   AS BIGINT) AS a7,
                 CAST(count(*) FILTER (WHERE last >=
                   (SELECT max(last) FROM lastd) - INTERVAL 29 DAY)
-                  AS BIGINT) AS a30
+                  AS BIGINT) AS a30,
+                CAST(count(*) FILTER (WHERE first >=
+                  (SELECT max(last) FROM lastd) - INTERVAL 6 DAY)
+                  AS BIGINT) AS n7,
+                CAST(count(*) FILTER (WHERE first >=
+                  (SELECT max(last) FROM lastd) - INTERVAL 29 DAY)
+                  AS BIGINT) AS n30
               FROM lastd
             )
             SELECT day_prev, pairs.day AS day,
@@ -2307,6 +2321,8 @@ def oracle_sql() -> dict[str, str]:
                    true AS pairs_match,
                    (SELECT a7 FROM wins) AS exact_active_7d,
                    (SELECT a30 FROM wins) AS exact_active_30d,
+                   (SELECT n7 FROM wins) AS exact_new_7d,
+                   (SELECT n30 FROM wins) AS exact_new_30d,
                    true AS windows_within_envelope
             FROM pairs LEFT JOIN ret r ON r.day = pairs.day
         """,

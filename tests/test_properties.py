@@ -287,11 +287,14 @@ def test_timetheta_split_merge_byte_equal_and_max_ts(pairs, k, cuts):
     assert acc.serialize() == direct.serialize()
     rt = TimeThetaSketch.deserialize(acc.serialize())
     assert rt.serialize() == acc.serialize()
-    if direct.theta == 1 << 64 and pairs:  # exact regime: check maxima
-        want: dict[int, int] = {}
+    if direct.theta == 1 << 64 and pairs:  # exact regime: check extrema
+        wmax: dict[int, int] = {}
+        wmin: dict[int, int] = {}
         for a, b in pairs:
-            want[a] = max(want.get(a, -2**63), b)
-        assert sorted(direct.last_ts.tolist()) == sorted(want.values())
+            wmax[a] = max(wmax.get(a, -2**63), b)
+            wmin[a] = min(wmin.get(a, 2**63), b)
+        assert sorted(direct.last_ts.tolist()) == sorted(wmax.values())
+        assert sorted(direct.first_ts.tolist()) == sorted(wmin.values())
 
 
 @settings(max_examples=30, deadline=None)

@@ -22,25 +22,31 @@ def _brute(last_day: dict[str, int], lo: int) -> int:
 
 def test_exact_mode_totals_and_windows():
     """Under k distinct the sketch is exact: theta never drops, every
-    (key, max-day) pair is retained verbatim."""
+    (key, min-day, max-day) triple is retained verbatim."""
     rng = np.random.default_rng(7)
     keys = [f"u{i}" for i in range(500)]
     last_day: dict[str, int] = {}
+    first_day: dict[str, int] = {}
     sk = TimeThetaSketch(k=4096)
     for _ in range(4):  # multiple occurrences per key, random days
         days = rng.integers(0, 60, size=len(keys))
         sk.add_series(pd.Series(keys), pd.Series(days))
         for k_, d in zip(keys, days):
             last_day[k_] = max(last_day.get(k_, -1), int(d))
+            first_day[k_] = min(first_day.get(k_, 61), int(d))
     assert sk.theta == _FULL
     assert sk.estimate() == 500
     for lo in (0, 10, 30, 55, 59, 60):
         assert sk.estimate_since(lo) == _brute(last_day, lo)
-    # recency buckets partition the total
+        assert sk.estimate_new_since(lo) == _brute(first_day, lo)
+    # recency / cohort buckets partition the total
     counts = sk.recency_counts([10, 30, 55])
     assert sum(counts) == 500
     assert counts[3] == _brute(last_day, 55)
     assert counts[0] == 500 - _brute(last_day, 10)
+    cohorts = sk.cohort_counts([10, 30, 55])
+    assert sum(cohorts) == 500
+    assert cohorts[3] == _brute(first_day, 55)
 
 
 def test_max_timestamp_law_exact():
@@ -49,6 +55,8 @@ def test_max_timestamp_law_exact():
     sk.add_series(pd.Series(["a"]), pd.Series([7]))
     by_hash = dict(zip(sk.retained.tolist(), sk.last_ts.tolist()))
     assert sorted(by_hash.values()) == [7, 9]  # a -> max(5,3,7), b -> 9
+    firsts = dict(zip(sk.retained.tolist(), sk.first_ts.tolist()))
+    assert sorted(firsts.values()) == [3, 9]  # a -> min(5,3,7), b -> 9
     assert sk.num_values == 4
 
 
@@ -178,7 +186,8 @@ def _planted_events(spark, n_keys=800, n_days=40, seed=11, parts=4):
     both["ts"] = pd.to_datetime("2024-01-01") + pd.to_timedelta(
         both["day_num"], unit="D")
     df = spark.createDataFrame(both[["user", "ts"]]).repartition(parts)
-    return df, dict(zip(pdf["user"], pdf["day_num"].astype(int)))
+    first = both.groupby("user")["day_num"].min().astype(int).to_dict()
+    return df, dict(zip(pdf["user"], pdf["day_num"].astype(int))), first
 
 
 def test_window_activity_report_exact_regime(spark):
@@ -186,7 +195,7 @@ def test_window_activity_report_exact_regime(spark):
         window_activity_report,
     )
 
-    df, last = _planted_events(spark)
+    df, last, first = _planted_events(spark)
     out = window_activity_report(df, "user", "ts", k=8192,
                                  windows=(1, 7, 30),
                                  as_of="2024-02-09").collect()  # day 39
@@ -194,6 +203,7 @@ def test_window_activity_report_exact_regime(spark):
     for r in out:
         lo = 39 - r["window_days"] + 1
         assert r["active"] == sum(1 for d in last.values() if d >= lo)
+        assert r["new_keys"] == sum(1 for d in first.values() if d >= lo)
         assert r["total_distinct"] == len(last)
         assert r["as_of_day"] == "2024-02-09"
 
@@ -203,8 +213,8 @@ def test_window_activity_partitioning_invariant(spark):
         window_activity_report,
     )
 
-    df4, _ = _planted_events(spark, parts=4)
-    df97, _ = _planted_events(spark, parts=97)
+    df4, _, _ = _planted_events(spark, parts=4)
+    df97, _, _ = _planted_events(spark, parts=97)
     a = [tuple(r) for r in window_activity_report(
         df4, "user", "ts", k=256, windows=(7, 30),
         as_of="2024-02-09").collect()]
@@ -266,14 +276,18 @@ def test_timetheta_sql_surface(spark):
         )
         SELECT role, tt_estimate(sk) AS total,
                tt_active_since(sk, 30) AS recent,
+               tt_new_since(sk, 30) AS fresh,
                tt_active_sd_since(sk, 30) AS sd
         FROM m
     """).collect()
     exact = pdf.groupby(["role", "user"])["day_num"].max().reset_index()
+    firsts = pdf.groupby(["role", "user"])["day_num"].min().reset_index()
     for r in rows:
         sub = exact[exact["role"] == r["role"]]
+        fsub = firsts[firsts["role"] == r["role"]]
         assert r["total"] == sub["user"].nunique()
         assert r["recent"] == int((sub["day_num"] >= 30).sum())
+        assert r["fresh"] == int((fsub["day_num"] >= 30).sum())
         assert r["sd"] == 0.0  # exact regime: theta never dropped
 
 
@@ -320,6 +334,8 @@ def test_streaming_window_activity_matches_batch(spark, tmp_path):
         assert r["as_of_day"] == as_of  # same max day in every group
         assert r["active_1d"] == want[(role, 1)]["active"]
         assert r["active_7d"] == want[(role, 7)]["active"]
+        assert r["new_1d"] == want[(role, 1)]["new_keys"]
+        assert r["new_7d"] == want[(role, 7)]["new_keys"]
         assert r["total_distinct"] == want[(role, 7)]["total_distinct"]
 
 

@@ -658,6 +658,16 @@ def register_sql(spark) -> None:
     # distinct keys last seen at time unit >= since (suffix window)
     spark.udf.register("tt_active_since", _tt_active)
 
+    @pandas_udf("long")
+    def _tt_new(states: pd.Series, since: pd.Series) -> pd.Series:
+        return _extract_by_state(
+            states, since, TimeThetaSketch.deserialize,
+            lambda sk, ts: [int(sk.estimate_new_since(int(t))) for t in ts],
+            None)
+
+    # distinct keys FIRST seen at time unit >= since (acquisition window)
+    spark.udf.register("tt_new_since", _tt_new)
+
     @pandas_udf("double")
     def _tt_active_sd(states: pd.Series, since: pd.Series) -> pd.Series:
         return _extract_by_state(

@@ -102,6 +102,7 @@ def timetheta_agg(df: DataFrame, keys: list[str], key_col: str,
 
 
 _SCHEMA = ("window_days int, as_of_day string, active bigint, sd double, "
+           "new_keys bigint, sd_new double, "
            "total_distinct bigint, rse double")
 
 
@@ -113,8 +114,10 @@ def window_activity_report(df: DataFrame, key_col: str, ts_col: str,
     """One row per (group, trailing window W): ``active`` = estimated
     distinct keys last seen within the W days ending at ``as_of``
     (inclusive; a key counts for W=1 iff last seen ON the as_of day),
-    with its binomial-thinning ``sd``; ``total_distinct``/``rse`` are
-    the plain KMV estimate of the group's all-time distinct count.
+    with its binomial-thinning ``sd``; ``new_keys``/``sd_new`` = the
+    acquisition twin — distinct keys FIRST seen within the window (the
+    sketch's min-timestamp summary); ``total_distinct``/``rse`` are the
+    plain KMV estimate of the group's all-time distinct count.
 
     ``as_of`` is an ISO date string; default = the data's max day (one
     column-pruned scan). All windows reuse the SAME one-scan sketches —
@@ -170,8 +173,10 @@ def window_activity_report(df: DataFrame, key_col: str, ts_col: str,
                 raise ValueError(f"windows must be >= 1 day, got {w}")
             lo = as_of_day - w + 1
             rows.append([*g, w, as_of_iso, sk.estimate_since(lo),
-                         float(sk.estimate_sd_since(lo)), sk.estimate(),
-                         float(sk.rse())])
+                         float(sk.estimate_sd_since(lo)),
+                         sk.estimate_new_since(lo),
+                         float(sk.estimate_sd_new_since(lo)),
+                         sk.estimate(), float(sk.rse())])
     schema = ", ".join([f"`{g}` string" for g in gcols] + [_SCHEMA])
     cols = [*gcols, *[c.split()[0] for c in _SCHEMA.split(", ")]]
     return spark.createDataFrame(

@@ -1,12 +1,13 @@
 """Temporal theta sketch — distinct counting over SUFFIX TIME WINDOWS
-from one mergeable state (a tuple sketch with a max-timestamp summary).
+from one mergeable state (a tuple sketch with (first, last)-timestamp
+summaries).
 
 The published basis is the Theta Sketch Framework's tuple extension
 (Dasgupta, Lang, Rhodes, Thaler: "Data Sketching for Set Operations";
 Apache DataSketches "Tuple sketches": each retained hash carries a
 user summary combined by a monoid on duplicates/merge). Here the
-summary is ``max(event_time)`` per key, which makes every *suffix*
-window answerable after the fact:
+summary is ``(min, max)(event_time)`` per key; the max side makes
+every *suffix* window answerable after the fact:
 
     distinct keys whose LAST occurrence is >= t
         ≈ |{retained: last_ts >= t}| / theta_frac
@@ -24,13 +25,23 @@ register maxima for the same query shape; the tuple-theta variant is
 chosen because its retained set supports arbitrary predicates and
 direct set ops.
 
-Correctness of the last-timestamp summary under distribution: theta
-only ever decreases, so a hash below the FINAL theta was below every
+Each retained hash carries BOTH the min (first-seen) and max
+(last-seen) event time, combined by the (min, max) monoid on
+duplicates and merge. Last-seen answers *activity* windows
+(``estimate_since``); first-seen answers *acquisition* windows —
+``estimate_new_since(t)`` = distinct keys whose FIRST occurrence is
+>= t, i.e. new users per trailing window, and ``cohort_counts``
+buckets the population by acquisition time — the growth-accounting
+twin of retention, from the same single state.
+
+Correctness of the timestamp summaries under distribution: theta only
+ever decreases, so a hash below the FINAL theta was below every
 earlier theta — every one of its occurrences was absorbed, and its
-stored timestamp is the exact global max. On merge, a hash surviving
-``min(theta_a, theta_b)`` was retained by both sides wherever it
-occurred, so ``max(ts_a, ts_b)`` is again the exact global last time.
-(Keys seen only on one side survive with that side's exact max.)
+stored min/max are the exact global first/last times. On merge, a
+hash surviving ``min(theta_a, theta_b)`` was retained by both sides
+wherever it occurred, so ``(min(first_a, first_b), max(last_a,
+last_b))`` is again exact. (Keys seen only on one side survive with
+that side's exact pair.)
 
 Time units are CALLER-DEFINED int64 (the sketch never interprets
 them): the Spark operator (`operators/window_distinct.py`) feeds
@@ -60,8 +71,6 @@ _MAGIC = b"TTH2"
 _ENCODING_VERSION = 1
 _FULL = 1 << 64  # theta of an exact-mode sketch (no hash discarded)
 
-_TS_MIN = np.iinfo(np.int64).min
-
 
 def _hash_series(values: pd.Series) -> np.ndarray:
     """Same string-canonical key domain as theta/Count-Min/Bloom
@@ -73,8 +82,8 @@ def _hash_series(values: pd.Series) -> np.ndarray:
 
 
 class TimeThetaSketch:
-    __slots__ = ("k", "theta", "retained", "last_ts", "num_values",
-                 "encoding_version")
+    __slots__ = ("k", "theta", "retained", "first_ts", "last_ts",
+                 "num_values", "encoding_version")
 
     def __init__(self, k: int = 4096):
         if k < 16:
@@ -82,6 +91,7 @@ class TimeThetaSketch:
         self.k = k
         self.theta = _FULL  # exclusive upper bound on retained hashes
         self.retained = np.empty(0, dtype=np.uint64)  # sorted unique
+        self.first_ts = np.empty(0, dtype=np.int64)  # parallel: min ts
         self.last_ts = np.empty(0, dtype=np.int64)  # parallel: max ts
         self.num_values = 0
         self.encoding_version = _ENCODING_VERSION
@@ -105,8 +115,8 @@ class TimeThetaSketch:
 
     def add_pairs(self, hashes: np.ndarray, times: np.ndarray) -> None:
         """Vectorized: filter under theta, then a sort-based
-        max-per-unique-hash combine with the current state (the batch
-        analog of the tuple sketch's per-row summary combiner)."""
+        (min, max)-per-unique-hash combine with the current state (the
+        batch analog of the tuple sketch's per-row summary combiner)."""
         hashes = np.asarray(hashes, dtype=np.uint64)
         times = np.asarray(times, dtype=np.int64)
         if len(hashes) != len(times):
@@ -116,31 +126,35 @@ class TimeThetaSketch:
             hashes, times = hashes[keep], times[keep]
         if len(hashes) == 0:
             return
-        self._combine(hashes, times)
+        self._combine(hashes, times, times)
         self._quickselect()
 
-    def _combine(self, hashes: np.ndarray, times: np.ndarray) -> None:
-        """Merge (hashes, times) into the retained arrays keeping the
-        max time per unique hash. O((n+k) log (n+k)) sort, all numpy."""
+    def _combine(self, hashes: np.ndarray, firsts: np.ndarray,
+                 lasts: np.ndarray) -> None:
+        """Merge (hash, first, last) rows into the retained arrays under
+        the (min, max) monoid per unique hash. O((n+k) log (n+k)) sort,
+        all numpy."""
         h = np.concatenate([self.retained, hashes])
-        t = np.concatenate([self.last_ts, times])
-        # primary key h ascending, secondary t ascending -> the LAST row
-        # of each equal-hash run carries the max timestamp
-        order = np.lexsort((t, h))
-        h, t = h[order], t[order]
-        last = np.empty(len(h), dtype=bool)
-        last[:-1] = h[1:] != h[:-1]
-        last[-1] = True
-        self.retained = h[last]
-        self.last_ts = t[last]
+        f = np.concatenate([self.first_ts, firsts])
+        t = np.concatenate([self.last_ts, lasts])
+        order = np.argsort(h, kind="stable")
+        h, f, t = h[order], f[order], t[order]
+        starts = np.empty(len(h), dtype=bool)
+        starts[0] = True
+        starts[1:] = h[1:] != h[:-1]
+        idx = np.flatnonzero(starts)
+        self.retained = h[idx]
+        self.first_ts = np.minimum.reduceat(f, idx)
+        self.last_ts = np.maximum.reduceat(t, idx)
 
     def _quickselect(self) -> None:
         """Drop theta to the (k+1)-th smallest retained hash when over
-        capacity; exactly k (hash, last_ts) rows survive."""
+        capacity; exactly k (hash, first_ts, last_ts) rows survive."""
         if len(self.retained) <= self.k:
             return
         self.theta = int(self.retained[self.k])
         self.retained = self.retained[: self.k]
+        self.first_ts = self.first_ts[: self.k]
         self.last_ts = self.last_ts[: self.k]
 
     # -- results ---------------------------------------------------------------
@@ -186,26 +200,54 @@ class TimeThetaSketch:
         counts = np.bincount(idx, minlength=len(bounds) + 1)
         return [int(round(c / self.theta_frac)) for c in counts]
 
+    def estimate_new_since(self, t_lo: int) -> int:
+        """Distinct keys whose FIRST occurrence is at time >= ``t_lo`` —
+        new arrivals in the suffix window (growth accounting). Exact by
+        the same argument as last-seen: retained hashes carry their true
+        global first time."""
+        j = int(np.count_nonzero(self.first_ts >= np.int64(t_lo)))
+        return int(round(j / self.theta_frac))
+
+    def estimate_sd_new_since(self, t_lo: int) -> float:
+        t = self.theta_frac
+        j = max(int(np.count_nonzero(self.first_ts >= np.int64(t_lo))), 1)
+        return float(np.sqrt(j * (1.0 - t)) / t)
+
+    def cohort_counts(self, boundaries) -> list[int]:
+        """Distinct-count estimates per ACQUISITION (first-seen) bucket —
+        cohort sizes by signup time, same bucket convention as
+        ``recency_counts``; sums to ``estimate()`` up to rounding."""
+        bounds = np.asarray(list(boundaries), dtype=np.int64)
+        if len(bounds) == 0:
+            return [self.estimate()]
+        if np.any(np.diff(bounds) <= 0):
+            raise ValueError("boundaries must be strictly ascending")
+        idx = np.searchsorted(bounds, self.first_ts, side="right")
+        counts = np.bincount(idx, minlength=len(bounds) + 1)
+        return [int(round(c / self.theta_frac)) for c in counts]
+
     # -- merge -----------------------------------------------------------------
 
     def merge(self, other: "TimeThetaSketch" | None) -> None:
-        """Union (in place): min theta, max last_ts per surviving hash.
-        None / empty merges are no-ops (the null-merge law every family
-        obeys)."""
+        """Union (in place): min theta; (min first_ts, max last_ts) per
+        surviving hash. None / empty merges are no-ops (the null-merge
+        law every family obeys)."""
         if other is None:
             return
         if self.k != other.k:
             self.k = min(self.k, other.k)
         self.theta = min(self.theta, other.theta)
         h = np.concatenate([self.retained, other.retained])
+        f = np.concatenate([self.first_ts, other.first_ts])
         t = np.concatenate([self.last_ts, other.last_ts])
         if self.theta < _FULL:
             keep = h < np.uint64(self.theta)
-            h, t = h[keep], t[keep]
+            h, f, t = h[keep], f[keep], t[keep]
         self.retained = np.empty(0, dtype=np.uint64)
+        self.first_ts = np.empty(0, dtype=np.int64)
         self.last_ts = np.empty(0, dtype=np.int64)
         if len(h):
-            self._combine(h, t)
+            self._combine(h, f, t)
         self.num_values += other.num_values
         self._quickselect()
 
@@ -213,6 +255,7 @@ class TimeThetaSketch:
         out = TimeThetaSketch(k=self.k)
         out.theta = self.theta
         out.retained = self.retained.copy()
+        out.first_ts = self.first_ts.copy()
         out.last_ts = self.last_ts.copy()
         out.num_values = self.num_values
         return out
@@ -229,6 +272,7 @@ class TimeThetaSketch:
                         len(self.retained)),
             np.ascontiguousarray(self.retained).tobytes(),
             np.ascontiguousarray(self.last_ts).tobytes(),
+            np.ascontiguousarray(self.first_ts).tobytes(),
         ])
 
     @classmethod
@@ -239,7 +283,7 @@ class TimeThetaSketch:
         k, num_values, theta_stored, n_ret = struct.unpack_from(
             "<iqQi", data, off)
         off += struct.calcsize("<iqQi")
-        if n_ret < 0 or off + 16 * n_ret > len(data):
+        if n_ret < 0 or off + 24 * n_ret > len(data):
             # a lying length must not swallow trailing (forward-compat)
             # bytes or read past the buffer
             raise ValueError(
@@ -254,6 +298,9 @@ class TimeThetaSketch:
         off += 8 * n_ret
         sk.last_ts = np.frombuffer(data, dtype=np.int64, count=n_ret,
                                    offset=off).copy()
+        off += 8 * n_ret
+        sk.first_ts = np.frombuffer(data, dtype=np.int64, count=n_ret,
+                                    offset=off).copy()
         return sk
 
 

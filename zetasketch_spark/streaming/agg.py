@@ -152,8 +152,9 @@ def streaming_window_activity(
     """Continuously maintained trailing-window distinct activity per
     group: one temporal theta state (`sketches/timetheta.py`) per group
     absorbs (key, event-day) pairs; every trigger emits the current
-    ``active_{W}d`` estimate for each window plus the all-time
-    ``total_distinct`` — the live version of
+    ``active_{W}d`` (last seen in window) and ``new_{W}d`` (FIRST seen
+    in window — live acquisition counting) estimates per window plus
+    the all-time ``total_distinct`` — the live version of
     ``operators.window_distinct.window_activity_report``.
 
     ``as_of_day`` is the EXACT max event day seen by the group so far
@@ -181,6 +182,7 @@ def streaming_window_activity(
            StructField("total_distinct", LongType()),
            StructField("rse", _sql_type("double"))]
         + [StructField(f"active_{w}d", LongType()) for w in wins]
+        + [StructField(f"new_{w}d", LongType()) for w in wins]
     )
     state_schema = StructType([
         StructField("blob", BinaryType()),
@@ -217,10 +219,13 @@ def streaming_window_activity(
         iso = (datetime.date(1970, 1, 1)
                + datetime.timedelta(days=max_day)).isoformat()
         actives = [sk.estimate_since(max_day - w + 1) for w in wins]
+        news = [sk.estimate_new_since(max_day - w + 1) for w in wins]
         yield pd.DataFrame(
-            [[*key, rows, iso, sk.estimate(), float(sk.rse()), *actives]],
+            [[*key, rows, iso, sk.estimate(), float(sk.rse()), *actives,
+              *news]],
             columns=[*keys, "rows_seen", "as_of_day", "total_distinct",
-                     "rse", *[f"active_{w}d" for w in wins]],
+                     "rse", *[f"active_{w}d" for w in wins],
+                     *[f"new_{w}d" for w in wins]],
         )
 
     timeout = (GroupStateTimeout.ProcessingTimeTimeout
