@@ -404,6 +404,35 @@ def test_timetheta_through_sketch_table(spark, tmp_path):
         assert sk.serialize() == direct.serialize()
 
 
+def test_timetheta_partial_fabrics_state_equal(spark):
+    """The Arrow fast path (zero-copy string fingerprinting) produces
+    BYTE-identical merged states to the pandas fallback, including null
+    keys/times and multi-group batches."""
+    from zetasketch_spark.operators.agg import SKETCH_COL, sketch_merge
+    from zetasketch_spark.operators.window_distinct import timetheta_partial
+
+    rng = np.random.default_rng(23)
+    n = 5000
+    pdf = pd.DataFrame({
+        "g": rng.choice(["a", "b"], size=n),
+        "user": [None if i % 97 == 0 else f"u{i % 700}" for i in range(n)],
+        "day": pd.array([None if i % 89 == 0 else int(d) for i, d in
+                         enumerate(rng.integers(0, 50, size=n))],
+                        dtype="Int64"),
+    })
+    df = spark.createDataFrame(pdf).repartition(5)
+    fam = TimeThetaFamily(k=256)
+
+    def states(use_arrow):
+        merged = sketch_merge(
+            timetheta_partial(df, ["g"], "user", "day", fam,
+                              use_arrow=use_arrow), ["g"], fam)
+        return {r["g"]: bytes(r[SKETCH_COL]) for r in merged.collect()}
+
+    a, p = states(True), states(False)
+    assert set(a) == {"a", "b"} and a == p
+
+
 def test_window_activity_empty_input(spark):
     from zetasketch_spark.operators.window_distinct import (
         window_activity_report,

@@ -47,11 +47,19 @@ _TIME_COL = "_tt_time"
 
 
 def timetheta_partial(df: DataFrame, keys: list[str], key_col: str,
-                      time_col: str, family: TimeThetaFamily) -> DataFrame:
+                      time_col: str, family: TimeThetaFamily,
+                      use_arrow: bool | None = None) -> DataFrame:
     """Stage 1 for (key, time) pairs: per-(partition, group) temporal
-    theta partials, vectorized per pandas batch. Output schema matches
-    `operators.agg.sketch_partial` so `sketch_merge`/`sketch_result`
-    compose unchanged."""
+    theta partials. Output schema matches `operators.agg.sketch_partial`
+    so `sketch_merge`/`sketch_result` compose unchanged.
+
+    STRING (or dictionary-of-string) key columns take the `mapInArrow`
+    path by default: keys are fingerprinted straight off the Arrow
+    buffers (never materialized as Python objects — the same zero-copy
+    kernel as `ThetaFamily.prepare_arrow`), times read as int64 with the
+    joint validity mask applied before `add_pairs`. State-equal to the
+    pandas path by construction (both feed the same canonical hash
+    domain); other key types use the pandas fallback."""
     out_schema = StructType(
         _key_fields(df, keys)
         + [StructField(SKETCH_COL, BinaryType()),
@@ -59,6 +67,12 @@ def timetheta_partial(df: DataFrame, keys: list[str], key_col: str,
            StructField(PARTITION_COL, IntegerType())]
     )
     keys_t = tuple(keys)
+
+    if use_arrow is None:
+        use_arrow = df.schema[key_col].dataType.simpleString() == "string"
+    if use_arrow:
+        return _timetheta_partial_arrow(df, keys, key_col, time_col,
+                                        family, out_schema)
 
     def partial_fn(batches):
         ctx = TaskContext.get()
@@ -89,6 +103,71 @@ def timetheta_partial(df: DataFrame, keys: list[str], key_col: str,
 
     return df.select(*keys, key_col, time_col).mapInPandas(
         partial_fn, out_schema)
+
+
+def _timetheta_partial_arrow(df: DataFrame, keys: list[str], key_col: str,
+                             time_col: str, family: TimeThetaFamily,
+                             out_schema: StructType) -> DataFrame:
+    import numpy as np
+
+    keys_t = tuple(keys)
+
+    def fn(batches):
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        from zetasketch_spark.hashing import fingerprint_arrow_array
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else -1
+        acc: dict = {}
+        rows: dict = {}
+        for batch in batches:
+            karr = batch.column(batch.schema.get_field_index(key_col))
+            tarr = batch.column(batch.schema.get_field_index(time_col))
+            hashes, kvalid = fingerprint_arrow_array(karr)
+            hashes = np.asarray(hashes)
+            # int64 with nulls comes back float64+NaN; null times drop
+            # (same rule as add_series)
+            tnp = tarr.to_numpy(zero_copy_only=False)
+            valid = (np.ones(len(hashes), dtype=bool) if kvalid is None
+                     else kvalid.copy())
+            if tnp.dtype.kind == "f":
+                valid &= ~np.isnan(tnp)
+                tnp = np.where(valid, tnp, 0).astype(np.int64)
+            else:
+                tnp = tnp.astype(np.int64, copy=False)
+            if keys_t:
+                kpdf = pa.Table.from_batches([batch]) \
+                    .select(list(keys_t)).to_pandas()
+                groups = kpdf.groupby(list(keys_t), sort=False,
+                                      dropna=False).indices
+            else:
+                groups = {(): np.arange(batch.num_rows)}
+            for key, idx in groups.items():
+                if not isinstance(key, tuple):
+                    key = (key,)
+                state = acc.get(key)
+                if state is None:
+                    state = family.make()
+                    acc[key] = state
+                    rows[key] = 0
+                m = valid[idx]
+                take = idx[m] if not m.all() else idx
+                state.num_values += int(len(take))
+                state.add_pairs(hashes[take], tnp[take])
+                rows[key] += len(idx)
+        if acc:
+            out = pd.DataFrame(
+                [[*k, family.serialize(s), rows[k], pid]
+                 for k, s in acc.items()],
+                columns=[*keys_t, SKETCH_COL, ROWS_COL, PARTITION_COL],
+            )
+            yield pa.RecordBatch.from_pandas(
+                out, schema=to_arrow_schema(out_schema),
+                preserve_index=False)
+
+    return df.select(*keys, key_col, time_col).mapInArrow(fn, out_schema)
 
 
 def timetheta_agg(df: DataFrame, keys: list[str], key_col: str,
