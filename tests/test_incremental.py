@@ -772,3 +772,47 @@ def test_value_domain_drift_rejected_through_update_tables(spark, tmp_path):
         update_tables(spark, events.select(
             "event_type", F.col("user_id").cast("bigint").alias("uid")),
             tables, fingerprint="longs")
+
+
+def test_windowed_heavy_hitters_from_day_table_rollup(spark, tmp_path):
+    """Trailing-window heavy hitters RETROACTIVELY from a day-keyed
+    Count-Min SketchTable: rollup(where=day >= cutoff) merges only the
+    window's day states — no raw-history rescan — and the merged CM
+    obeys its contract against exact window counts (never undercounts;
+    the true window-top key is inside the merged candidate set with an
+    estimate >= its exact count)."""
+    from zetasketch_spark.sketches.countmin import (CountMinFamily,
+                                                    CountMinSketch)
+
+    events = (_events(spark)
+              .withColumn("day", F.dayofmonth("ts"))
+              .filter(F.col("user_id").isNotNull()))
+    fam = CountMinFamily(width=2048, depth=5)
+    table = SketchTable(str(tmp_path / "cm_by_day"), ["day"], "user_id",
+                        fam)
+    table.update(spark, events, fingerprint="all-days")
+
+    days = sorted(r["day"] for r in
+                  table.read(spark).select("day").collect())
+    cutoff = days[len(days) // 2]
+    [win] = table.rollup(spark, [], keep_sketch=True,
+                         where=F.col("day") >= cutoff).collect()
+    cm = CountMinSketch.deserialize(bytes(win[SKETCH_COL]))
+
+    exact = {str(r["user_id"]): r["n"] for r in
+             events.filter(F.col("day") >= cutoff)
+             .groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    import pandas as pd
+    est = cm.point_query_series(pd.Series(list(exact)))
+    for key, e in zip(exact, est):
+        assert e >= exact[key], (key, e, exact[key])  # never undercounts
+    top_key = max(exact, key=lambda k: (exact[k], k))
+    assert top_key in cm.candidates  # MG survival: window top is present
+    # its pruned MG count is a LOWER bound on the exact window count
+    assert cm.candidates[top_key] <= exact[top_key]
+    assert cm.heavy_hitters(1)[0][1] >= exact[top_key]  # CM never under
+    # and the window CM saw exactly the slice's rows
+    direct = fam.make()
+    fam.update(direct, events.filter(F.col("day") >= cutoff)
+               .select("user_id").toPandas()["user_id"])
+    assert cm.total == direct.total

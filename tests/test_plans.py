@@ -294,3 +294,43 @@ def test_exact_topk_ranking_is_take_ordered_not_global_window(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
+
+
+def test_window_activity_prunes_scan_and_avoids_cartesian(spark,
+                                                          transcripts_path):
+    """The temporal-theta partial stage reads only (group, key, ts) —
+    never text/tool — and the report plan has no CartesianProduct and
+    no single-partition global exchange before the partial stage."""
+    from zetasketch_spark.operators.window_distinct import (
+        window_activity_report,
+    )
+    from zetasketch_spark.sources.transcripts import load_transcripts
+
+    df = load_transcripts(spark, transcripts_path)
+    rep = window_activity_report(df, "conv_id", "ts", k=256,
+                                 windows=(7,), as_of="2024-02-01",
+                                 group_keys=["role"])
+    # the report itself is a driver-built frame; the plan to guard is the
+    # sketch build, whose scans ran during construction — rebuild the
+    # partial pipeline explicitly for an inspectable plan
+    import pyspark.sql.functions as F
+
+    from zetasketch_spark.operators.agg import sketch_merge
+    from zetasketch_spark.operators.window_distinct import timetheta_partial
+    from zetasketch_spark.sketches.timetheta import TimeThetaFamily
+
+    keyed = df.select(
+        "role", "conv_id",
+        F.unix_date(F.to_date(F.col("ts"))).cast("bigint").alias("_d"))
+    fam = TimeThetaFamily(k=256)
+    merged = sketch_merge(
+        timetheta_partial(keyed, ["role"], "conv_id", "_d", fam),
+        ["role"], fam, tree_levels=2)
+    scans = read_schema_columns(merged)
+    assert scans, "expected a parquet scan in the plan"
+    for cols in scans:
+        assert "text" not in cols and "tool" not in cols, cols
+        assert set(cols) <= {"conv_id", "role", "ts"}
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert rep.collect()  # and the full report actually runs
