@@ -26,7 +26,11 @@ states (same ``AggregatorStateProto`` wire format):
   Signed counters: ``cs_init_agg(col, width, depth)``/``cs_merge_agg``
   (CountSketch), with ``cs_point_est(state, key)`` (unbiased frequency),
   ``cs_f2(state)`` (AMS second moment) and ``cs_inner_product(a, b)``
-  (unbiased join size with multiplicity).
+  (unbiased join size with multiplicity). Temporal theta:
+  ``tt_init_agg(key, time_units, k)``/``tt_merge_agg``/``tt_estimate``
+  with ``tt_active_since(state, t)`` / ``tt_new_since(state, t)`` /
+  ``tt_active_sd_since(state, t)`` — trailing-window activity and
+  acquisition distinct counts chosen AFTER aggregation.
 
 The grouped-agg form shuffles raw values per group (Catalyst's own
 aggregation path), which is the convenient-but-shuffle-heavy shape; for
