@@ -213,6 +213,12 @@ def main(argv=None):
                 family, col = rest.split(":", 1)
             except ValueError:
                 ap.error(f"--multi entry {entry!r} is not name=family:col")
+            if family.strip() == "timetheta":
+                # needs (key, time) PAIRS — the one-column scan stage
+                # would die with a worker-side TypeError much later
+                ap.error("--multi cannot build 'timetheta' (it updates "
+                         "from (key, time) pairs); use --window-activity "
+                         "for the trailing-window activity report")
             if col.startswith("length(") and col.endswith(")"):
                 col = ("length", col[len("length("):-1])
             specs[name.strip()] = (col, make_family(family.strip()))
