@@ -403,6 +403,33 @@ def test_timetheta_through_sketch_table(spark, tmp_path):
         fam.update_pair(direct, sub["user"], sub["day"])
         assert sk.serialize() == direct.serialize()
 
+    # the report straight from the table (as_of = day 19 = 1970-01-20):
+    # estimates inside the envelope of the exact last-/first-day maps
+    from zetasketch_spark.operators.window_distinct import (
+        window_activity_from_table,
+    )
+
+    rep = {(r["role"], r["window_days"]): r
+           for r in window_activity_from_table(
+               spark, table, as_of="1970-01-20", windows=(5, 20)).collect()}
+    assert {k[1] for k in rep} == {5, 20}
+    for role in ("user", "assistant"):
+        sub = both[both["role"] == role]
+        lastm = sub.groupby("user")["day"].max()
+        firstm = sub.groupby("user")["day"].min()
+        for w in (5, 20):
+            lo = 19 - w + 1
+            r = rep[(role, w)]
+            assert abs(r["active"] - int((lastm >= lo).sum())) \
+                <= 4 * r["sd"] + 2
+            assert abs(r["new_keys"] - int((firstm >= lo).sum())) \
+                <= 4 * r["sd_new"] + 2
+            assert r["as_of_day"] == "1970-01-20"
+    # time travel flows through to the report too
+    rep1 = window_activity_from_table(spark, table, as_of="1970-01-10",
+                                      windows=(3,), version=1).collect()
+    assert len(rep1) == 2 and all(r["window_days"] == 3 for r in rep1)
+
 
 def test_timetheta_partial_fabrics_state_equal(spark):
     """The Arrow fast path (zero-copy string fingerprinting) produces

@@ -260,3 +260,51 @@ def window_activity_report(df: DataFrame, key_col: str, ts_col: str,
     cols = [*gcols, *[c.split()[0] for c in _SCHEMA.split(", ")]]
     return spark.createDataFrame(
         pd.DataFrame(rows, columns=cols) if rows else [], schema=schema)
+
+
+def window_activity_from_table(spark, table, as_of: str,
+                               windows=(1, 7, 30),
+                               version: int | None = None):
+    """The report, answered from an incrementally-maintained timetheta
+    `SketchTable` (`operators/incremental.py`) instead of a fresh scan:
+    read the (time-travelable) snapshot's per-group states — one compact
+    row per group — and emit the same rows as `window_activity_report`.
+    This is the daily-maintenance shape: fold today's delta
+    (`timetheta_partial` + ``update(delta_is_partials=True)``), then
+    answer any window from the table without touching history.
+
+    ``as_of`` (ISO date) is REQUIRED: the true max event day is a
+    property of the full input that a sampled state cannot certify
+    (the max over retained rows can under-read when the newest day's
+    keys all hashed above theta), and the maintenance pipeline knows
+    its data cutoff exactly — pass that."""
+    import datetime
+
+    from zetasketch_spark.operators.agg import SKETCH_COL
+    from zetasketch_spark.sketches.timetheta import TimeThetaSketch
+
+    snap = table.read(spark, version=version)
+    gcols = list(table.keys)
+    as_of_day = (datetime.date.fromisoformat(as_of)
+                 - datetime.date(1970, 1, 1)).days
+    rows = []
+    if snap is not None:
+        sketches = {
+            tuple(str(r[c]) for c in gcols):
+                TimeThetaSketch.deserialize(bytes(r[SKETCH_COL]))
+            for r in snap.collect() if r[SKETCH_COL] is not None}
+        for g in sorted(sketches):
+            sk = sketches[g]
+            for w in sorted({int(w) for w in windows}):
+                if w < 1:
+                    raise ValueError(f"windows must be >= 1 day, got {w}")
+                lo = as_of_day - w + 1
+                rows.append([*g, w, as_of, sk.estimate_since(lo),
+                             float(sk.estimate_sd_since(lo)),
+                             sk.estimate_new_since(lo),
+                             float(sk.estimate_sd_new_since(lo)),
+                             sk.estimate(), float(sk.rse())])
+    schema = ", ".join([f"`{g}` string" for g in gcols] + [_SCHEMA])
+    cols = [*gcols, *[c.split()[0] for c in _SCHEMA.split(", ")]]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=cols) if rows else [], schema=schema)
