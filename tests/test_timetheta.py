@@ -460,6 +460,37 @@ def test_timetheta_partial_fabrics_state_equal(spark):
     assert set(a) == {"a", "b"} and a == p
 
 
+def test_activity_age_report_exact_regime(spark):
+    """Age-distribution report: recency (last_seen) and cohort
+    (first_seen) bands match brute-force maps exactly under k, and each
+    column partitions the total."""
+    from zetasketch_spark.operators.window_distinct import (
+        activity_age_report,
+    )
+
+    df, last, first = _planted_events(spark)  # days 0..39
+    out = {r["bucket"]: r for r in activity_age_report(
+        df, "user", "ts", k=8192, edges=(1, 7, 30),
+        as_of="2024-02-09").collect()}  # as_of = day 39
+    assert list(out) == ["<=1d", "2-7d", "8-30d", ">30d"]
+
+    def band_count(m, lo_age, hi_age):  # ages in days, 1 = the as_of day
+        lo_day = 39 - hi_age + 1
+        hi_day = 39 - lo_age + 1
+        return sum(1 for d in m.values() if lo_day <= d <= hi_day)
+
+    spans = {"<=1d": (1, 1), "2-7d": (2, 7), "8-30d": (8, 30),
+             ">30d": (31, 40)}
+    for bucket, (lo, hi) in spans.items():
+        assert out[bucket]["last_seen"] == band_count(last, lo, hi), bucket
+        assert out[bucket]["first_seen"] == band_count(first, lo, hi), bucket
+        assert out[bucket]["as_of_day"] == "2024-02-09"
+    assert sum(r["last_seen"] for r in out.values()) == len(last)
+    assert sum(r["first_seen"] for r in out.values()) == len(first)
+    with pytest.raises(ValueError, match="edges must be"):
+        activity_age_report(df, "user", "ts", edges=(0, 7)).collect()
+
+
 def test_window_activity_empty_input(spark):
     from zetasketch_spark.operators.window_distinct import (
         window_activity_report,

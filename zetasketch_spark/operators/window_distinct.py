@@ -262,6 +262,85 @@ def window_activity_report(df: DataFrame, key_col: str, ts_col: str,
         pd.DataFrame(rows, columns=cols) if rows else [], schema=schema)
 
 
+_AGE_SCHEMA = ("bucket string, as_of_day string, last_seen bigint, "
+               "first_seen bigint, rse double")
+
+
+def activity_age_report(df: DataFrame, key_col: str, ts_col: str,
+                        k: int = 4096, edges=(1, 7, 30),
+                        as_of: str | None = None,
+                        group_keys=(),
+                        time_expr: Column | None = None) -> DataFrame:
+    """Population age distribution per group, one scan: for trailing
+    age bands ``<=1d, 2-7d, 8-30d, >30d`` (from ``edges``, in days
+    before ``as_of`` inclusive), ``last_seen`` = distinct keys whose
+    LAST activity falls in the band (recency / staleness) and
+    ``first_seen`` = distinct keys ACQUIRED in the band (cohort sizes).
+    Bands partition the population, so each column sums to the group's
+    total distinct (up to per-bucket rounding) — the operational
+    "how stale is my population" report, from the same temporal theta
+    states as `window_activity_report`."""
+    import datetime
+
+    spark = df.sparkSession
+    gcols = list(group_keys)
+    edges = sorted({int(e) for e in edges})
+    if not edges or edges[0] < 1:
+        raise ValueError(f"edges must be >= 1 day, got {edges}")
+    day = (time_expr if time_expr is not None
+           else F.unix_date(F.to_date(F.col(ts_col))))
+    keyed = df.select(
+        *[F.coalesce(F.col(g).cast("string"), F.lit("(null)")).alias(g)
+          for g in gcols],
+        F.col(key_col),
+        day.cast("bigint").alias(_TIME_COL),
+    ).filter(F.col(_TIME_COL).isNotNull())
+
+    if as_of is None:
+        row = keyed.agg(F.max(_TIME_COL).alias("m")).collect()[0]
+        if row["m"] is None:
+            return spark.createDataFrame(
+                [], schema=", ".join([f"`{g}` string" for g in gcols]
+                                     + [_AGE_SCHEMA]))
+        as_of_day = int(row["m"])
+    else:
+        as_of_day = (datetime.date.fromisoformat(as_of)
+                     - datetime.date(1970, 1, 1)).days
+
+    fam = TimeThetaFamily(k=k)
+    merged = sketch_merge(
+        timetheta_partial(keyed, gcols, key_col, _TIME_COL, fam),
+        gcols, fam, tree_levels=2)
+    sketches: dict[tuple, object] = {}
+    for r in merged.collect():
+        if r[SKETCH_COL] is not None:
+            sketches[tuple(r[c] for c in gcols)] = fam.deserialize(
+                bytes(r[SKETCH_COL]))
+
+    # boundaries in day units: band i = [bound[i-1]+1 .. bound[i]] days
+    # old; recency_counts/cohort_counts bucket by time >= boundary
+    bounds = [as_of_day - e + 1 for e in edges]  # descending day numbers
+    labels = ([f"<={edges[0]}d"]
+              + [f"{edges[i - 1] + 1}-{edges[i]}d"
+                 for i in range(1, len(edges))]
+              + [f">{edges[-1]}d"])
+    as_of_iso = (datetime.date(1970, 1, 1)
+                 + datetime.timedelta(days=as_of_day)).isoformat()
+    rows = []
+    for g in sorted(sketches):
+        sk = sketches[g]
+        asc = sorted(bounds)  # ascending for the bucket kernels
+        rec = sk.recency_counts(asc)[::-1]  # newest band first
+        coh = sk.cohort_counts(asc)[::-1]
+        for label, r_, c_ in zip(labels, rec, coh):
+            rows.append([*g, label, as_of_iso, int(r_), int(c_),
+                         float(sk.rse())])
+    schema = ", ".join([f"`{g}` string" for g in gcols] + [_AGE_SCHEMA])
+    cols = [*gcols, *[c.split()[0] for c in _AGE_SCHEMA.split(", ")]]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=cols) if rows else [], schema=schema)
+
+
 def window_activity_from_table(spark, table, as_of: str,
                                windows=(1, 7, 30),
                                version: int | None = None):
