@@ -491,6 +491,75 @@ def test_activity_age_report_exact_regime(spark):
         activity_age_report(df, "user", "ts", edges=(0, 7)).collect()
 
 
+def test_streaming_window_activity_restart_recovers_state(spark, tmp_path):
+    """Kill the stream mid-way and restart from the checkpoint: the
+    temporal-theta state AND the exact max-day scalar (the window
+    anchor, stored beside the blob) must restore — the drained stream's
+    final rows equal the batch report at the data's max day."""
+    import time as _time
+
+    from zetasketch_spark.operators.window_distinct import (
+        window_activity_report,
+    )
+    from zetasketch_spark.sources.transcripts import (
+        write_transcripts_parquet,
+    )
+    from zetasketch_spark.streaming.agg import streaming_window_activity
+
+    src, ckpt = str(tmp_path / "wsrc"), str(tmp_path / "wckpt")
+    sink = str(tmp_path / "wsink")
+    write_transcripts_parquet(src, n_turns=30_000, seed=31,
+                              rows_per_file=10_000)
+    schema = spark.read.parquet(src).schema
+
+    def write_batch(bdf, batch_id):
+        bdf.write.mode("append").parquet(sink)
+
+    def start(available_now=False):
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src)
+                  .select("role", "conv_id", "ts"))
+        out = streaming_window_activity(stream, ["role"], "conv_id",
+                                        ts_col="ts", k=512, windows=(7,))
+        w = (out.writeStream.outputMode("update").foreachBatch(write_batch)
+             .option("checkpointLocation", ckpt))
+        if available_now:
+            w = w.trigger(availableNow=True)
+        return w.start()
+
+    q1 = start()
+    deadline = _time.time() + 60
+    while (q1.lastProgress is None or q1.lastProgress["numInputRows"] == 0):
+        assert _time.time() < deadline, "stream made no progress in 60s"
+        assert q1.exception() is None, q1.exception()
+        q1.awaitTermination(1)
+    q1.stop()
+    q1.awaitTermination(30)
+
+    q2 = start(available_now=True)
+    q2.awaitTermination(120)
+
+    emitted = spark.read.parquet(sink)
+    emitted.createOrReplaceTempView("wa_restart_sink")
+    got = {r["role"]: r for r in spark.sql("""
+        select * from (
+          select *, row_number() over (partition by role
+                                       order by rows_seen desc) rk
+          from wa_restart_sink) where rk = 1
+    """).collect()}
+    batch = spark.read.parquet(src)
+    as_of = got[next(iter(got))]["as_of_day"]
+    want = {r["role"]: r for r in window_activity_report(
+        batch, "conv_id", "ts", k=512, windows=(7,), as_of=as_of,
+        group_keys=["role"]).collect()}
+    assert set(got) == set(want)
+    for role, r in got.items():
+        assert r["as_of_day"] == as_of
+        assert r["active_7d"] == want[role]["active"]
+        assert r["new_7d"] == want[role]["new_keys"]
+        assert r["total_distinct"] == want[role]["total_distinct"]
+
+
 def test_window_activity_empty_input(spark):
     from zetasketch_spark.operators.window_distinct import (
         window_activity_report,
