@@ -81,7 +81,7 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     df = ensure_parallelism(df)
 
     @pandas_udf("array<long>")
-    def sig_udf(texts: pd.Series) -> pd.Series:
+    def _sig_udf(texts: pd.Series) -> pd.Series:
         hsets = _shingle_hashes(texts, k=shingle_k)
         counts = np.array([len(h) for h in hsets], dtype=np.int64)
         n_docs = len(hsets)
@@ -105,13 +105,24 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
                for row, ne in zip(sigs, nonempty)]
         return pd.Series(out)
 
+    # non-deterministic marking (guide §4.4): the downstream
+    # `signature.isNotNull` filter in lsh_candidate_pairs is otherwise
+    # pushed below the ensure_parallelism exchange and DUPLICATES the UDF —
+    # one copy running on the unrepartitioned scan (measured: the whole
+    # corpus in ONE task, 4 s single-threaded at sf1) plus the parallel
+    # copy above. Output is unchanged (the UDF is pure); the flag only
+    # forbids the optimizer from copying/reordering it.
+    sig_udf = _sig_udf.asNondeterministic()
+
     return df.select(F.col(id_col), sig_udf(F.col(text_col)).alias("signature"))
 
 
 def bounded_bucket_pairs(exploded: DataFrame, id_col: str,
                          bucket_cols: list[str], max_bucket: int = 512,
                          name: str = "hot_buckets",
-                         refine_col: str | None = None) -> DataFrame:
+                         refine_col: str | None = None,
+                         carry_col: str | None = None,
+                         distinct: bool = True) -> DataFrame:
     """Distinct candidate pairs ``(id_a < id_b)`` from intra-bucket
     self-joins, with per-bucket cost BOUNDED: a bucket with more than
     ``max_bucket`` members is rerouted away from the quadratic self-join.
@@ -138,21 +149,52 @@ def bounded_bucket_pairs(exploded: DataFrame, id_col: str,
     entries), so it broadcasts; the cold path is exactly the ordinary
     bucket self-join. Capped volume is observable in the same job via a
     ``DataFrame.observe`` node named ``name`` (metrics:
-    ``star_pairs``, ``max_bucket_rows``) — no extra action needed."""
+    ``star_pairs``, ``max_bucket_rows``) — no extra action needed.
+
+    ``carry_col`` (must equal ``refine_col`` when both are given): carry
+    that column's per-row value into the pair output as ``carry_a`` /
+    ``carry_b`` — the caller then needs NO join back to the signature
+    table (measured at sf1: two broadcast joins over ~8M candidate rows,
+    ~15 s of executor CPU, gone). ``distinct=False`` returns the raw
+    (possibly per-band duplicated) pair stream so a caller applying a
+    selective pair-level filter (Hamming, Jaccard) can dedupe AFTER the
+    filter — distinct-then-filter and filter-then-distinct are equal for
+    a pure pair predicate, and the post-filter distinct touches orders of
+    magnitude fewer rows."""
+    if carry_col is not None and refine_col is not None \
+            and carry_col != refine_col:
+        raise ValueError("carry_col must equal refine_col when both are "
+                         "given (the star path reads the carried value "
+                         "from the refine group key)")
+    out_cols = ["id_a", "id_b"] + (
+        ["carry_a", "carry_b"] if carry_col else [])
+
     def self_join_pairs(df):
         a = df.alias("a")
         b = df.alias("b")
+        carry = ([F.col(f"a.{carry_col}").alias("carry_a"),
+                  F.col(f"b.{carry_col}").alias("carry_b")]
+                 if carry_col else [])
         return (
             a.join(b, on=[F.col(f"a.{c}") == F.col(f"b.{c}")
                           for c in bucket_cols]
                    + [F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
             .select(F.col(f"a.{id_col}").alias("id_a"),
-                    F.col(f"b.{id_col}").alias("id_b"))
+                    F.col(f"b.{id_col}").alias("id_b"), *carry)
         )
 
+    def _maybe_distinct(df):
+        return df.distinct() if distinct else df
+
+    rep_aggs = [F.count("*").alias("_bn"), F.min(id_col).alias("_rep")]
+    if carry_col is not None:
+        # the star path pairs members with the min-id representative; with
+        # a carried payload the rep's value rides along (ids are unique,
+        # so min_by is deterministic)
+        rep_aggs.append(F.min_by(carry_col, id_col).alias("_rep_carry"))
     hot = (
         exploded.groupBy(*bucket_cols)
-        .agg(F.count("*").alias("_bn"), F.min(id_col).alias("_rep"))
+        .agg(*rep_aggs)
         .filter(F.col("_bn") > max_bucket)
     )
     # ONE census job: the hot list is ≤ rows/max_bucket entries by
@@ -166,7 +208,7 @@ def bounded_bucket_pairs(exploded: DataFrame, id_col: str,
         # common case — no bucket over the cap: the plan is EXACTLY the
         # plain bucket self-join (no anti-join, no star branch, no refine
         # window), so clean corpora pay only the census job for the bound
-        return self_join_pairs(exploded).distinct()
+        return _maybe_distinct(self_join_pairs(exploded))
     if len(hot_local) <= _HOT_COLLECT_CAP:
         hot = exploded.sparkSession.createDataFrame(hot_local, hot.schema)
     else:
@@ -180,21 +222,32 @@ def bounded_bucket_pairs(exploded: DataFrame, id_col: str,
 
         w = Window.partitionBy(*bucket_cols, refine_col)
         grp = members.withColumn("_rep2", F.min(id_col).over(w))
+        # carried payload: the star pair's two sides share the refine
+        # group, and carry_col == refine_col, so both carries ARE the
+        # group's refine value — no lookup needed
+        star_carry = ([F.col(refine_col).alias("carry_a"),
+                       F.col(refine_col).alias("carry_b")]
+                      if carry_col else [])
         star = (
             grp.filter(F.col(id_col) != F.col("_rep2"))
             .select(F.col("_rep2").alias("id_a"), F.col(id_col).alias("id_b"),
-                    F.col("_bn"))
+                    *star_carry, F.col("_bn"))
         )
         # checkpoint the tiny reps frame: the recursive call's census
         # evaluates it eagerly and the final query references it again
+        rep_cols = [*bucket_cols] + ([refine_col] if carry_col else [])
         reps = (
-            grp.select(*bucket_cols, F.col("_rep2").alias(id_col))
+            grp.select(*rep_cols, F.col("_rep2").alias(id_col))
             .distinct()
             .localCheckpoint(eager=False)
         )
+        # the recursion's internal dedupe is redundant under the caller's
+        # final distinct (every pair stream is deduped exactly once at the
+        # top) — skip it
         cross = bounded_bucket_pairs(reps, id_col, bucket_cols,
                                      max_bucket=max_bucket,
-                                     name=f"{name}_reps")
+                                     name=f"{name}_reps",
+                                     carry_col=carry_col, distinct=False)
         pairs_hot = (
             star.observe(name,
                          F.count(F.lit(1)).alias("star_pairs"),
@@ -203,16 +256,20 @@ def bounded_bucket_pairs(exploded: DataFrame, id_col: str,
             .unionByName(cross)
         )
     else:
+        star_carry = ([F.col("_rep_carry").alias("carry_a"),
+                       F.col(carry_col).alias("carry_b")]
+                      if carry_col else [])
         pairs_hot = (
             members.filter(F.col(id_col) != F.col("_rep"))
             .select(F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b"),
-                    F.col("_bn"))
+                    *star_carry, F.col("_bn"))
             .observe(name,
                      F.count(F.lit(1)).alias("star_pairs"),
                      F.max("_bn").alias("max_bucket_rows"))
             .drop("_bn")
         )
-    return pairs_cold.unionByName(pairs_hot).distinct()
+    return _maybe_distinct(
+        pairs_cold.select(*out_cols).unionByName(pairs_hot.select(*out_cols)))
 
 
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
@@ -499,15 +556,22 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_
             for b in range(4)
         ])).alias("block", "key"),
     )
+    # the signatures ride through pair generation (carry_col — they ARE
+    # the refine key), so no join back to sigs is needed, and the raw
+    # (per-block duplicated) pair stream is Hamming-filtered BEFORE the
+    # distinct: dedupe cost scales with the ~1000x smaller survivor set
+    # instead of the candidate set (measured at sf1: 7.9M candidates,
+    # ~9k survivors — the candidate-set distinct + two broadcast joins
+    # were ~30 s of executor CPU)
     cand = bounded_bucket_pairs(blocks, id_col, ["block", "key"],
                                 max_bucket=max_bucket,
                                 name="simhash_hot_buckets",
-                                refine_col="simhash")
-    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"))
-    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"))
+                                refine_col="simhash",
+                                carry_col="simhash", distinct=False)
     return (
-        cand.join(sa, "id_a").join(sb, "id_b")
-        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        cand.withColumn("hamming",
+                        F.bit_count(F.col("carry_a").bitwiseXOR(F.col("carry_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .distinct()
     )
