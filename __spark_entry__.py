@@ -401,10 +401,17 @@ def q_hll_users_by_type(spark, sf_dir):
 
 
 def q_hll_users_by_type_pure(spark, sf_dir):
-    from zetasketch_spark.operators.agg import hll_count_distinct
+    """Same HLL aggregation, routed through the RDD fast fabric (r6):
+    identical states/estimates (fabric equality is test-pinned), but the
+    parquet decode + hash kernel run without the per-stage JVM->Python
+    Arrow constant (see operators/fastscan.py)."""
+    from zetasketch_spark.operators.fastscan import sketch_agg_rdd
+    from zetasketch_spark.sketches.base import HllFamily
 
-    e = _t(spark, sf_dir, "events")
-    return hll_count_distinct(e, ["event_type"], "user_id", precision=14)
+    return sketch_agg_rdd(
+        spark, f"{sf_dir}/events.parquet", ["event_type"], "user_id",
+        HllFamily(precision=14)).withColumnRenamed("estimate",
+                                                   "approx_distinct")
 
 
 def q_hll_pair_distinct(spark, sf_dir):
@@ -433,12 +440,19 @@ def q_hll_users_by_type_day(spark, sf_dir):
 
 
 def q_hll_users_by_type_day_pure(spark, sf_dir):
-    from zetasketch_spark.operators.agg import hll_count_distinct
+    """RDD fast fabric + date32 day key (r6): the JVM `date_format` /
+    Arrow `strftime` pattern formatter cost ~1.1 s alone over 1M rows at
+    sf1; deriving the day as a date32 (`floor_temporal`) and casting the
+    150 RESULT rows to string afterwards computes the same (event_type,
+    day-string) groups for ~nothing."""
+    from zetasketch_spark.operators.fastscan import sketch_agg_rdd
+    from zetasketch_spark.sketches.base import HllFamily
 
-    e = _t(spark, sf_dir, "events").withColumn(
-        "day", F.date_format("ts", "yyyy-MM-dd"))
-    return hll_count_distinct(e, ["event_type", "day"], "user_id",
-                              precision=12, tree_levels=2)
+    out = sketch_agg_rdd(
+        spark, f"{sf_dir}/events.parquet", ["event_type", "day"], "user_id",
+        HllFamily(precision=12), derived_keys={"day": ("to_date", "ts")})
+    return (out.withColumn("day", F.col("day").cast("string"))
+            .withColumnRenamed("estimate", "approx_distinct"))
 
 
 def q_cm_heavy_hitter_users(spark, sf_dir):
@@ -1431,11 +1445,18 @@ def q_join_profile_pure(spark, sf_dir):
 def q_theta_set_ops_pure(spark, sf_dir):
     """Bench twin of q_theta_set_ops: sketch build + set-op estimates
     only (the gate version's exact countDistinct twins would dominate
-    the timing)."""
+    the timing).
+
+    r6: built via the partial->merge pipeline instead of the
+    `theta_init_agg` pandas UDAF — a pandas UDAF has NO map-side partial
+    aggregation, so every banded row shuffled into one task per side
+    (measured 15 s of executor CPU on 2 tasks at sf1). Per-partition
+    theta partials merge to the IDENTICAL state (KMV keeps the k
+    smallest hashes — a set, partitioning-independent)."""
     import pandas as pd
 
-    from zetasketch_spark.functions.sketch_udfs import theta_init_agg
-    from zetasketch_spark.sketches.theta import ThetaSketch
+    from zetasketch_spark.operators.agg import sketch_merge, sketch_partial
+    from zetasketch_spark.sketches.theta import ThetaFamily, ThetaSketch
 
     li = _t(spark, sf_dir, "lineitem")
     sides = li.select(
@@ -1446,9 +1467,11 @@ def q_theta_set_ops_pure(spark, sf_dir):
     banded = (sides.select(F.col("side_lo").alias("side"), "l_orderkey")
               .union(sides.select(F.col("side_hi").alias("side"), "l_orderkey"))
               .filter(F.col("side").isNotNull()))
-    sk = {r["side"]: ThetaSketch.deserialize(bytes(r["sk"])) for r in
-          banded.groupBy("side").agg(
-              theta_init_agg("l_orderkey", 4096).alias("sk")).collect()}
+    fam = ThetaFamily(k=4096)
+    merged = sketch_merge(
+        sketch_partial(banded, ["side"], "l_orderkey", fam), ["side"], fam)
+    sk = {r["side"]: ThetaSketch.deserialize(bytes(r["sketch"])) for r in
+          merged.collect()}
     a, b = sk["lo"], sk["hi"]
     union = a.copy()
     union.merge(b)

@@ -74,6 +74,13 @@ def sketch_partial(df: DataFrame, keys: list[str], col: str,
 
     family = pin_value_type(family, df, col)
 
+    # NOTE (measured, sf1): spreading the partial stage with a round-robin
+    # repartition here LOSES ~2.5x — the shuffle plus 32x more partial
+    # states through the merge outweigh parallelizing the hash kernel at
+    # this precision/row count. The single-task skew of one-row-group
+    # inputs is real but the fix must not multiply state volume; see
+    # OPTIMIZATION_r06.md ("sketch_partial spread" experiment).
+
     if getattr(family, "supports_arrow", False):
         return _sketch_partial_arrow(df, keys, col, family, out_schema,
                                      skip_partitions)
@@ -128,8 +135,12 @@ def _sketch_partial_arrow(df: DataFrame, keys: list[str], col: str,
             val = batch.column(batch.schema.get_field_index(col))
             prepared = family.prepare_arrow(val)
             if keys_t:
-                kpdf = pa.Table.from_batches([batch]).select(list(keys_t)).to_pandas()
-                groups = kpdf.groupby(list(keys_t), sort=False, dropna=False).indices
+                from zetasketch_spark.operators.grouping import \
+                    arrow_group_indices
+
+                groups = arrow_group_indices(
+                    {k: batch.column(batch.schema.get_field_index(k))
+                     for k in keys_t})
             else:
                 groups = {(): np.arange(batch.num_rows)}
             for key, idx in groups.items():
@@ -157,7 +168,8 @@ def _sketch_partial_arrow(df: DataFrame, keys: list[str], col: str,
 
 
 def sketch_merge(partials: DataFrame, keys: list[str], family: SketchFamily,
-                 tree_levels: int = 1, fan_in: int = 64) -> DataFrame:
+                 tree_levels: int = 1, fan_in: int = 64,
+                 _stop_after_salt: bool = False) -> DataFrame:
     """Stage 2: merge partial states per key. ``tree_levels=2`` adds an
     intermediate ``(keys, salt)`` merge so no single task sees more than
     ~``fan_in`` states for a hot key (the salted pre-aggregation demanded
@@ -173,6 +185,16 @@ def sketch_merge(partials: DataFrame, keys: list[str], family: SketchFamily,
         return pd.DataFrame([[*head, blob, int(pdf[ROWS_COL].sum())]],
                             columns=[*keys, SKETCH_COL, ROWS_COL])
 
+    # the salt is pmod(partition_id, fan_in): with at most fan_in distinct
+    # origin partitions every (keys, salt) level-1 group holds exactly ONE
+    # state, so the intermediate merge is a pure deserialize/serialize
+    # round trip plus an extra shuffle and Python stage (guide §2.4 —
+    # remove shuffles outright). Final-merge fan-in is already bounded by
+    # the partition count, so skip the degenerate level; at cluster scale
+    # (#partitions >> fan_in) the tree stays.
+    if tree_levels >= 2 and partials.rdd.getNumPartitions() <= fan_in:
+        tree_levels = 1
+
     if tree_levels >= 2:
         salted = partials.withColumn(
             "_salt", F.pmod(F.coalesce(F.col(PARTITION_COL), F.lit(0)), F.lit(fan_in))
@@ -186,6 +208,8 @@ def sketch_merge(partials: DataFrame, keys: list[str], family: SketchFamily,
                                 columns=[*keys, SKETCH_COL, ROWS_COL, "_salt"])
 
         level1 = salted.groupBy(*keys, "_salt").applyInPandas(merge_salted, salted_schema)
+        if _stop_after_salt:
+            return level1  # caller fuses the final merge with extraction
         return level1.groupBy(*keys).applyInPandas(merge_fn, merged_schema)
 
     return partials.groupBy(*keys).applyInPandas(merge_fn, merged_schema)
@@ -230,10 +254,39 @@ def sketch_agg(df: DataFrame, keys: list[str], col: str, family: SketchFamily,
     Returns ``keys + result_fields (+ rows_seen)``; with ``keep_sketch``
     also the serialized state (for checkpointing / re-merging: sketches
     computed at fine grain re-merge exactly across grouping levels).
-    """
+
+    Without ``keep_sketch`` the final merge EMITS the result columns
+    directly (one fused ``applyInPandas``): the separate extraction UDF
+    was a second JVM->Python crossing over the merged rows, pure constant
+    cost per query on this boundary (guide §4.1)."""
     partials = sketch_partial(df, keys, col, family)
-    merged = sketch_merge(partials, keys, family, tree_levels=tree_levels, fan_in=fan_in)
-    return sketch_result(merged, family, keep_sketch=keep_sketch)
+    if keep_sketch:
+        merged = sketch_merge(partials, keys, family,
+                              tree_levels=tree_levels, fan_in=fan_in)
+        return sketch_result(merged, family, keep_sketch=True)
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    fields = family.result_fields
+    out_schema = StructType(
+        [f for f in partials.schema.fields if f.name in keys]
+        + [StructField(ROWS_COL, LongType())]
+        + [StructField(n, _parse_datatype_string(t)) for n, t in fields]
+    )
+
+    def merge_result_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        blob = family.merge_serialized(pdf[SKETCH_COL])
+        res = family.result(family.deserialize(blob))
+        head = [pdf.iloc[0][k] for k in keys]
+        return pd.DataFrame(
+            [[*head, int(pdf[ROWS_COL].sum()), *res]],
+            columns=[*keys, ROWS_COL, *[n for n, _ in fields]])
+
+    if tree_levels >= 2 and partials.rdd.getNumPartitions() > fan_in:
+        level1 = sketch_merge(partials, keys, family, tree_levels=2,
+                              fan_in=fan_in, _stop_after_salt=True)
+        return level1.groupBy(*keys).applyInPandas(merge_result_fn, out_schema)
+    return partials.groupBy(*keys).applyInPandas(merge_result_fn, out_schema)
 
 
 def hll_count_distinct(df: DataFrame, keys: list[str], col: str,

@@ -126,7 +126,13 @@ def _bloom_hits_udf(spark, bloom_blob: bytes, shingle_k: int):
                     j += 1
         return pd.Series(counts)
 
-    return bloom_hits
+    # non-deterministic marking (guide §4.4): callers FILTER on this
+    # UDF's output, and the optimizer otherwise pushes the filter below
+    # the projection and evaluates the UDF twice — measured at sf1 as a
+    # second full-corpus probe pass (9.6 s, single-task) feeding the
+    # filter, plus the kept copy above it. Output unchanged (the probe is
+    # pure).
+    return bloom_hits.asNondeterministic()
 
 
 def decontaminate(docs: DataFrame, benchmark: DataFrame,
@@ -137,16 +143,21 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
     """Exact contamination report: ``(doc_id, n_shared_grams)`` for every
     training doc sharing at least ``min_shared`` distinct word-k-gram
     shingles with ANY benchmark document."""
-    # NOTE deliberately NOT ensure_parallelism'd: the Bloom-probe kernel
-    # is light (one membership test per shingle), so at bench scale the
-    # spread costs more in per-worker stage constants than it saves
-    # (measured 3.6 s -> 8.2 s warm at sf0.1); a real corpus arrives
-    # multi-split anyway.
+    # r5 measured the ensure_parallelism spread LOSING here (3.6 s ->
+    # 8.2 s warm at sf0.1) and skipped it — but that measurement was
+    # poisoned by the filter-pushdown UDF duplication now fixed by
+    # asNondeterministic (the "spread" run was paying a second,
+    # single-task full-corpus probe). With one evaluation the probe
+    # kernel is the dominant cost (9.6 s single-task at sf1) and the
+    # spread wins; at cluster scale the scan is multi-split and the
+    # row-group-aware ensure_parallelism is a no-op.
+    from zetasketch_spark.operators.parallelize import ensure_parallelism
+
     blob = benchmark_shingle_bloom(benchmark, text_col, shingle_k,
                                    m=bloom_m, k=bloom_k)
     bloom_hits = _bloom_hits_udf(docs.sparkSession, blob, shingle_k)
     flagged = (
-        docs.select(id_col, text_col)
+        ensure_parallelism(docs.select(id_col, text_col))
         .withColumn("_hits", bloom_hits(F.col(text_col)))
         .filter(F.col("_hits") >= min_shared)
         .drop("_hits")

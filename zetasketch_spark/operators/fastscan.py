@@ -295,9 +295,10 @@ def sketch_partial_fastscan(
             acc: dict = {}
             rows: dict = {}
             if keys_t:
+                from zetasketch_spark.operators.grouping import \
+                    arrow_group_indices
                 karrs = _derive_key_arrays(tbl, keys_t, derived)
-                kpdf = pa.table(karrs).to_pandas()
-                groups = kpdf.groupby(list(keys_t), sort=False, dropna=False).indices
+                groups = arrow_group_indices(karrs)
             else:
                 groups = {(): np.arange(tbl.num_rows)}
             for key, idx in groups.items():
@@ -382,9 +383,10 @@ def sketch_agg_rdd(spark, path, keys, col, family,
             tbl = tbl.combine_chunks()
             prepared = family.prepare_arrow(_derive_value_array(tbl, col))
             if keys_t:
+                from zetasketch_spark.operators.grouping import \
+                    arrow_group_indices
                 karrs = _derive_key_arrays(tbl, keys_t, derived, pv)
-                kpdf = pa.table(karrs).to_pandas()
-                groups = kpdf.groupby(list(keys_t), sort=False, dropna=False).indices
+                groups = arrow_group_indices(karrs)
             else:
                 groups = {(): np.arange(tbl.num_rows)}
             for key, idx in groups.items():
@@ -489,10 +491,10 @@ def multi_sketch_agg_rdd(spark, path, keys, specs,
             prepared = {n: fam.prepare_arrow(_derive_value_array(tbl, c))
                         for n, (c, fam) in specs.items()}
             if keys_t:
+                from zetasketch_spark.operators.grouping import \
+                    arrow_group_indices
                 karrs = _derive_key_arrays(tbl, keys_t, derived, pv)
-                kpdf = pa.table(karrs).to_pandas()
-                groups = kpdf.groupby(list(keys_t), sort=False,
-                                      dropna=False).indices
+                groups = arrow_group_indices(karrs)
             else:
                 groups = {(): np.arange(tbl.num_rows)}
             for key, idx in groups.items():

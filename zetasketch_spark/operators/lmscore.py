@@ -24,8 +24,18 @@ from zetasketch_spark.functions.text import unicode_words
 
 
 def _tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    return docs.select(F.col(id_col),
-                       F.explode(unicode_words(text_col)).alias("token"))
+    """(id, token) rows, tokenized ONCE: the stream feeds both the
+    frequency group-by and the scoring join, and without the lineage cut
+    each reference re-ran the regex tokenizer + explode from the scan
+    (measured 2×2.3 s single-task at sf1 — one-row-group inputs also
+    need the row-group-aware spread for the explode to parallelize)."""
+    from zetasketch_spark.operators.materialize import materialize
+    from zetasketch_spark.operators.parallelize import ensure_parallelism
+
+    toks = (ensure_parallelism(docs.select(F.col(id_col), F.col(text_col)))
+            .select(F.col(id_col),
+                    F.explode(unicode_words(text_col)).alias("token")))
+    return materialize(toks, None, "unigram_tokens")
 
 
 def unigram_logprob(docs: DataFrame, text_col: str = "text",

@@ -24,9 +24,42 @@ from pyspark.sql import DataFrame
 def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Repartition ``df`` up to ``min_parts`` (default: the session's
     ``sparkContext.defaultParallelism``) iff its current plan has fewer
-    partitions. Never repartitions downward — an already-parallel scan
-    keeps its (possibly locality-aware) partitioning."""
+    USABLE partitions. Never repartitions downward — an already-parallel
+    scan keeps its (possibly locality-aware) partitioning.
+
+    Partition COUNT alone can lie (guide §2.5, input skew): Spark splits
+    small files into byte ranges to fill ``defaultParallelism``, but a
+    parquet file yields rows only in the splits containing row-group
+    midpoints — with one row group, 31 of 32 "partitions" are EMPTY and
+    the kernel runs single-threaded while the plan looks parallel
+    (measured: the whole corpus in one task at sf1). The real grain of a
+    parquet scan is its ROW-GROUP count, so when the plan claims enough
+    partitions but reads only a handful of local parquet files, this
+    checks footers. At cluster scale the file list alone reaches
+    ``target`` and nothing is read; non-local or non-parquet inputs keep
+    the old count-based behavior."""
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    try:
+        files = df.inputFiles()
+    except Exception:
         return df
+    if not files or len(files) >= target:
+        return df
+    from urllib.parse import unquote, urlparse
+
+    import pyarrow.parquet as pq
+
+    groups = 0
+    for uri in files:
+        p = urlparse(uri)
+        if p.scheme not in ("file", "") or not p.path.endswith(".parquet"):
+            return df  # remote storage / other formats: trust the planner
+        try:
+            groups += pq.ParquetFile(unquote(p.path)).metadata.num_row_groups
+        except OSError:
+            return df
+        if groups >= target:
+            return df
     return df.repartition(target)

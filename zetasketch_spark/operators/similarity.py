@@ -33,8 +33,16 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """For each query vector: top-k corpus neighbors by cosine (excluding
     itself). Queries are broadcast; deterministic tiebreak by neighbor id."""
+    from zetasketch_spark.operators.parallelize import ensure_parallelism
+
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    # spread the corpus: the per-row cosine (higher-order aggregate over
+    # the vector) is the expensive part, and a single-row-group parquet
+    # corpus otherwise evaluates it all in one task (guide §2.5); the
+    # per-row arithmetic and the window ordering are partitioning-
+    # independent, so the result is identical
+    c = ensure_parallelism(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")))
     scored = (
         F.broadcast(q).crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
