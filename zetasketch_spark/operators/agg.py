@@ -47,6 +47,64 @@ def _key_fields(df: DataFrame, keys: list[str]) -> list[StructField]:
     return [by_name[k] for k in keys]
 
 
+import re as _re
+
+_ATTR = _re.compile(r"^\w+#\d+L?$")
+_REL = _re.compile(r"^(\+- )?Relation \[[^\]]*\] parquet$")
+
+
+def _plain_parquet_files(df: DataFrame, cols: list[str]) -> list[str] | None:
+    """Local parquet file list iff ``df`` is PROVABLY a plain column
+    projection of a single parquet relation (optimized plan is exactly
+    ``Relation ... parquet`` or ``Project [attrs] / Relation ... parquet``
+    with attribute-only projections — any Filter/Join/expression line
+    rejects), every needed column exists in the files' own schema (i.e.
+    none is a Hive partition column materialized from the path), and the
+    files are local. Conservative by construction: a false negative just
+    keeps the mapInArrow path; a false positive is impossible short of
+    the plan printer changing shape, which the unit test pins."""
+    from urllib.parse import unquote, urlparse
+
+    try:
+        lines = [ln.strip()
+                 for ln in df._jdf.queryExecution().optimizedPlan()
+                 .toString().strip().splitlines()]
+    except Exception:
+        return None
+    if len(lines) == 1:
+        if not _REL.match(lines[0]):
+            return None
+    elif len(lines) == 2:
+        m = _re.match(r"^Project \[([^\]]*)\]$", lines[0])
+        if not m or not _REL.match(lines[1]):
+            return None
+        if not all(_ATTR.match(a.strip()) for a in m.group(1).split(",")):
+            return None
+    else:
+        return None
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    paths = []
+    for uri in files:
+        p = urlparse(uri)
+        if p.scheme not in ("file", "") or not p.path.endswith(".parquet"):
+            return None
+        paths.append(unquote(p.path))
+    import pyarrow.parquet as pq
+
+    try:
+        schema = pq.read_schema(paths[0])
+    except OSError:
+        return None
+    if any(c not in schema.names for c in cols):
+        return None
+    return paths
+
+
 def sketch_partial(df: DataFrame, keys: list[str], col: str,
                    family: SketchFamily,
                    skip_partitions: frozenset = frozenset()) -> DataFrame:
@@ -80,6 +138,23 @@ def sketch_partial(df: DataFrame, keys: list[str], col: str,
     # this precision/row count. The single-task skew of one-row-group
     # inputs is real but the fix must not multiply state volume; see
     # OPTIMIZATION_r06.md ("sketch_partial spread" experiment).
+
+    # Leaf-scan short circuit (the DataSourceV2-style python-native scan
+    # fastscan.py documents): when df is provably a plain projection of a
+    # local parquet scan, decode the files in the RDD runner instead of
+    # shipping every row across the JVM->Python Arrow boundary. Same
+    # output schema and states; merge/result compose unchanged.
+    # skip_partitions addresses DataFrame partition ids, which this path
+    # renumbers — resume callers keep the mapInArrow fabric.
+    if not skip_partitions and getattr(family, "supports_arrow", False):
+        files = _plain_parquet_files(df, [*keys, col])
+        if files:
+            from zetasketch_spark.operators.fastscan import \
+                sketch_partial_filescan
+
+            return sketch_partial_filescan(
+                df.sparkSession, files, keys, col, family,
+                _key_fields(df, keys))
 
     if getattr(family, "supports_arrow", False):
         return _sketch_partial_arrow(df, keys, col, family, out_schema,

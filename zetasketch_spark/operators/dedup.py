@@ -233,21 +233,40 @@ def bounded_bucket_pairs(exploded: DataFrame, id_col: str,
             .select(F.col("_rep2").alias("id_a"), F.col(id_col).alias("id_b"),
                     *star_carry, F.col("_bn"))
         )
-        # checkpoint the tiny reps frame: the recursive call's census
-        # evaluates it eagerly and the final query references it again
+        # variant representatives pair among themselves with the SAME
+        # bounded rule, resolved inline with window functions over the
+        # tiny reps frame (r6: this was a recursive bounded_bucket_pairs
+        # call whose census cost a separate collect JOB per hot level;
+        # the window census produces the identical pair set — per-bucket
+        # rep count decides cold self-join vs star-to-min-rep)
         rep_cols = [*bucket_cols] + ([refine_col] if carry_col else [])
         reps = (
             grp.select(*rep_cols, F.col("_rep2").alias(id_col))
             .distinct()
             .localCheckpoint(eager=False)
         )
-        # the recursion's internal dedupe is redundant under the caller's
-        # final distinct (every pair stream is deduped exactly once at the
-        # top) — skip it
-        cross = bounded_bucket_pairs(reps, id_col, bucket_cols,
-                                     max_bucket=max_bucket,
-                                     name=f"{name}_reps",
-                                     carry_col=carry_col, distinct=False)
+        wb = Window.partitionBy(*bucket_cols)
+        rep_min = [F.col(id_col)] + ([F.col(refine_col)] if carry_col else [])
+        reps = (reps.withColumn("_bnr", F.count("*").over(wb))
+                    .withColumn("_minrep", F.min(F.struct(*rep_min)).over(wb)))
+        cold_reps = reps.filter(F.col("_bnr") <= max_bucket) \
+            .select(*rep_cols, id_col)
+        rep_star_carry = ([F.col("_minrep")[refine_col].alias("carry_a"),
+                           F.col(refine_col).alias("carry_b")]
+                          if carry_col else [])
+        star_reps = (
+            reps.filter((F.col("_bnr") > max_bucket)
+                        & (F.col(id_col) != F.col("_minrep")[id_col]))
+            .select(F.col("_minrep")[id_col].alias("id_a"),
+                    F.col(id_col).alias("id_b"), *rep_star_carry,
+                    F.col("_bnr"))
+            .observe(f"{name}_reps",
+                     F.count(F.lit(1)).alias("star_pairs"),
+                     F.max("_bnr").alias("max_bucket_rows"))
+            .drop("_bnr")
+        )
+        cross = self_join_pairs(cold_reps).unionByName(
+            star_reps.select(*out_cols))
         pairs_hot = (
             star.observe(name,
                          F.count(F.lit(1)).alias("star_pairs"),

@@ -67,7 +67,11 @@ def plan_splits(path: str, target_bytes: int = 96 << 20,
     Iceberg's partition-spec scan planning."""
     import pyarrow.parquet as pq
 
-    if os.path.isfile(path):
+    if isinstance(path, (list, tuple)):
+        # pre-resolved file list (the DataFrame-fabric leaf-scan short
+        # circuit hands us df.inputFiles()); no partition columns
+        files = sorted(path)
+    elif os.path.isfile(path):
         # single-file table (e.g. the driver's sf*/events.parquet): one
         # file, still row-group split below; no partition columns
         files = [path]
@@ -317,6 +321,74 @@ def sketch_partial_fastscan(
     return spark.createDataFrame(rdd.mapPartitions(run_split), out_schema)
 
 
+def sketch_partial_filescan(spark, files, keys, col, family,
+                            key_fields: list[StructField],
+                            target_split_bytes: int = 96 << 20) -> DataFrame:
+    """Stage-1 partials over an explicit parquet FILE LIST — the leaf-scan
+    short circuit behind ``operators.agg.sketch_partial``: when a
+    DataFrame is provably a plain column projection of a parquet scan,
+    the partial stage reads the files directly in the RDD runner (no
+    JVM->Python Arrow handoff of every row) and returns the SAME
+    ``keys + (sketch, rows_seen, partition_id)`` DataFrame the
+    ``mapInArrow`` path produces, so merge/result compose unchanged.
+    Splits are row-group-aligned and binned into one wave of ``cpus``
+    tasks; states accumulate across a task's splits, so partial-state
+    volume matches the task count, not the split count."""
+    sc = spark.sparkContext
+    splits = plan_splits(files, target_split_bytes)
+    if 0 < len(splits) < sc.defaultParallelism:
+        # under-parallel input: re-plan at row-group granularity so a
+        # 2-row-group table uses 2 tasks instead of 1 (the bin packing
+        # targets bytes, not cores)
+        splits = plan_splits(files, 1)
+    out_schema = StructType(list(key_fields) + [
+        StructField(SKETCH_COL, BinaryType()),
+        StructField(ROWS_COL, LongType()),
+        StructField(PARTITION_COL, IntegerType()),
+    ])
+    if not splits:
+        return spark.createDataFrame([], out_schema)
+    read_cols = sorted({col, *keys})
+    keys_t = tuple(keys)
+    cpus = sc.defaultParallelism
+    n_tasks = max(1, min(len(splits), cpus))
+    rdd = sc.parallelize(splits, n_tasks)
+
+    def run_task(it):
+        import pyarrow.parquet as pq  # noqa: F811
+        from pyspark import TaskContext
+
+        from zetasketch_spark.operators.grouping import arrow_group_indices
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else -1
+        acc: dict = {}
+        rows: dict = {}
+        for f, rgs in it:
+            pf = pq.ParquetFile(f)
+            tbl = pf.read_row_groups(rgs, columns=read_cols,
+                                     use_threads=False).combine_chunks()
+            prepared = family.prepare_arrow(_derive_value_array(tbl, col))
+            if keys_t:
+                groups = arrow_group_indices({k: tbl[k] for k in keys_t})
+            else:
+                groups = {(): np.arange(tbl.num_rows)}
+            for key, idx in groups.items():
+                if not isinstance(key, tuple):
+                    key = (key,)
+                state = acc.get(key)
+                if state is None:
+                    state = family.make()
+                    acc[key] = state
+                    rows[key] = 0
+                family.update_prepared(state, prepared[idx])
+                rows[key] += len(idx)
+        for k, s in acc.items():
+            yield (*k, family.serialize(s), rows[k], pid)
+
+    return spark.createDataFrame(rdd.mapPartitions(run_task), out_schema)
+
+
 def sketch_agg_fastscan(spark, path, keys, col, family,
                         derived_keys=None, tree_levels: int = 1,
                         target_split_bytes: int = 96 << 20,
@@ -365,7 +437,13 @@ def sketch_agg_rdd(spark, path, keys, col, family,
     # the boundary instead of one per (split, key) — partial-state volume
     # shrinks by the splits-per-task factor
     cpus = sc.defaultParallelism
-    n_tasks = max(1, min(len(splits), 2 * cpus))
+    # one wave of cpus tasks, not two: more tasks means more per-task
+    # partial states (every (task, key) state is serialized, shuffled and
+    # re-merged) plus scheduling overhead — measured 0.9 s -> 0.63 s for
+    # the map stage at 80 splits / 32 cores. Splits are size-binned, so
+    # one wave stays balanced; huge inputs still get len(splits) >> cpus
+    # rebalancing via the size-capped splits themselves.
+    n_tasks = max(1, min(len(splits), cpus))
     items = [(f, rgs, partition_values(f, path) if part_keys else None)
              for f, rgs in splits]
     rdd = sc.parallelize(items, n_tasks)
@@ -407,7 +485,12 @@ def sketch_agg_rdd(spark, path, keys, col, family,
         sb = family.deserialize(b[0])
         return (family.serialize(family.merge(sa, sb)), a[1] + b[1])
 
-    n_red = reduce_partitions or max(4, min(64, len(splits)))
+    # reduce-side width: every reduce partition is a Python-worker round
+    # trip; with key counts far below the partition count most trips carry
+    # almost nothing (measured 1.6 s -> 1.3 s going 64 -> 16 at 465 keys).
+    # Scale-adaptive: half the cores locally, capped at 64 on big clusters
+    # (callers with known huge key cardinality pass reduce_partitions).
+    n_red = reduce_partitions or max(4, min(64, max(cpus // 2, 4), len(splits)))
     merged = rdd.mapPartitions(run_split).reduceByKey(merge_pair, numPartitions=n_red)
 
     # estimate extraction stays distributed: map over the merged states and
@@ -472,7 +555,13 @@ def multi_sketch_agg_rdd(spark, path, keys, specs,
                         *[src for (_, src) in derived.values()]})
     sc = spark.sparkContext
     cpus = sc.defaultParallelism
-    n_tasks = max(1, min(len(splits), 2 * cpus))
+    # one wave of cpus tasks, not two: more tasks means more per-task
+    # partial states (every (task, key) state is serialized, shuffled and
+    # re-merged) plus scheduling overhead — measured 0.9 s -> 0.63 s for
+    # the map stage at 80 splits / 32 cores. Splits are size-binned, so
+    # one wave stays balanced; huge inputs still get len(splits) >> cpus
+    # rebalancing via the size-capped splits themselves.
+    n_tasks = max(1, min(len(splits), cpus))
     items = [(f, rgs, partition_values(f, path) if part_keys else None)
              for f, rgs in splits]
     rdd = sc.parallelize(items, n_tasks)
@@ -520,7 +609,12 @@ def multi_sketch_agg_rdd(spark, path, keys, specs,
             for n, ba, bb in zip(names, a[0], b[0]))
         return (blobs, a[1] + b[1])
 
-    n_red = reduce_partitions or max(4, min(64, len(splits)))
+    # reduce-side width: every reduce partition is a Python-worker round
+    # trip; with key counts far below the partition count most trips carry
+    # almost nothing (measured 1.6 s -> 1.3 s going 64 -> 16 at 465 keys).
+    # Scale-adaptive: half the cores locally, capped at 64 on big clusters
+    # (callers with known huge key cardinality pass reduce_partitions).
+    n_red = reduce_partitions or max(4, min(64, max(cpus // 2, 4), len(splits)))
     merged = rdd.mapPartitions(run_split).reduceByKey(
         merge_pair, numPartitions=n_red)
 

@@ -99,9 +99,22 @@ class BloomFilter:
         if len(hashes) == 0:
             return
         pos = self._positions(hashes).ravel()
-        word = (pos >> np.uint64(6)).astype(np.int64)
-        bit = np.uint64(1) << (pos & np.uint64(63))
-        np.bitwise_or.at(self.words, word, bit)
+        # np.bitwise_or.at is an unbuffered per-element loop (~100 ns per
+        # op — measured 1.5 s for 1.5M keys x k=7 at m=2^17). A boolean
+        # scatter is a plain vectorized store (duplicates just store True
+        # again), and packbits folds the mask into the word array; ~30x
+        # faster. The mask costs m/8 bytes — for huge filters fall back
+        # to the in-place path rather than allocating it per batch.
+        import sys
+
+        if self.m <= (1 << 26) and sys.byteorder == "little":
+            mask = np.zeros(self.m, dtype=bool)
+            mask[pos] = True
+            self.words |= np.packbits(mask, bitorder="little").view(np.uint64)
+        else:
+            word = (pos >> np.uint64(6)).astype(np.int64)
+            bit = np.uint64(1) << (pos & np.uint64(63))
+            np.bitwise_or.at(self.words, word, bit)
         self.n_added += len(hashes)
 
     def contains_series(self, values: pd.Series,
