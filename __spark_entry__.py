@@ -885,10 +885,15 @@ def q_docs_top_tokens(spark, sf_dir):
     operator (CM candidates + exact re-rank) over the exploded token
     stream — the corpus-vocabulary heavy-hitter query every training
     pipeline runs, exact by construction."""
+    from zetasketch_spark.operators.parallelize import ensure_parallelism
     from zetasketch_spark.operators.topk import topk_exact_rerank
 
     d = _t(spark, sf_dir, "documents")
-    tokens = d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+    # spread BEFORE the explode (r6): exploding 2.7M tokens from a
+    # one-row-group corpus otherwise runs single-task twice (CM pass and
+    # exact re-rank); shuffling 50k doc texts is far cheaper
+    tokens = ensure_parallelism(d.select("text")).select(
+        F.explode(F.split(F.col("text"), " ")).alias("token"))
     return topk_exact_rerank(tokens, "token", k=20)
 
 

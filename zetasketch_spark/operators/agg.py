@@ -146,7 +146,9 @@ def sketch_partial(df: DataFrame, keys: list[str], col: str,
     # output schema and states; merge/result compose unchanged.
     # skip_partitions addresses DataFrame partition ids, which this path
     # renumbers — resume callers keep the mapInArrow fabric.
-    if not skip_partitions and getattr(family, "supports_arrow", False):
+    # (any family qualifies: the generic prepare_arrow fallback routes
+    # update_prepared to update(), state-equal to the pandas fabric)
+    if not skip_partitions:
         files = _plain_parquet_files(df, [*keys, col])
         if files:
             from zetasketch_spark.operators.fastscan import \
@@ -290,6 +292,29 @@ def sketch_merge(partials: DataFrame, keys: list[str], family: SketchFamily,
     return partials.groupBy(*keys).applyInPandas(merge_fn, merged_schema)
 
 
+def collect_merged_states(partials: DataFrame, keys: list[str],
+                          family: SketchFamily,
+                          fan_in: int = 64) -> dict[tuple, object]:
+    """``{key_tuple: merged state}`` for report operators that consume
+    the per-key states driver-side anyway (retention, window activity,
+    join profile). Up to ``fan_in`` input partitions the driver merges
+    the partial blobs directly — the distributed ``applyInPandas`` merge
+    would be one more JVM->Python crossing only to produce the same
+    handful of states — while past ``fan_in`` partitions the salted tree
+    folds them first so driver fan-in stays bounded at cluster scale."""
+    if partials.rdd.getNumPartitions() > fan_in:
+        partials = sketch_merge(partials, keys, family, tree_levels=2,
+                                fan_in=fan_in)
+    acc: dict[tuple, object] = {}
+    for r in partials.collect():
+        if r[SKETCH_COL] is None:
+            continue
+        key = tuple(r[k] for k in keys)
+        s = family.deserialize(bytes(r[SKETCH_COL]))
+        acc[key] = s if key not in acc else family.merge(acc[key], s)
+    return acc
+
+
 def sketch_result(merged: DataFrame, family: SketchFamily,
                   keep_sketch: bool = False) -> DataFrame:
     """Stage 3: extract results from the sketch column."""
@@ -334,6 +359,20 @@ def sketch_agg(df: DataFrame, keys: list[str], col: str, family: SketchFamily,
     directly (one fused ``applyInPandas``): the separate extraction UDF
     was a second JVM->Python crossing over the merged rows, pure constant
     cost per query on this boundary (guide §4.1)."""
+    if not keep_sketch:
+        from zetasketch_spark.functions.sketch_udfs import pin_value_type
+
+        files = _plain_parquet_files(df, [*keys, col])
+        if files:
+            # fully-fused RDD pipeline: partial, merge and result without
+            # any SQL-layer Python crossing (see sketch_agg_filescan)
+            from zetasketch_spark.operators.fastscan import \
+                sketch_agg_filescan
+
+            return sketch_agg_filescan(
+                df.sparkSession, files, keys, col,
+                pin_value_type(family, df, col), _key_fields(df, keys))
+
     partials = sketch_partial(df, keys, col, family)
     if keep_sketch:
         merged = sketch_merge(partials, keys, family,

@@ -389,6 +389,86 @@ def sketch_partial_filescan(spark, files, keys, col, family,
     return spark.createDataFrame(rdd.mapPartitions(run_task), out_schema)
 
 
+def sketch_agg_filescan(spark, files, keys, col, family,
+                        key_fields: list[StructField],
+                        target_split_bytes: int = 96 << 20) -> DataFrame:
+    """Full partial->merge->result over an explicit parquet file list,
+    entirely in the RDD runner — the fused twin of
+    ``sketch_partial_filescan`` for ``sketch_agg(keep_sketch=False)``:
+    the SQL-layer exchange + applyInPandas merge crossing cost ~1.7 s of
+    a 2 s query at sf1 while the actual kernel work was ~0.3 s; here only
+    serialized states cross the reduceByKey shuffle and the result rows
+    materialize straight from the reducer."""
+    sc = spark.sparkContext
+    splits = plan_splits(files, target_split_bytes)
+    fields = list(key_fields) + [StructField(ROWS_COL, LongType())] + [
+        StructField(n, _parse_dt(t)) for n, t in family.result_fields]
+    schema = StructType(fields)
+    if not splits:
+        return spark.createDataFrame([], schema)
+    if len(splits) < sc.defaultParallelism:
+        splits = plan_splits(files, 1)
+    read_cols = sorted({col, *keys})
+    keys_t = tuple(keys)
+    cpus = sc.defaultParallelism
+    n_tasks = max(1, min(len(splits), cpus))
+    rdd = sc.parallelize(splits, n_tasks)
+
+    def run_task(it):
+        import pyarrow.parquet as pq  # noqa: F811
+
+        from zetasketch_spark.operators.grouping import arrow_group_indices
+
+        acc: dict = {}
+        rows: dict = {}
+        for f, rgs in it:
+            pf = pq.ParquetFile(f)
+            tbl = pf.read_row_groups(rgs, columns=read_cols,
+                                     use_threads=False).combine_chunks()
+            prepared = family.prepare_arrow(_derive_value_array(tbl, col))
+            if keys_t:
+                groups = arrow_group_indices({k: tbl[k] for k in keys_t})
+            else:
+                groups = {(): np.arange(tbl.num_rows)}
+            for key, idx in groups.items():
+                if not isinstance(key, tuple):
+                    key = (key,)
+                state = acc.get(key)
+                if state is None:
+                    state = family.make()
+                    acc[key] = state
+                    rows[key] = 0
+                family.update_prepared(state, prepared[idx])
+                rows[key] += len(idx)
+        for k, s in acc.items():
+            yield (k, (family.serialize(s), rows[k]))
+
+    def merge_pair(a, b):
+        return (family.serialize(family.merge(family.deserialize(a[0]),
+                                              family.deserialize(b[0]))),
+                a[1] + b[1])
+
+    n_red = max(4, min(64, max(cpus // 2, 4), len(splits)))
+    merged = rdd.mapPartitions(run_task).reduceByKey(
+        merge_pair, numPartitions=n_red)
+
+    def to_row(kv):
+        key, (blob, rows_seen) = kv
+        rec = [v.item() if isinstance(v, np.generic) else v for v in key]
+        rec.append(int(rows_seen))
+        rec += [x.item() if isinstance(x, np.generic) else x
+                for x in family.result(family.deserialize(blob))]
+        return tuple(rec)
+
+    return spark.createDataFrame(merged.map(to_row), schema)
+
+
+def _parse_dt(t: str):
+    from pyspark.sql.types import _parse_datatype_string
+
+    return _parse_datatype_string(t)
+
+
 def sketch_agg_fastscan(spark, path, keys, col, family,
                         derived_keys=None, tree_levels: int = 1,
                         target_split_bytes: int = 96 << 20,

@@ -44,8 +44,15 @@ def join_key_profile(df_a: DataFrame, key_a: str, df_b: DataFrame,
     from zetasketch_spark.sketches.theta import ThetaSketch
 
     spark = df_a.sparkSession
-    a = _global_theta(df_a, key_a, k)
-    b = _global_theta(df_b, key_b, k)
+    # the two per-side digest jobs are independent — submit them from a
+    # small thread pool so the second side's tasks back-fill executors
+    # freed by the first side's tail (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fa = pool.submit(_global_theta, df_a, key_a, k)
+        fb = pool.submit(_global_theta, df_b, key_b, k)
+        a, b = fa.result(), fb.result()
 
     union = a.copy()
     union.merge(b)

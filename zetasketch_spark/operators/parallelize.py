@@ -41,6 +41,18 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
+    # the footer check below infers row distribution from the SCAN, so it
+    # only applies to scan-shaped plans (projection/filter/explode over a
+    # relation); any exchange/join/aggregate already redistributed rows
+    # and the claimed partition count is real
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        return df
+    for ln in plan.strip().splitlines():
+        node = ln.strip().lstrip("+-: ").split(" ", 1)[0]
+        if node not in ("Project", "Filter", "Generate", "Relation"):
+            return df
     try:
         files = df.inputFiles()
     except Exception:

@@ -53,7 +53,7 @@ def retention_report(df: DataFrame, key_col: str, ts_col: str,
     values are rendered as strings in the report (nulls as '(null)')."""
     import datetime
 
-    from zetasketch_spark.operators.agg import (SKETCH_COL, sketch_merge,
+    from zetasketch_spark.operators.agg import (collect_merged_states,
                                                 sketch_partial)
     from zetasketch_spark.sketches.theta import ThetaFamily
 
@@ -65,18 +65,17 @@ def retention_report(df: DataFrame, key_col: str, ts_col: str,
           for g in gcols],
         F.date_format(F.col(ts_col), "yyyy-MM-dd").alias("day"),
         F.col(key_col)).filter(F.col("day").isNotNull())
-    merged = sketch_merge(
-        sketch_partial(keyed, [*gcols, "day"], key_col, fam),
-        [*gcols, "day"], fam, tree_levels=2)
     # bounded driver state: (groups x days) sketches of k hashes each,
-    # so the pairwise set ops run driver-side on k-sized hash samples
+    # so the pairwise set ops run driver-side on k-sized hash samples.
+    # collect_merged_states folds partials driver-side under its fan_in
+    # bound (r6: the distributed merge was one more Python crossing to
+    # produce the same handful of states) and tree-merges beyond it.
+    states = collect_merged_states(
+        sketch_partial(keyed, [*gcols, "day"], key_col, fam),
+        [*gcols, "day"], fam)
     sketches: dict[tuple, dict[str, object]] = {}
-    for r in merged.collect():
-        if r[SKETCH_COL] is None:
-            continue
-        g = tuple(r[c] for c in gcols)
-        sketches.setdefault(g, {})[r["day"]] = fam.deserialize(
-            bytes(r[SKETCH_COL]))
+    for key, s in states.items():
+        sketches.setdefault(key[:-1], {})[key[-1]] = s
 
     rows = []
     for h in sorted({int(h) for h in horizons}):

@@ -48,6 +48,10 @@ def topk_exact_rerank(df: DataFrame, col: str, k: int = 10,
 
     fam = CountMinFamily(width=width, depth=depth,
                          max_candidates=max_candidates)
+    # NOT ensure_parallelism'd (measured, sf1): spreading the keyed rows
+    # costs a 1M-row string shuffle plus 32x more CM partial states and
+    # loses ~0.7 s against the single-task kernel it parallelizes; heavy
+    # upstream producers (e.g. token explodes) spread BEFORE this call
     keyed = df.select(F.col(col).cast("string").alias("key"))
     partials = sketch_partial(keyed, [], "key", fam)
     merged = sketch_merge(partials, [], fam)

@@ -230,17 +230,14 @@ def window_activity_report(df: DataFrame, key_col: str, ts_col: str,
                      - datetime.date(1970, 1, 1)).days
 
     fam = TimeThetaFamily(k=k)
-    merged = sketch_merge(
-        timetheta_partial(keyed, gcols, key_col, _TIME_COL, fam),
-        gcols, fam, tree_levels=2)
-
     # bounded driver state: one k-row sketch per group (groups are a
-    # schema/domain-bounded dimension, not data-scale)
-    sketches: dict[tuple, object] = {}
-    for r in merged.collect():
-        if r[SKETCH_COL] is not None:
-            sketches[tuple(r[c] for c in gcols)] = fam.deserialize(
-                bytes(r[SKETCH_COL]))
+    # schema/domain-bounded dimension, not data-scale); partials fold
+    # driver-side under collect_merged_states' fan_in bound (r6)
+    from zetasketch_spark.operators.agg import collect_merged_states
+
+    sketches = collect_merged_states(
+        timetheta_partial(keyed, gcols, key_col, _TIME_COL, fam),
+        gcols, fam)
 
     as_of_iso = (datetime.date(1970, 1, 1)
                  + datetime.timedelta(days=as_of_day)).isoformat()
@@ -308,14 +305,11 @@ def activity_age_report(df: DataFrame, key_col: str, ts_col: str,
                      - datetime.date(1970, 1, 1)).days
 
     fam = TimeThetaFamily(k=k)
-    merged = sketch_merge(
+    from zetasketch_spark.operators.agg import collect_merged_states
+
+    sketches = collect_merged_states(
         timetheta_partial(keyed, gcols, key_col, _TIME_COL, fam),
-        gcols, fam, tree_levels=2)
-    sketches: dict[tuple, object] = {}
-    for r in merged.collect():
-        if r[SKETCH_COL] is not None:
-            sketches[tuple(r[c] for c in gcols)] = fam.deserialize(
-                bytes(r[SKETCH_COL]))
+        gcols, fam)
 
     # boundaries in day units: band i = [bound[i-1]+1 .. bound[i]] days
     # old; recency_counts/cohort_counts bucket by time >= boundary
