@@ -75,7 +75,17 @@ def build_key_bloom(keys_df: DataFrame, key: str, fpr: float = 0.002,
     from zetasketch_spark.operators.agg import (SKETCH_COL, sketch_merge,
                                                 sketch_partial)
 
-    n = int(n_hint) if n_hint is not None else keys_df.count()
+    if n_hint is not None:
+        n, sized_from = int(n_hint), "n_hint"
+    else:
+        n = _metadata_row_bound(keys_df)
+        if n is not None:
+            sized_from = "parquet_metadata"
+        else:
+            # last resort: a full action over the key side BEFORE the
+            # digest pass — two scans total. At 10^9 keys that is a real
+            # second scan; pass n_hint or let the metadata bound apply.
+            n, sized_from = keys_df.count(), "count"
     m, k = optimal_params(max(n, 1), fpr)
     fam = BloomFamily(m=m, k=k)  # sketch_partial pins value_type itself
     partials = sketch_partial(keys_df.select(key), [], key, fam)
@@ -85,8 +95,46 @@ def build_key_bloom(keys_df: DataFrame, key: str, fpr: float = 0.002,
     else:  # empty key side: empty digest (prefilter keeps nothing)
         blob = fam.serialize(fam.make())
     meta = {"m_bits": m, "k_hashes": k, "sized_for_n": n,
+            "sized_from": sized_from,
             "target_fpr": float(fpr), "digest_bytes": len(blob)}
     return blob, meta
+
+
+def _metadata_row_bound(df: DataFrame) -> int | None:
+    """Upper bound on ``df``'s rows from parquet FOOTERS alone — no scan
+    (the r5 verdict's build_key_bloom finding: the default count() was a
+    second full pass over the key side). Valid whenever the plan can only
+    KEEP or DROP scan rows (projections/filters over one parquet
+    relation — row-multiplying nodes like Generate disqualify); an upper
+    bound only oversizes the filter, which preserves the FPR target."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        return None
+    from urllib.parse import unquote, urlparse
+
+    for ln in plan.strip().splitlines():
+        node = ln.strip().lstrip("+-: ").split(" ", 1)[0]
+        if node not in ("Project", "Filter", "Relation"):
+            return None
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    import pyarrow.parquet as pq
+
+    total = 0
+    for uri in files:
+        p = urlparse(uri)
+        if p.scheme not in ("file", "") or not p.path.endswith(".parquet"):
+            return None
+        try:
+            total += pq.ParquetFile(unquote(p.path)).metadata.num_rows
+        except OSError:
+            return None
+    return total
 
 
 def bloom_prefilter(big: DataFrame, key: str, blob: bytes) -> DataFrame:
