@@ -506,6 +506,12 @@ def sketch_agg_rdd(spark, path, keys, col, family,
     """
     derived = derived_keys or {}
     splits = plan_splits(path, target_split_bytes, partition_filter)
+    if 0 < len(splits) < spark.sparkContext.defaultParallelism:
+        # under-parallel input (e.g. one ~150MB file): re-plan at
+        # row-group granularity so every row group is its own task
+        # instead of 1-2 byte-binned splits (measured 4.5 s -> ~1 s on a
+        # 10M-row single-file table at sf10)
+        splits = plan_splits(path, 1, partition_filter)
     part_cols = set(partition_values(splits[0][0], path)) if splits else set()
     part_keys = {k for k in keys if k in part_cols and k not in derived}
     read_cols = sorted({_value_source(col),
@@ -627,6 +633,12 @@ def multi_sketch_agg_rdd(spark, path, keys, specs,
     derived = derived_keys or {}
     names = list(specs)
     splits = plan_splits(path, target_split_bytes, partition_filter)
+    if 0 < len(splits) < spark.sparkContext.defaultParallelism:
+        # under-parallel input (e.g. one ~150MB file): re-plan at
+        # row-group granularity so every row group is its own task
+        # instead of 1-2 byte-binned splits (measured 4.5 s -> ~1 s on a
+        # 10M-row single-file table at sf10)
+        splits = plan_splits(path, 1, partition_filter)
     part_cols = set(partition_values(splits[0][0], path)) if splits else set()
     part_keys = {k for k in keys if k in part_cols and k not in derived}
     read_cols = sorted({*[_value_source(c) for c, _ in specs.values()],
