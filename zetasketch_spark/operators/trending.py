@@ -123,23 +123,36 @@ def decayed_topk_verified(df: DataFrame, key_col: str, ts_col: str,
 
         parts = parts.repartition(fan_in).mapInPandas(fold_fn,
                                                       "sketch binary")
-    acc = None
-    for row in parts.collect():
-        part = CountMinSketch.deserialize(bytes(row["sketch"]))
-        if acc is None:
-            acc = part
-        else:
-            acc.merge(part)
-    if acc is None or acc.total == 0:
-        return spark.createDataFrame([], out_schema)
+    # the weighted-CM digest and the exact top-k are independent jobs
+    # over the same wdf — submit both from a 2-thread pool so the second
+    # back-fills executors freed by the first's tail (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _collect_parts():
+        acc = None
+        for row in parts.collect():
+            part = CountMinSketch.deserialize(bytes(row["sketch"]))
+            if acc is None:
+                acc = part
+            else:
+                acc.merge(part)
+        return acc
 
     # orderBy + limit -> TakeOrderedAndProject (per-partition heaps, no
     # global sort or single-partition rank window over the unbounded key
     # set); ranks come from the already-sorted driver list
-    top = (wdf.groupBy("key").agg(F.sum("w").alias("decayed_weight"))
-           .filter(F.col("decayed_weight") > 0)
-           .orderBy(F.col("decayed_weight").desc(), F.col("key"))
-           .limit(k).collect())
+    def _collect_top():
+        return (wdf.groupBy("key").agg(F.sum("w").alias("decayed_weight"))
+                .filter(F.col("decayed_weight") > 0)
+                .orderBy(F.col("decayed_weight").desc(), F.col("key"))
+                .limit(k).collect())
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        facc = pool.submit(_collect_parts)
+        ftop = pool.submit(_collect_top)
+        acc, top = facc.result(), ftop.result()
+    if acc is None or acc.total == 0:
+        return spark.createDataFrame([], out_schema)
     est = acc.point_query_series(pd.Series([r["key"] for r in top]))
     # same slack convention as cm_topk_verified: doubling the published
     # eps*N drives the per-key gate failure probability to ~e^-2depth
