@@ -80,7 +80,13 @@ def main(argv=None):
                     help="with --window-activity: comma-separated trailing "
                          "window lengths in days")
     ap.add_argument("--as-of", default=None, metavar="YYYY-MM-DD",
-                    help="with --window-activity: report anchor day")
+                    help="with --window-activity: report anchor day. "
+                         "SUFFIX SEMANTICS with a historical anchor: the "
+                         "(first,last)-timestamp summary answers the OPEN "
+                         "suffix [as-of - W + 1, inf) — keys last/first "
+                         "seen AFTER --as-of still count, so counts are "
+                         "upper bounds on the bounded historical window "
+                         "(exact with the default anchor = max data day)")
     ap.add_argument("--horizons", default="1",
                     help="with --retention: comma-separated day offsets, "
                          "e.g. '1,7,30' for the cohort curve")

@@ -204,11 +204,29 @@ def window_activity_report(df: DataFrame, key_col: str, ts_col: str,
 
     ``group_keys`` (e.g. ``["role"]``) builds an independent sketch per
     group in the same scan; group values render as strings with nulls
-    as '(null)', the `retention_report` convention."""
+    as '(null)', the `retention_report` convention.
+
+    HISTORICAL ``as_of`` CAVEAT (suffix semantics): the sketch stores
+    each key's FIRST/LAST timestamp only, so 'last seen within the W
+    days ending at as_of' is answered as the OPEN suffix
+    [as_of-W+1, ∞) — a key whose last activity falls AFTER as_of still
+    counts as active, and a key first seen after as_of still counts as
+    new. With the default as_of (the data's max day) the two windows
+    coincide; with an explicit historical as_of over data that extends
+    past it, 'active'/'new_keys' are upper bounds on the bounded-window
+    counts, which a (first, last)-timestamp summary cannot answer
+    exactly. Snapshot the table daily (``window_activity_from_table``)
+    when exact historical windows matter."""
     import datetime
 
     spark = df.sparkSession
     gcols = list(group_keys)
+    # validate BEFORE the scan/merge pipeline (and even on empty input):
+    # an invalid window used to fail only after the expensive job ran,
+    # and was silently accepted when the input had no groups (ADVICE r5)
+    windows = sorted({int(w) for w in windows})
+    if not windows or windows[0] < 1:
+        raise ValueError(f"windows must be >= 1 day, got {windows}")
     day = (time_expr if time_expr is not None
            else F.unix_date(F.to_date(F.col(ts_col))))
     keyed = df.select(
@@ -244,9 +262,7 @@ def window_activity_report(df: DataFrame, key_col: str, ts_col: str,
     rows = []
     for g in sorted(sketches):
         sk = sketches[g]
-        for w in sorted({int(w) for w in windows}):
-            if w < 1:
-                raise ValueError(f"windows must be >= 1 day, got {w}")
+        for w in windows:
             lo = as_of_day - w + 1
             rows.append([*g, w, as_of_iso, sk.estimate_since(lo),
                          float(sk.estimate_sd_since(lo)),

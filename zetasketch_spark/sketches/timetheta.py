@@ -289,12 +289,28 @@ class TimeThetaSketch:
             raise ValueError(
                 f"corrupt time-theta sketch: claims {n_ret} retained rows "
                 f"but {len(data) - off} payload bytes remain")
+        if n_ret > k:
+            # _quickselect/_combine rely on |retained| <= k; a blob
+            # violating it would be accepted silently and inflate
+            # estimates until the next update truncated it (ADVICE r5)
+            raise ValueError(
+                f"corrupt time-theta sketch: {n_ret} retained rows exceed "
+                f"k={k}")
         sk = cls(k=k)
         sk.encoding_version = version  # trailing bytes ignored
         sk.num_values = num_values
         sk.theta = _FULL if theta_stored == 0 else int(theta_stored)
         sk.retained = np.frombuffer(data, dtype=np.uint64, count=n_ret,
                                     offset=off).copy()
+        # elementwise uint64 comparison (np.diff would wrap on a
+        # decreasing pair and read as positive)
+        if n_ret and not (bool(np.all(sk.retained[1:] > sk.retained[:-1]))
+                          and int(sk.retained[-1]) < sk.theta):
+            # _combine's sorted-merge and the KMV estimator both rely on
+            # a strictly-increasing retained array below theta (ADVICE r5)
+            raise ValueError(
+                "corrupt time-theta sketch: retained hashes must be "
+                "strictly increasing and below theta")
         off += 8 * n_ret
         sk.last_ts = np.frombuffer(data, dtype=np.int64, count=n_ret,
                                    offset=off).copy()
