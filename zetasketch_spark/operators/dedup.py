@@ -385,10 +385,12 @@ def verify_jaccard(pairs: DataFrame, docs: DataFrame, text_col: str = "text",
     pair list; the Jaccard itself is a JVM ``array_intersect``
     expression, so no Python runs in the per-pair loop."""
     pairs = materialize(pairs, checkpoint_dir, "lsh_candidates")
+    # no .distinct(): a LEFT SEMI join is set-semantics on the right side
+    # already, and the dedupe cost an extra exchange + aggregate stage
+    # for an identical candidate-doc set (r6)
     ids = (
         pairs.select(F.col("id_a").alias(id_col))
         .union(pairs.select(F.col("id_b").alias(id_col)))
-        .distinct()
     )
     sh = materialize(
         shingle_sets(docs.join(ids, id_col, "left_semi"),
