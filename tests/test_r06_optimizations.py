@@ -220,3 +220,28 @@ def test_metadata_row_bound(spark, small_parquet):
     # row-multiplying plans must NOT claim a bound (undercount -> FPR blowup)
     assert _metadata_row_bound(
         df.select(F.explode(F.array("v", "v")).alias("x"))) is None
+
+
+def test_decontaminate_digest_from_distinct_shingles(spark):
+    """decontaminate now folds its Bloom digest from the distinct-shingle
+    table the exact-verify join needs anyway (one benchmark shingle pass
+    instead of two). Bloom insertion is idempotent, so the BIT ARRAY must
+    be identical to the documented multiset path — membership (and hence
+    the flagged candidate set) cannot move."""
+    from zetasketch_spark.operators.decontaminate import (
+        _bloom_from_shingles, _exploded_shingles, benchmark_shingle_bloom)
+    from zetasketch_spark.sketches.bloom import BloomFilter
+
+    bench = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta " * 3) for i in range(6)]
+        + [(9, "one two three four five six seven eight")],
+        "doc_id bigint, text string")
+    multiset = BloomFilter.deserialize(
+        benchmark_shingle_bloom(bench, m=1 << 16, k=5))
+    distinct = BloomFilter.deserialize(_bloom_from_shingles(
+        _exploded_shingles(bench, "text", 5, id_col=None).distinct(),
+        m=1 << 16, k=5))
+    assert (multiset.words == distinct.words).all()
+    # the six copies collapse in the distinct path: n_added is the one
+    # field allowed to differ
+    assert distinct.n_added <= multiset.n_added

@@ -36,11 +36,23 @@ def benchmark_shingle_bloom(benchmark: DataFrame, text_col: str = "text",
                             k: int = 7) -> bytes:
     """Serialized Bloom filter of the benchmark's shingle hashes, built
     distributed (per-partition partial filters, bit-OR merge)."""
+    return _bloom_from_shingles(
+        _exploded_shingles(benchmark, text_col, shingle_k, id_col=None),
+        m=m, k=k)
+
+
+def _bloom_from_shingles(shingles: DataFrame, m: int, k: int) -> bytes:
+    """Fold a ``shingle`` column into one serialized Bloom digest.
+
+    Bloom insertion is idempotent (bit OR), so the digest bytes are
+    identical whether ``shingles`` carries duplicates or is distinct —
+    which lets :func:`decontaminate` build the digest from the SAME
+    distinct-shingle table its exact-verify join needs, instead of
+    shingling the benchmark twice (r6: the duplicate pandas-UDF pass was
+    ~40% of the digest cost at bench scale)."""
     from zetasketch_spark.operators.agg import sketch_merge, sketch_partial
     from zetasketch_spark.sketches.bloom import BloomFamily
 
-    shingles = _exploded_shingles(benchmark, text_col, shingle_k,
-                                  id_col=None)
     fam = BloomFamily(m=m, k=k)
     partials = sketch_partial(shingles, [], "shingle", fam)
     rows = sketch_merge(partials, [], fam).collect()  # ONE m/8-byte state
@@ -153,8 +165,15 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
     # row-group-aware ensure_parallelism is a no-op.
     from zetasketch_spark.operators.parallelize import ensure_parallelism
 
-    blob = benchmark_shingle_bloom(benchmark, text_col, shingle_k,
-                                   m=bloom_m, k=bloom_k)
+    # the exact-verify join needs the benchmark's DISTINCT shingle table
+    # anyway — materialize it first and fold the Bloom digest from it
+    # (digest bytes identical, see _bloom_from_shingles), so the
+    # benchmark's shingle UDF runs ONCE instead of twice
+    bench_sh = materialize(
+        _exploded_shingles(benchmark, text_col, shingle_k, id_col=None)
+        .distinct(),
+        checkpoint_dir, "benchmark_shingles")
+    blob = _bloom_from_shingles(bench_sh, m=bloom_m, k=bloom_k)
     bloom_hits = _bloom_hits_udf(docs.sparkSession, blob, shingle_k)
     flagged = (
         ensure_parallelism(docs.select(id_col, text_col))
@@ -164,10 +183,6 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
     )
     # exact verification: only candidates explode; distinct-intersection
     # count against the benchmark's distinct shingles
-    bench_sh = materialize(
-        _exploded_shingles(benchmark, text_col, shingle_k, id_col=None)
-        .distinct(),
-        checkpoint_dir, "benchmark_shingles")
     cand_sh = _exploded_shingles(flagged, text_col, shingle_k, id_col)
     return (
         cand_sh.join(bench_sh, "shingle", "left_semi")
