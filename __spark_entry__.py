@@ -1497,12 +1497,22 @@ def q_events_skew_report(spark, sf_dir):
     count DuckDB recomputes; `repart_balanced` asserts every bucket
     within 1.5x ideal and >=14/16 buckets populated (measured band
     across 1/8/97-partition runs: 1.07-1.11x, 16/16)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from zetasketch_spark.operators.rangepart import balance_report
     from zetasketch_spark.operators.skew import key_skew_report
 
     e = _t(spark, sf_dir, "events")
-    rep = key_skew_report(e, "user_id", top=10, threshold=0.008)
-    bal = balance_report(e, "user_id", 16, salt_cols=["event_id"])
+    # the two arms are independent eager pipelines over the same scan
+    # (CM pass + collect vs KLL boundaries + bucket census): submit them
+    # from a 2-thread pool so the second arm's tasks back-fill the first
+    # arm's stragglers (guide §2.6, same pattern as trending/joinprofile);
+    # output is identical — this changes scheduling only
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        frep = pool.submit(key_skew_report, e, "user_id", 10, 0.008)
+        fbal = pool.submit(balance_report, e, "user_id", 16,
+                           salt_cols=["event_id"])
+        rep, bal = frep.result(), fbal.result()
     balanced = (bal["max_over_ideal"] <= 1.5 and bal["buckets_used"] >= 14)
     return (rep
             .withColumn("repart_rows",
